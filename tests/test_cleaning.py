@@ -1,0 +1,114 @@
+"""clean_data parity tests against in-process pandas replicas of the
+reference semantics (FIXTURES.md F1-style frames)."""
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from data_pipeline_agent_spark.operators.cleaning import (
+    clean_data,
+    expand_datetimes,
+    frequency_encode,
+    iqr_bounds,
+    iqr_clip,
+    label_encode,
+    string_modes,
+)
+from data_pipeline_agent_spark.operators.profiling import profile
+
+
+@pytest.fixture(scope="module")
+def mixed_df(spark):
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                None if i % 25 == 0 else float(20 + (i % 50)),
+                None if i % 40 == 0 else ["a", "b", "b", "c"][i % 4],
+                f"code-{i}" if i < 190 else "code-0",  # high cardinality
+                f"2023-0{1 + i % 9}-1{i % 8} 0{i % 9}:30:00",
+                f"note-{i % 3} free-text",  # has '-', not parseable
+                None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        schema="id long, age double, segment string, ref_code string, signup string, notes string, ghost double",
+    )
+
+
+def test_profile_fused(spark, mixed_df):
+    p = profile(mixed_df)
+    assert p.n_rows == 200
+    assert p.null_count("ghost") == 200
+    assert p.null_count("age") == 8
+    assert p.has_dash["signup"] and p.parse_ok["signup"] == p.non_null["signup"]
+    assert p.has_dash["notes"] and p.parse_ok["notes"] < p.non_null["notes"]
+
+
+def test_mode_tiebreak_smallest(spark):
+    df = spark.createDataFrame([Row(c="b"), Row(c="b"), Row(c="a"), Row(c="a"), Row(c="z")])
+    assert string_modes(df, ["c"]) == {"c": "a"}  # pandas mode()[0] = smallest on tie
+
+
+def test_label_encode_alphabetical(spark):
+    df = spark.createDataFrame([Row(s="banana"), Row(s="apple"), Row(s="cherry"), Row(s="apple")])
+    out = {r["s"] for r in label_encode(df, "s").collect()}
+    # sklearn LabelEncoder: sorted class order -> apple=0, banana=1, cherry=2
+    assert out == {0, 1, 2}
+    got = {r0["s"]: r1["s"] for r0, r1 in zip(df.collect(), label_encode(df, "s").collect())}
+
+
+def test_frequency_encode_counts(spark):
+    df = spark.createDataFrame([Row(s="x"), Row(s="x"), Row(s="y")])
+    vals = sorted(r["s"] for r in frequency_encode(df, "s").collect())
+    assert vals == [1, 2, 2]
+
+
+def test_datetime_expansion_conventions(spark):
+    # 2024-01-01 is a Monday -> pandas dayofweek 0, ISO week 1
+    df = spark.createDataFrame([Row(ts=dt.datetime(2024, 1, 1, 13, 0, 0))])
+    r = expand_datetimes(df).first()
+    assert (r["ts_year"], r["ts_month"], r["ts_day"], r["ts_hour"]) == (2024, 1, 1, 13)
+    assert r["ts_dayofweek"] == 0
+    assert r["ts_weekofyear"] == 1
+    # 2023-01-01 is a Sunday -> pandas dayofweek 6, ISO week 52 (of 2022)
+    r2 = expand_datetimes(spark.createDataFrame([Row(ts=dt.datetime(2023, 1, 1))])).first()
+    assert r2["ts_dayofweek"] == 6
+    assert r2["ts_weekofyear"] == 52
+
+
+def test_iqr_clip_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 100.0]
+    s = pd.Series(vals)
+    q1, q3 = s.quantile(0.25), s.quantile(0.75)
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    expected = np.clip(s, lo, hi).tolist()
+
+    df = spark.createDataFrame([Row(v=v) for v in vals])
+    b = iqr_bounds(df, ["v"])
+    assert b["v"] == pytest.approx((lo, hi))
+    got = sorted(r["v"] for r in iqr_clip(df, b).collect())
+    assert got == pytest.approx(sorted(expected))
+
+
+def test_clean_data_end_to_end(spark, mixed_df):
+    cleaned, msg = clean_data(mixed_df)
+    cols = cleaned.columns
+    assert "ghost" not in cols  # P1 all-null drop
+    assert "signup" not in cols and "signup_year" in cols  # E3+E7
+    assert "signup_dayofweek" in cols and "signup_weekofyear" in cols
+    # every remaining column is numeric after encoding
+    from pyspark.sql.types import NumericType
+
+    assert all(isinstance(f.dataType, NumericType) for f in cleaned.schema.fields)
+    assert msg.startswith("Data cleaned: (200, 7)")
+    rows = cleaned.collect()
+    assert len(rows) == 200
+    assert not any(v is None for r in rows for v in r)
