@@ -1,0 +1,7 @@
+"""Query catalog. Importing this package populates the registry."""
+
+from data_pipeline_agent_spark.plans import (  # noqa: F401
+    queries_cleaning,
+    queries_relational,
+)
+from data_pipeline_agent_spark.plans.registry import REGISTRY, QuerySpec  # noqa: F401

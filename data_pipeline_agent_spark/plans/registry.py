@@ -1,0 +1,62 @@
+"""Named-query registry.
+
+Every operator the engine claims (SURVEY.md §2 + extensions) registers one
+named query: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus, when
+SQL-expressible, a DuckDB oracle SQL twin the driver hash-compares against.
+
+Conventions that make the driver's order-insensitive value-hash match:
+- every computed column is aliased identically (lowercase) on both sides;
+- float outputs of AGGREGATES are rounded to 6 decimals on both sides
+  (Spark and DuckDB sum in different orders; per-row arithmetic is left
+  exact since IEEE doubles agree bit-for-bit on identical expressions);
+- integer outputs are cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    description: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None  # ANSI SQL for DuckDB; None -> rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, description: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name=name, description=description, spark=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return events_table(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores INT64 TIMESTAMP(NANOS), which Spark 4 refuses
+    by default. Read nanos as long (runtime-settable legacy conf) and
+    truncate to microseconds with integer division — matching DuckDB's
+    CAST(ts AS TIMESTAMP) truncation of TIMESTAMP_NS, which every events
+    oracle applies on its side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict((f.name, f.dataType) for f in df.schema.fields)["ts"]
+    if isinstance(ts_type, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
