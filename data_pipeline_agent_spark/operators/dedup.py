@@ -1,0 +1,183 @@
+"""Deduplication operators over a (id, text) corpus — the core of an LLM
+training-data pipeline. Four families, all engine-deterministic:
+
+- exact:   hash-group on the raw text (one shuffle on the text key)
+- n-gram Jaccard: all-pairs via shingle equi-join — the small-data oracle
+           baseline; quadratic in colliding shingles, use LSH at scale
+- MinHash+LSH: salted-md5 signatures -> banded bucketing -> candidate
+           pairs -> exact Jaccard verification of candidates only. The
+           100 TB path: cost is O(corpus) + O(candidates), no all-pairs.
+- SimHash: 32-bit fingerprints, 4x8-bit block index. Pigeonhole: any pair
+           with hamming <= 3 shares at least one exact block, so the block
+           join has FULL recall at that radius — no scan of all pairs.
+
+The reference has no dedup surface (SURVEY.md §2.6); this is north-star
+extension work (BASELINE.json). Embedding-based near-dup lives in
+similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_agent_spark.functions.text_hash import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    h32,
+    minhash_expr,
+    simhash32,
+    tokens,
+    word_ngrams,
+)
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group id (min id per identical text), group size, and
+    keep-flag. One shuffle keyed on the text."""
+    w = Window.partitionBy(text_col)
+    return df.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("group_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_kept"),
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, grams array, n_grams) — distinct word 3-gram shingles."""
+    g = word_ngrams(tokens(F.col(text_col)))
+    return df.select(
+        F.col(id_col).alias("id"), g.alias("grams")
+    ).withColumn("sz", F.size("grams")).where(F.col("sz") > 0)
+
+
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for given (id_a, id_b) pairs via shingle-explode join.
+    Cost O(candidate shingle overlap), never all-pairs."""
+    ex = sh.select("id", F.explode("grams").alias("g"))
+    sizes = sh.select("id", "sz")
+    ea = ex.select(F.col("id").alias("id_a"), F.col("g"))
+    eb = ex.select(F.col("id").alias("id_b"), F.col("g"))
+    inter = (
+        pairs.join(ea, "id_a").join(eb, ["id_b", "g"]).groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_topk(df: DataFrame, k: int = 20) -> DataFrame:
+    """All-pairs n-gram Jaccard, top-k most similar pairs. Small-data
+    baseline / oracle twin for the LSH path; quadratic in shingle
+    collisions, so keep it off the 100 TB path."""
+    sh = shingles(df)
+    ex = sh.select("id", F.explode("grams").alias("g"))
+    ea = ex.select(F.col("id").alias("id_a"), "g")
+    eb = ex.select(F.col("id").alias("id_b"), "g")
+    pairs = (
+        ea.join(eb, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+    return jac.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b")).limit(k)
+
+
+def minhash_signatures(df: DataFrame) -> DataFrame:
+    """(id, mh_0..mh_{K-1}) deterministic MinHash signatures."""
+    sh = shingles(df)
+    cols = [minhash_expr(F.col("grams"), j).alias(f"mh_{j}") for j in range(MINHASH_K)]
+    return sh.select("id", *cols)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Banded LSH: docs sharing any band of the signature. One explode +
+    one equi-join on the band key; shuffle volume = corpus * bands."""
+    bands = []
+    for b in range(LSH_BANDS):
+        key = F.concat_ws(
+            "_", *[F.col(f"mh_{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]
+        )
+        bands.append(sig.select("id", F.lit(b).alias("band"), key.alias("key")))
+    bt = bands[0]
+    for x in bands[1:]:
+        bt = bt.unionAll(x)
+    a = bt.select(F.col("id").alias("id_a"), "band", "key")
+    b2 = bt.select(F.col("id").alias("id_b"), "band", "key")
+    return (
+        a.join(b2, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(df: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """The scale path: LSH candidates -> exact Jaccard verify -> threshold."""
+    sh = shingles(df)
+    cands = lsh_candidate_pairs(minhash_signatures(df))
+    return _pair_jaccard(sh, cands).where(F.col("jaccard") >= threshold)
+
+
+def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) 32-bit fingerprints over distinct shingles."""
+    sh = shingles(df, text_col, id_col)
+    return sh.select("id", simhash32(F.col("grams")).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Full-recall hamming<=3 pairs via 4x8-bit block index (pigeonhole:
+    <=3 differing bits leave at least one of 4 blocks identical)."""
+    st = simhash_table(df)
+    blocks = []
+    for b in range(4):
+        blocks.append(
+            st.select(
+                "id",
+                "simhash",
+                F.lit(b).alias("block"),
+                F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("key"),
+            )
+        )
+    bt = blocks[0]
+    for x in blocks[1:]:
+        bt = bt.unionAll(x)
+    a = bt.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "block", "key")
+    b2 = bt.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "block", "key")
+    return (
+        a.join(b2, ["block", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

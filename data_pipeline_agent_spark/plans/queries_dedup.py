@@ -1,0 +1,132 @@
+"""Oracle-checked dedup queries over the documents table.
+
+Each query pairs a Spark operator from operators/dedup.py with a DuckDB
+twin generated from the SAME constants/hash arithmetic (plans/sql_text.py),
+so MinHash banding and SimHash fingerprints match bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_pipeline_agent_spark.functions.text_hash import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+)
+from data_pipeline_agent_spark.operators import dedup as D
+from data_pipeline_agent_spark.plans.registry import register, table
+from data_pipeline_agent_spark.plans.sql_text import (
+    sql_h32,
+    sql_minhash,
+    sql_ngrams,
+    sql_simhash32,
+    sql_tokens,
+)
+
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id AS id, {sql_tokens('text')} AS t FROM documents),
+sh AS (
+  SELECT id, {sql_ngrams('t')} AS grams, len({sql_ngrams('t')}) AS sz
+  FROM toks WHERE len({sql_ngrams('t')}) > 0
+),
+ex AS (SELECT id, unnest(grams) AS g FROM sh)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY text) AS group_id,
+               CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS group_size,
+               doc_id = min(doc_id) OVER (PARTITION BY text) AS is_kept
+        FROM documents
+    """,
+    description="exact dedup: hash-group on text, keep-first semantics",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard_topk",
+    oracle=f"""
+        WITH {_SHINGLES_CTE},
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+          FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+        FROM pairs JOIN sh sa ON id_a = sa.id JOIN sh sb ON id_b = sb.id
+        ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20
+    """,
+    description="all-pairs word-3gram Jaccard top-20 (oracle baseline for LSH)",
+)
+def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_topk(table(spark, sf_dir, "documents"), k=20)
+
+
+def _minhash_cte() -> str:
+    cols = ", ".join(f"{sql_minhash('grams', j)} AS mh_{j}" for j in range(MINHASH_K))
+    return f"sig AS (SELECT id, {cols} FROM sh)"
+
+
+def _bands_sql() -> str:
+    selects = []
+    for b in range(LSH_BANDS):
+        key = " || '_' || ".join(
+            f"CAST(mh_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        selects.append(f"SELECT id, {b} AS band, {key} AS key FROM sig")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH {_SHINGLES_CTE},
+        {_minhash_cte()},
+        bands AS ({_bands_sql()}),
+        cands AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        ),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cands c JOIN ex ea ON ea.id = c.id_a JOIN ex eb ON eb.id = c.id_b AND eb.g = ea.g
+          GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               round(i.inter / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+        FROM inter i JOIN sh sa ON i.id_a = sa.id JOIN sh sb ON i.id_b = sb.id
+        WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8
+    """,
+    description="MinHash(12)+LSH(3x4) candidates, exact-Jaccard verified >= 0.8",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_near_dup_pairs(table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH {_SHINGLES_CTE},
+        hashes AS (SELECT id, {sql_h32('g')} AS h FROM ex),
+        st AS (SELECT id, {sql_simhash32('h')} AS simhash FROM hashes GROUP BY id),
+        blocks AS (
+          SELECT id, simhash, b AS block, (simhash >> (8 * b)) & 255 AS key
+          FROM st, unnest(generate_series(0, 3)) AS u(b)
+        )
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM blocks a JOIN blocks b
+          ON a.block = b.block AND a.key = b.key AND a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    description="SimHash32 near-pairs, full recall at hamming<=3 via 4x8-bit blocks",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(table(spark, sf_dir, "documents"), max_hamming=3)
