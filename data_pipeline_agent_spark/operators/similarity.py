@@ -1,0 +1,119 @@
+"""Vector similarity search over an embedding column (array<float>).
+
+Two paths, as a production ANN stack has:
+
+- brute-force cosine top-k: exact; cost O(|anchors| x corpus). The
+  baseline and the oracle-checkable ground truth. Distributed as an
+  anchor-broadcast join — corpus stays partitioned, anchors (small)
+  broadcast, per-row cosine is a codegen'd JVM expression (zip_with +
+  aggregate), ranking is a per-anchor window top-k.
+- sign-LSH bucketed search: deterministic random-hyperplane surrogate
+  using the sign pattern of the first SIGN_BITS dimensions as the bucket
+  key. Probes only the anchor's bucket: recall < 1, cost O(corpus/2^bits)
+  per anchor. At 100 TB you'd store the corpus bucketed (partitionBy
+  bucket) so a probe is a partition-pruned scan. MLlib's
+  BucketedRandomProjectionLSH is the stock alternative; fixed sign planes
+  keep the pipeline reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SIGN_BITS = 8  # bucket key = sign pattern of the first 8 dims -> 256 buckets
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double-accumulated dot product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    # try_divide: a zero-norm vector yields NULL similarity instead of
+    # failing the whole job under Spark 4's default ANSI mode
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def sign_bucket(v: Column, bits: int = SIGN_BITS) -> Column:
+    """Deterministic LSH bucket: bit i set iff v[i+1] > 0."""
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(F.element_at(v, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each anchor row. anchors must be small
+    (broadcast); corpus stays distributed."""
+    a = anchors.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    pairs = emb.join(F.broadcast(a), F.col(id_col) != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("__qv"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the anchor's sign bucket.
+    Same output shape as brute_force_topk; recall depends on bucket
+    granularity (documented scale path)."""
+    bucketed = emb.withColumn("__bkt", sign_bucket(F.col(vec_col)))
+    a = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        sign_bucket(F.col(vec_col)).alias("__bkt"),
+    )
+    pairs = bucketed.join(F.broadcast(a), "__bkt").where(F.col(id_col) != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("__qv"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def embedding_near_dup_pairs(emb: DataFrame, topk: int = 10) -> DataFrame:
+    """Embedding-cosine near-dup candidates: within-sign-bucket pairs,
+    ranked by cosine. The dedup-by-embedding member of the dedup family."""
+    b = emb.withColumn("__bkt", sign_bucket(F.col("embedding")))
+    l = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "__bkt")
+    r = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "__bkt")
+    pairs = l.join(r, "__bkt").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
+        .limit(topk)
+    )

@@ -4,5 +4,7 @@ from data_pipeline_agent_spark.plans import (  # noqa: F401
     queries_cleaning,
     queries_dedup,
     queries_relational,
+    queries_similarity,
+    queries_text,
 )
 from data_pipeline_agent_spark.plans.registry import REGISTRY, QuerySpec  # noqa: F401

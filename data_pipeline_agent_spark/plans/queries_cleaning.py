@@ -320,8 +320,15 @@ def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df.crossJoin(F.broadcast(s))
         .select(
+            # try_divide: a constant column (mx==mn) yields NULL bins, the
+            # same as the oracle's NULL-on-zero-divide, not an ANSI error
             F.least(
-                F.floor((F.col("l_extendedprice") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 20),
+                F.floor(
+                    F.try_divide(
+                        F.col("l_extendedprice") - F.col("mn"), F.col("mx") - F.col("mn")
+                    )
+                    * 20
+                ),
                 F.lit(19),
             )
             .cast("long")

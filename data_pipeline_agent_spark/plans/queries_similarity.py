@@ -1,0 +1,94 @@
+"""Oracle-checked vector-similarity queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_pipeline_agent_spark.operators import similarity as S
+from data_pipeline_agent_spark.operators.similarity import SIGN_BITS
+from data_pipeline_agent_spark.plans.registry import register, table
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+def _sql_bucket(v: str) -> str:
+    terms = [f"CASE WHEN {v}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(SIGN_BITS)]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+        WITH a AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT a.query_id, e.vec_id AS neighbor_id,
+                 round({_sql_cos('a.qv', 'e.embedding')}, 6) AS cos_sim
+          FROM embeddings e, a WHERE e.vec_id != a.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+        FROM scored
+        QUALIFY rk <= 5
+    """,
+    description="exact cosine top-5 per anchor (anchors broadcast, corpus scanned once)",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, anchors, k=5)
+
+
+@register(
+    "sim_lsh_bucketed_topk",
+    oracle=f"""
+        WITH b AS (SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bkt
+                   FROM embeddings),
+        a AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM b WHERE vec_id < 10),
+        scored AS (
+          SELECT a.query_id, e.vec_id AS neighbor_id,
+                 round({_sql_cos('a.qv', 'e.embedding')}, 6) AS cos_sim
+          FROM b e JOIN a ON e.bkt = a.bkt AND e.vec_id != a.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+        FROM scored
+        QUALIFY rk <= 5
+    """,
+    description="sign-LSH bucketed approximate top-5 (partition-prunable scale path)",
+)
+def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 10)
+    return S.lsh_bucketed_topk(emb, anchors, k=5)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH b AS (SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bkt
+                   FROM embeddings)
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+               round({_sql_cos('l.embedding', 'r.embedding')}, 6) AS cos_sim
+        FROM b l JOIN b r ON l.bkt = r.bkt AND l.vec_id < r.vec_id
+        ORDER BY cos_sim DESC, id_a ASC, id_b ASC LIMIT 10
+    """,
+    description="embedding-cosine near-dup: within-bucket top-10 pairs",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_near_dup_pairs(table(spark, sf_dir, "embeddings"), topk=10)
