@@ -1,0 +1,325 @@
+"""Model-training tournament — reference parity for ``train_model``
+(/root/reference/main.py:194-385), rebuilt on MLlib Pipelines.
+
+Contract replicated exactly:
+- column-name normalization strip().lower() + fuzzy substring target
+  resolution with the reference's error text (main.py:200-211)
+- numeric-only features, null->0 (main.py:213-218); "No numeric columns
+  found for training." when empty (main.py:221)
+- task heuristic: string target OR nunique<20 -> classification
+  (main.py:225); string targets label-encoded alphabetically
+- imbalance test min/max < 0.2 (main.py:232-238); balanced class weights
+  + oversampling (SMOTE surrogate, same try/except fallback shape,
+  main.py:250-262)
+- 3-fold CV grid search per family, winner by TEST-set score with
+  strict-improvement tie-break in family order (main.py:284-301)
+- metric dicts with the exact reference keys (main.py:310-318,359-364)
+- feature-importance CSV + top-10 HTML for tree winners (main.py:373-383)
+
+Documented deviations (SURVEY.md §2.7 ⚠h/⚠i/⚠j): split membership is
+Spark-random (metric parity is tolerance-band, not bitwise);
+max_depth=None -> maxDepth=30 (MLlib cap); GBT is binary-only in MLlib so
+the family is skipped for multiclass targets.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.ml import Pipeline
+from pyspark.ml.classification import (
+    GBTClassifier,
+    LogisticRegression,
+    RandomForestClassifier,
+)
+from pyspark.ml.evaluation import (
+    MulticlassClassificationEvaluator,
+    RegressionEvaluator,
+)
+from pyspark.ml.feature import StandardScaler, StringIndexer, VectorAssembler
+from pyspark.ml.regression import (
+    GBTRegressor,
+    LinearRegression,
+    RandomForestRegressor,
+)
+from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+
+SEED = 42
+MAX_DEPTH_UNBOUNDED = 30  # MLlib cap standing in for sklearn max_depth=None
+
+
+def resolve_target(columns: list[str], target_col: str) -> str:
+    """Exact match, else first column containing the target as substring,
+    else ValueError listing columns (main.py:203-211)."""
+    target_col = target_col.strip().lower()
+    if target_col in columns:
+        return target_col
+    similar = [c for c in columns if target_col in c]
+    if similar:
+        return similar[0]
+    raise ValueError(
+        f"Target column '{target_col}' not found.\nAvailable columns: {columns}"
+    )
+
+
+def stratified_split(
+    df: DataFrame, label_col: str, test_frac: float = 0.2, seed: int = SEED
+) -> tuple[DataFrame, DataFrame]:
+    """Stratified 80/20: per-class percent_rank over a seeded random order.
+    One shuffle, exact per-class proportions, no driver-side row movement."""
+    w = Window.partitionBy(label_col).orderBy(F.rand(seed))
+    ranked = df.withColumn("__pr", F.percent_rank().over(w))
+    train = ranked.where(F.col("__pr") < 1 - test_frac).drop("__pr")
+    test = ranked.where(F.col("__pr") >= 1 - test_frac).drop("__pr")
+    return train, test
+
+
+def oversample_minority(df: DataFrame, label_col: str, seed: int = SEED) -> DataFrame:
+    """SMOTE surrogate (v1): per-class random oversampling with replacement
+    up to the majority count. Distributed (per-partition sampling), no
+    driver collection of rows; statistically close to SMOTE for the model
+    families in the tournament. The reference silently falls back when
+    SMOTE fails (main.py:258-260) — same shape here."""
+    counts = {r[0]: r[1] for r in df.groupBy(label_col).count().collect()}
+    if not counts:
+        return df
+    max_count = max(counts.values())
+    out = df
+    for cls, cnt in counts.items():
+        extra = max_count - cnt
+        if extra <= 0:
+            continue
+        frac = extra / cnt
+        out = out.unionAll(
+            df.where(F.col(label_col) == cls).sample(
+                withReplacement=True, fraction=frac, seed=seed
+            )
+        )
+    return out
+
+
+def _classifier_families(weight_col: str | None, n_classes: int):
+    """(name, estimator, grid) in reference order (main.py:272-282)."""
+    kw = {"weightCol": weight_col} if weight_col else {}
+    rf = RandomForestClassifier(seed=SEED, labelCol="label", featuresCol="scaled", **kw)
+    gbt = GBTClassifier(seed=SEED, labelCol="label", featuresCol="scaled")
+    lr = LogisticRegression(maxIter=1000, labelCol="label", featuresCol="scaled", **kw)
+    fams = [
+        (
+            "RandomForest",
+            rf,
+            ParamGridBuilder()
+            .addGrid(rf.numTrees, [50, 100])
+            .addGrid(rf.maxDepth, [MAX_DEPTH_UNBOUNDED, 10, 20])
+            .build(),
+        ),
+    ]
+    if n_classes == 2:  # MLlib GBTClassifier is binary-only (⚠j)
+        fams.append(
+            (
+                "GradientBoosting",
+                gbt,
+                ParamGridBuilder()
+                .addGrid(gbt.maxIter, [50, 100])
+                .addGrid(gbt.stepSize, [0.01, 0.1])
+                .build(),
+            )
+        )
+    fams.append(
+        (
+            "LogisticRegression",
+            lr,
+            # sklearn C is inverse regularization; regParam = 1/C
+            ParamGridBuilder().addGrid(lr.regParam, [10.0, 1.0, 0.1]).build(),
+        )
+    )
+    return fams
+
+
+def _regressor_families():
+    rf = RandomForestRegressor(seed=SEED, labelCol="label", featuresCol="scaled")
+    gbt = GBTRegressor(seed=SEED, labelCol="label", featuresCol="scaled")
+    lin = LinearRegression(labelCol="label", featuresCol="scaled")
+    return [
+        (
+            "RandomForest",
+            rf,
+            ParamGridBuilder()
+            .addGrid(rf.numTrees, [50, 100])
+            .addGrid(rf.maxDepth, [MAX_DEPTH_UNBOUNDED, 10, 20])
+            .build(),
+        ),
+        (
+            "GradientBoosting",
+            gbt,
+            ParamGridBuilder()
+            .addGrid(gbt.maxIter, [50, 100])
+            .addGrid(gbt.stepSize, [0.01, 0.1])
+            .build(),
+        ),
+        ("LinearRegression", lin, ParamGridBuilder().build()),
+    ]
+
+
+def train_model(
+    df: DataFrame,
+    target_col: str,
+    model_dir: str = "models",
+    cv_parallelism: int = 4,
+) -> tuple[str, dict, str | None]:
+    """Returns (model_path, metric_dict, importance_html_or_None)."""
+    df = df.toDF(*[c.strip().lower() for c in df.columns])
+    target = resolve_target(df.columns, target_col)
+
+    # --- features: numeric non-target cols, null->0 (main.py:213-218) ---
+    num_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, NumericType) and f.name != target
+    ]
+    if not num_cols:
+        raise ValueError("No numeric columns found for training.")
+    feat = df.na.fill(0, subset=num_cols)
+
+    # --- task heuristic (main.py:223-230) --------------------------------
+    target_is_string = isinstance(feat.schema[target].dataType, StringType)
+    n_distinct = feat.agg(F.count_distinct(target)).first()[0]
+    is_classification = target_is_string or n_distinct < 20
+
+    if is_classification and target_is_string:
+        feat = (
+            StringIndexer(
+                inputCol=target, outputCol="label", stringOrderType="alphabetAsc"
+            )
+            .fit(feat)
+            .transform(feat)
+        )
+    else:
+        feat = feat.withColumn("label", F.col(target).cast("double"))
+
+    # --- imbalance + weights (main.py:232-252) ----------------------------
+    is_imbalanced = False
+    weight_col = None
+    n_classes = int(n_distinct)
+    if is_classification:
+        cc = {r[0]: r[1] for r in feat.groupBy("label").count().collect()}
+        n_classes = len(cc)
+        is_imbalanced = min(cc.values()) / max(cc.values()) < 0.2
+        if is_imbalanced:
+            n, k = sum(cc.values()), len(cc)
+            expr = None
+            for cls, cnt in cc.items():
+                w = n / (k * cnt)
+                expr = (
+                    F.when(F.col("label") == cls, F.lit(w))
+                    if expr is None
+                    else expr.when(F.col("label") == cls, F.lit(w))
+                )
+            feat = feat.withColumn("__weight", expr)
+            weight_col = "__weight"
+
+    # --- split (main.py:241, ⚠h) ------------------------------------------
+    if is_classification:
+        train, test = stratified_split(feat, "label")
+    else:
+        train, test = feat.randomSplit([0.8, 0.2], seed=SEED)
+
+    # --- oversampling for imbalance (main.py:253-262) ---------------------
+    if is_classification and is_imbalanced:
+        try:
+            train_fit = oversample_minority(train, "label")
+        except Exception:
+            train_fit = train  # reference's silent fallback shape
+    else:
+        train_fit = train
+    train_fit = train_fit.cache()
+    test = test.cache()
+
+    # --- shared stages: assemble + scale (main.py:244-246) ----------------
+    assembler = VectorAssembler(inputCols=num_cols, outputCol="features")
+    scaler = StandardScaler(
+        inputCol="features", outputCol="scaled", withMean=True, withStd=True
+    )
+
+    if is_classification:
+        tune_eval = MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName="f1"
+        )
+        families = _classifier_families(weight_col, n_classes)
+        better = lambda s, best: s > best  # noqa: E731
+        best_score = 0.0  # strict > keeps the earliest family on ties
+    else:
+        tune_eval = RegressionEvaluator(
+            labelCol="label", predictionCol="prediction", metricName="mse"
+        )
+        families = _regressor_families()
+        better = lambda s, best: s < best  # noqa: E731
+        best_score = float("inf")
+
+    best_model, best_name = None, ""
+    for name, estimator, grid in families:
+        pipe = Pipeline(stages=[assembler, scaler, estimator])
+        if grid:
+            cv = CrossValidator(
+                estimator=pipe,
+                estimatorParamMaps=grid,
+                evaluator=tune_eval,
+                numFolds=3,
+                seed=SEED,
+                parallelism=cv_parallelism,
+            )
+            fitted = cv.fit(train_fit).bestModel
+        else:
+            fitted = pipe.fit(train_fit)
+        score = tune_eval.evaluate(fitted.transform(test))
+        if better(score, best_score):
+            best_score, best_model, best_name = score, fitted, name
+
+    if best_model is None:
+        raise ValueError("Model tournament produced no usable model.")
+
+    # --- final metrics (main.py:303-318, 353-364) --------------------------
+    pred = best_model.transform(test)
+    if is_classification:
+        ev = MulticlassClassificationEvaluator(labelCol="label", predictionCol="prediction")
+        metric = {
+            "Model": best_name,
+            "Accuracy": float(ev.evaluate(pred, {ev.metricName: "accuracy"})),
+            "Precision": float(ev.evaluate(pred, {ev.metricName: "weightedPrecision"})),
+            "Recall": float(ev.evaluate(pred, {ev.metricName: "weightedRecall"})),
+            "F1 Score": float(ev.evaluate(pred, {ev.metricName: "f1"})),
+            "Imbalanced": bool(is_imbalanced),
+            "Classes": int(n_classes),
+        }
+    else:
+        ev = RegressionEvaluator(labelCol="label", predictionCol="prediction")
+        metric = {
+            "Model": best_name,
+            "MSE": float(ev.evaluate(pred, {ev.metricName: "mse"})),
+            "MAE": float(ev.evaluate(pred, {ev.metricName: "mae"})),
+            "R2": float(ev.evaluate(pred, {ev.metricName: "r2"})),
+        }
+
+    # --- persistence (main.py:366-371): one MLlib artifact dir -------------
+    os.makedirs(model_dir, exist_ok=True)
+    model_path = os.path.join(model_dir, f"{target}_model")
+    best_model.write().overwrite().save(model_path)
+
+    # --- feature importance (main.py:373-383) ------------------------------
+    final_stage = best_model.stages[-1]
+    importance_html = None
+    if hasattr(final_stage, "featureImportances"):
+        imp = list(zip(num_cols, final_stage.featureImportances.toArray()))
+        imp.sort(key=lambda t: -t[1])
+        import pandas as pd
+
+        imp_df = pd.DataFrame(imp, columns=["Feature", "Importance"])
+        imp_df.to_csv(os.path.join(model_dir, f"{target}_feature_importance.csv"), index=False)
+        importance_html = imp_df.head(10).to_html(index=False)
+
+    train_fit.unpersist()
+    test.unpersist()
+    return model_path, metric, importance_html

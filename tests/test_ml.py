@@ -1,0 +1,103 @@
+"""train_model tournament tests on FIXTURES.md-style frames. Metric parity
+with the reference is tolerance-band (split membership differs, SURVEY
+§2.7⚠h); contracts (metric keys, error text, importance artifacts) are
+exact."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_agent_spark.ml.train import (
+    oversample_minority,
+    resolve_target,
+    stratified_split,
+    train_model,
+)
+
+
+@pytest.fixture(scope="module")
+def clf_df(spark):
+    # F2-style: separable 2-class problem, 85/15 imbalance-ish
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(400):
+        cls = 1 if rng.random() < 0.25 else 0
+        mu = 2.0 if cls else -2.0
+        rows.append(
+            (float(rng.gauss(mu, 1)), float(rng.gauss(mu, 1)), float(rng.gauss(0, 1)), cls)
+        )
+    return spark.createDataFrame(rows, "f1 double, f2 double, f3 double, churn int")
+
+
+@pytest.fixture(scope="module")
+def reg_df(spark):
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(400):
+        sqft = rng.uniform(500, 4000)
+        price = 50_000 + 120 * sqft + rng.gauss(0, 20_000)
+        rows.append((float(sqft), float(rng.uniform(1, 6)), float(price)))
+    return spark.createDataFrame(rows, "sqft double, bedrooms double, price double")
+
+
+def test_resolve_target_exact_fuzzy_error():
+    cols = ["age", "income", "label_col"]
+    assert resolve_target(cols, "AGE ") == "age"
+    assert resolve_target(cols, "label") == "label_col"  # substring fallback
+    with pytest.raises(ValueError, match="not found"):
+        resolve_target(cols, "nope")
+
+
+def test_stratified_split_proportions(spark, clf_df):
+    labeled = clf_df.withColumn("label", F.col("churn").cast("double"))
+    train, test = stratified_split(labeled, "label")
+    tr = {r[0]: r[1] for r in train.groupBy("label").count().collect()}
+    te = {r[0]: r[1] for r in test.groupBy("label").count().collect()}
+    for cls in tr:
+        frac = te[cls] / (tr[cls] + te[cls])
+        assert 0.15 < frac < 0.25, f"class {cls} test fraction {frac}"
+
+
+def test_oversample_balances(spark, clf_df):
+    labeled = clf_df.withColumn("label", F.col("churn").cast("double"))
+    out = oversample_minority(labeled, "label")
+    cc = {r[0]: r[1] for r in out.groupBy("label").count().collect()}
+    assert min(cc.values()) / max(cc.values()) > 0.9
+
+
+def test_train_classification_contract(spark, clf_df, tmp_path):
+    path, metric, imp = train_model(clf_df, "churn", model_dir=str(tmp_path))
+    assert set(metric) == {
+        "Model", "Accuracy", "Precision", "Recall", "F1 Score", "Imbalanced", "Classes",
+    }
+    assert metric["Classes"] == 2
+    assert metric["F1 Score"] > 0.85  # separable problem must be learnable
+    assert os.path.isdir(path)  # MLlib artifact dir
+    from pyspark.ml import PipelineModel
+
+    loaded = PipelineModel.load(path)  # round-trips
+    assert loaded.transform(clf_df.na.fill(0)).count() == clf_df.count()
+    if metric["Model"] in ("RandomForest", "GradientBoosting"):
+        assert imp is not None and "<table" in imp
+        assert os.path.exists(os.path.join(str(tmp_path), "churn_feature_importance.csv"))
+
+
+def test_train_regression_contract(spark, reg_df, tmp_path):
+    path, metric, imp = train_model(reg_df, "price", model_dir=str(tmp_path))
+    assert set(metric) == {"Model", "MSE", "MAE", "R2"}
+    assert metric["R2"] > 0.9  # linear-ish problem
+    assert not math.isnan(metric["MSE"])
+
+
+def test_no_numeric_features_error(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "name string, label string"
+    )
+    with pytest.raises(ValueError, match="No numeric columns"):
+        train_model(df, "label")
