@@ -1,0 +1,149 @@
+"""Streaming operators: prove stream results == the equivalent batch
+computation on the same events data (unified-API equivalence), plus the
+custom stateful operator and multimodal stubs."""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_agent_spark.plans.registry import events_table
+from data_pipeline_agent_spark.streaming.stateful import user_lifetime_stats
+from data_pipeline_agent_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, tmp_path_factory):
+    """Events as micro-batchable parquet (micros timestamps) + the batch DF."""
+    df = events_table(spark, SF).select("event_id", "ts", "user_id", "event_type", "value")
+    outdir = str(tmp_path_factory.mktemp("events_stream"))
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    df.where("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(outdir)
+    df.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(outdir)
+    return df, outdir
+
+
+def _run_stream(spark, stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _sig(df, cols):
+    return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_equals_batch(spark, events_batch):
+    batch_df, outdir = events_batch
+    schema = batch_df.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(outdir)
+    )
+    got = _run_stream(spark, tumbling_counts(stream), "t_tumbling", "append")
+    # append mode only emits windows the watermark has closed: the window
+    # holding max(ts) never finalizes (nothing later advances the
+    # watermark), so compare the finalized prefix only
+    cutoff = batch_df.agg(F.max("ts")).first()[0]
+    want = tumbling_counts(batch_df).where(
+        F.col("window_end") <= F.lit(cutoff) - F.expr("INTERVAL 10 MINUTES")
+    )
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    got_closed = got.where(
+        F.col("window_end") <= F.lit(cutoff) - F.expr("INTERVAL 10 MINUTES")
+    )
+    assert _sig(got_closed, cols) == _sig(want, cols)
+    assert got.count() > 0
+
+
+def test_sliding_stream_equals_batch(spark, events_batch):
+    batch_df, outdir = events_batch
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(outdir)
+    )
+    got = _run_stream(spark, sliding_counts(stream), "t_sliding", "append")
+    cutoff = batch_df.agg(F.max("ts")).first()[0]
+    closed = F.col("window_end") <= F.lit(cutoff) - F.expr("INTERVAL 10 MINUTES")
+    want = sliding_counts(batch_df).where(closed)
+    cols = ["window_start", "window_end", "n_events"]
+    assert _sig(got.where(closed), cols) == _sig(want, cols)
+
+
+def test_session_stream_counts(spark, events_batch):
+    batch_df, outdir = events_batch
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", "2")  # one batch: sessions finalize once
+        .parquet(outdir)
+    )
+    got = _run_stream(spark, session_counts(stream), "t_session", "append")
+    # append mode emits only CLOSED sessions: session_end (last event +
+    # 30min gap) <= final watermark (max ts - 10min delay). Compare event
+    # totals against the batch window-function sessionization restricted
+    # the same way.
+    from data_pipeline_agent_spark.plans.registry import REGISTRY
+
+    cutoff = batch_df.agg(F.max("ts")).first()[0]
+    batch_sessions = REGISTRY["events_sessionize"].spark(spark, SF)
+    want = batch_sessions.where(
+        F.col("session_end") + F.expr("INTERVAL 30 MINUTES")
+        <= F.lit(cutoff) - F.expr("INTERVAL 10 MINUTES")
+    )
+    assert got.agg(F.sum("n_events")).first()[0] == want.agg(F.sum("n_events")).first()[0]
+    assert got.where("n_events <= 0").count() == 0
+
+
+def test_stateful_user_lifetime(spark, events_batch):
+    batch_df, outdir = events_batch
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(outdir)
+    ).select("user_id", "ts", "value")
+    got = _run_stream(spark, user_lifetime_stats(stream), "t_state", "update")
+    # memory sink in update mode appends each update; take the max per user
+    final = got.groupBy("user_id").agg(F.max("lifetime_events").alias("n"))
+    want = batch_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert _sig(final, ["user_id", "n"]) == _sig(want, ["user_id", "n"])
+
+
+def test_multimodal_image_features(spark):
+    from data_pipeline_agent_spark.operators.multimodal import (
+        frame_sample,
+        image_features,
+    )
+
+    rows = [(i, "image", bytes([i]) * (64 * (i + 1)), "png", 8, 8) for i in range(10)]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, content binary, meta_format string, meta_width long, meta_height long",
+    )
+    feats = image_features(df, fake=True)
+    out = feats.collect()
+    assert len(out) == 10
+    assert all(len(r.feature) == 16 for r in out)
+    # determinism: same content -> same feature
+    again = {r.media_id: r.feature for r in image_features(df, fake=True).collect()}
+    assert all(again[r.media_id] == r.feature for r in out)
+    # real path must cleanly signal the missing decoder
+    with pytest.raises(Exception, match="PIL|NotImplemented"):
+        image_features(df, fake=False).collect()
+    frames = frame_sample(df, every_n=5, fake=True)
+    assert frames.count() > 10  # multiple frames per video
