@@ -58,13 +58,19 @@ def get_spark(app_name: str = "data_pipeline_agent_spark", shuffle_partitions: i
     return spark
 
 
-def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, "SparkSession"]:
-    """Load every test table as a DataFrame dict and register temp views."""
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
+    """Load every test table as a DataFrame dict and register temp views.
+
+    events.parquet needs nanosecond-timestamp handling — delegated to
+    plans.registry.events_table so there is exactly one implementation.
+    """
+    from data_pipeline_agent_spark.plans.registry import events_table
+
     out = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = events_table(spark, sf_dir) if name == "events" else spark.read.parquet(path)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

@@ -1,0 +1,83 @@
+"""End-to-end pipeline contract tests (FIXTURES.md F1/F4 shapes +
+reference report/error contracts)."""
+
+import pytest
+
+from data_pipeline_agent_spark.pipeline.run import run_pipeline
+from data_pipeline_agent_spark.pipeline.viz import generate_visualizations
+
+
+@pytest.fixture(scope="module")
+def f1_csv(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("f1") / "mixed.csv"
+    import random
+
+    rng = random.Random(42)
+    with open(p, "w") as f:
+        f.write("id,age,income,segment,signup_date,ghost,churn\n")
+        for i in range(300):
+            age = "" if i % 12 == 0 else f"{rng.gauss(45, 15):.1f}"
+            seg = "" if i % 25 == 0 else ["gold", "silver", "bronze"][i % 3]
+            churn = "yes" if rng.random() < 0.3 else "no"
+            f.write(
+                f"{i},{age},{rng.lognormvariate(10, 1):.2f},{seg},"
+                f"2023-{1 + i % 12:02d}-{1 + i % 28:02d} 10:30:00,,{churn}\n"
+            )
+    return str(p)
+
+
+def test_run_pipeline_report_contract(spark, f1_csv, tmp_path):
+    html, model_path = run_pipeline(spark, f1_csv, "churn", model_dir=str(tmp_path))
+    assert model_path is not None, html
+    for section in (
+        "Data Pipeline Report",
+        "Data Cleaning",
+        "Data Preview",
+        "Model Performance",
+        "AI Insights",
+        "Visualizations",
+        "Dataset Overview",
+    ):
+        assert section in html
+    assert "LLM call failed" in html  # no GROQ key here: graceful degradation
+    assert "data:image/svg+xml;base64," in html
+
+
+def test_run_pipeline_error_contract(spark, f1_csv):
+    html, model_path = run_pipeline(spark, f1_csv, "does_not_exist")
+    assert model_path is None
+    assert "Error in Pipeline" in html
+    assert "not found" in html
+
+
+def test_run_pipeline_none_input(spark):
+    html, model_path = run_pipeline(spark, None, "x")
+    assert model_path is None and "Please upload a file" in html
+
+
+def test_visualizations_inventory(spark, tables):
+    li = tables["lineitem"]
+    figs = generate_visualizations(li, "l_quantity")
+    titles = [t for t, _ in figs]
+    assert titles[0] == "Dataset Overview"
+    assert any(t.startswith("Target Distribution") for t in titles)
+    assert "Feature Correlation" in titles
+    assert sum(t.startswith("Feature ") for t in titles) >= 5
+    import base64
+
+    for _, payload in figs:
+        svg = base64.b64decode(payload).decode()
+        assert svg.startswith("<svg")
+
+
+def test_api_gated_without_fastapi():
+    from data_pipeline_agent_spark.serve.api import create_app
+
+    try:
+        import fastapi  # noqa: F401
+
+        app = create_app()
+        assert app is not None
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="fastapi"):
+            create_app()
