@@ -52,24 +52,37 @@ def h32(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
 
-def minhash_expr(grams: Column, j: int) -> Column:
-    """j-th minhash: min over shingles of (a_j*h32(g)+b_j) mod P."""
+def h32_array(grams: Column) -> Column:
+    """Hash every shingle ONCE: the md5 is by far the dominant cost, so
+    minhash/simhash work over this precomputed array instead of re-hashing
+    per minhash function (12x) or per simhash bit (32x)."""
+    return F.transform(grams, h32)
+
+
+def minhash_from_hashes(hashes: Column, j: int) -> Column:
+    """j-th minhash: min over precomputed shingle hashes of (a_j*h+b_j) mod P."""
     return F.array_min(
         F.transform(
-            grams, lambda g: (F.lit(MINHASH_A[j]) * h32(g) + F.lit(MINHASH_B[j])) % F.lit(MINHASH_PRIME)
+            hashes,
+            lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(MINHASH_PRIME),
         )
     )
 
 
-def simhash32(grams: Column) -> Column:
-    """32-bit SimHash over distinct shingles: bit k of the fingerprint is 1
-    iff more shingle-hashes have bit k set than unset."""
+def minhash_expr(grams: Column, j: int) -> Column:
+    """j-th minhash from raw shingles (convenience; prefer the _from_hashes
+    form when computing the full signature)."""
+    return minhash_from_hashes(h32_array(grams), j)
+
+
+def simhash32_from_hashes(hashes: Column) -> Column:
+    """32-bit SimHash over precomputed shingle hashes: bit k is 1 iff more
+    hashes have bit k set than unset."""
     votes = [
         F.aggregate(
-            grams,
+            hashes,
             F.lit(0).cast("long"),
-            lambda acc, g: acc
-            + (F.shiftright(h32(g), k).bitwiseAND(F.lit(1)) * 2 - 1),
+            lambda acc, h: acc + (F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1),
         )
         for k in range(SIMHASH_BITS)
     ]
@@ -77,3 +90,7 @@ def simhash32(grams: Column) -> Column:
     for k, v in enumerate(votes):
         out = out + F.when(v > 0, F.lit(1 << k)).otherwise(F.lit(0)).cast("long")
     return out
+
+
+def simhash32(grams: Column) -> Column:
+    return simhash32_from_hashes(h32_array(grams))

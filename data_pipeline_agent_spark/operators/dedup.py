@@ -25,9 +25,9 @@ from data_pipeline_agent_spark.functions.text_hash import (
     LSH_BANDS,
     LSH_ROWS,
     MINHASH_K,
-    h32,
-    minhash_expr,
-    simhash32,
+    h32_array,
+    minhash_from_hashes,
+    simhash32_from_hashes,
     tokens,
     word_ngrams,
 )
@@ -110,9 +110,13 @@ def ngram_jaccard_topk(df: DataFrame, k: int = 20) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame) -> DataFrame:
-    """(id, mh_0..mh_{K-1}) deterministic MinHash signatures."""
-    sh = shingles(df)
-    cols = [minhash_expr(F.col("grams"), j).alias(f"mh_{j}") for j in range(MINHASH_K)]
+    """(id, mh_0..mh_{K-1}) deterministic MinHash signatures. Shingles are
+    md5-hashed ONCE into an array; the K minhash functions are cheap
+    affine maps over it."""
+    sh = shingles(df).withColumn("hashes", h32_array(F.col("grams")))
+    cols = [
+        minhash_from_hashes(F.col("hashes"), j).alias(f"mh_{j}") for j in range(MINHASH_K)
+    ]
     return sh.select("id", *cols)
 
 
@@ -146,9 +150,10 @@ def minhash_near_dup_pairs(df: DataFrame, threshold: float = 0.8) -> DataFrame:
 
 
 def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash) 32-bit fingerprints over distinct shingles."""
-    sh = shingles(df, text_col, id_col)
-    return sh.select("id", simhash32(F.col("grams")).alias("simhash"))
+    """(id, simhash) 32-bit fingerprints over distinct shingles (md5 once,
+    32 bit-votes over the precomputed hash array)."""
+    sh = shingles(df, text_col, id_col).withColumn("hashes", h32_array(F.col("grams")))
+    return sh.select("id", simhash32_from_hashes(F.col("hashes")).alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
