@@ -25,6 +25,7 @@ from data_pipeline_agent_spark.functions.text_hash import (
     LSH_BANDS,
     LSH_ROWS,
     MINHASH_K,
+    NGRAM_N,
     h32_array,
     minhash_from_hashes,
     simhash32_from_hashes,
@@ -46,11 +47,28 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, grams array, n_grams) — distinct word 3-gram shingles."""
-    g = word_ngrams(tokens(F.col(text_col)))
-    return df.select(
-        F.col(id_col).alias("id"), g.alias("grams")
-    ).withColumn("sz", F.size("grams")).where(F.col("sz") > 0)
+    """(id, grams array, n_grams) — distinct word 3-gram shingles.
+
+    The token array is STAGED as its own projection attribute before the
+    n-gram transform references it ~3x per gram position: passing the raw
+    split() Column into the helper embeds a COPY of the split subtree per
+    reference, and Spark's subexpression elimination does not reach inside
+    higher-order-function lambdas — the regex split would re-run
+    O(n_grams) times per row (measured 14x slower at sf0.1).
+
+    The non-empty filter is expressed as ``size(toks) >= n`` (equivalent:
+    >= n tokens <=> >= 1 shingle) BEFORE the n-gram projection — a
+    ``size(grams) > 0`` filter after it would be pushed below the
+    projection with the whole n-gram tree inlined into the predicate and
+    re-evaluated per row (measured 50x slower than the filter on toks)."""
+    staged = (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        .where(F.size("toks") >= NGRAM_N)
+    )
+    return staged.select(
+        "id",
+        word_ngrams(F.col("toks")).alias("grams"),
+    ).withColumn("sz", F.size("grams"))
 
 
 def _pair_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -83,7 +101,7 @@ def ngram_jaccard_topk(df: DataFrame, k: int = 20) -> DataFrame:
     """All-pairs n-gram Jaccard, top-k most similar pairs. Small-data
     baseline / oracle twin for the LSH path; quadratic in shingle
     collisions, so keep it off the 100 TB path."""
-    sh = shingles(df)
+    sh = shingles(df).persist()
     ex = sh.select("id", F.explode("grams").alias("g"))
     ea = ex.select(F.col("id").alias("id_a"), "g")
     eb = ex.select(F.col("id").alias("id_b"), "g")
@@ -109,15 +127,18 @@ def ngram_jaccard_topk(df: DataFrame, k: int = 20) -> DataFrame:
     return jac.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b")).limit(k)
 
 
-def minhash_signatures(df: DataFrame) -> DataFrame:
+def minhash_signatures(df: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """(id, mh_0..mh_{K-1}) deterministic MinHash signatures. Shingles are
     md5-hashed ONCE into an array; the K minhash functions are cheap
-    affine maps over it."""
-    sh = shingles(df).withColumn("hashes", h32_array(F.col("grams")))
+    affine maps over it. Pass a (possibly persisted) ``shingles(df)``
+    result as ``sh`` to share the tokenization with other consumers."""
+    if sh is None:
+        sh = shingles(df)
+    hashed = sh.select("id", h32_array(F.col("grams")).alias("hashes"))
     cols = [
         minhash_from_hashes(F.col("hashes"), j).alias(f"mh_{j}") for j in range(MINHASH_K)
     ]
-    return sh.select("id", *cols)
+    return hashed.select("id", *cols)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -132,6 +153,10 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     bt = bands[0]
     for x in bands[1:]:
         bt = bt.unionAll(x)
+    # persist: the self-join below would otherwise recompute the signature
+    # lineage once per band per side (2 x LSH_BANDS times). (id, band, key)
+    # is tiny relative to the corpus — safe to cache even at scale.
+    bt = bt.persist()
     a = bt.select(F.col("id").alias("id_a"), "band", "key")
     b2 = bt.select(F.col("id").alias("id_b"), "band", "key")
     return (
@@ -143,9 +168,12 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 
 
 def minhash_near_dup_pairs(df: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """The scale path: LSH candidates -> exact Jaccard verify -> threshold."""
-    sh = shingles(df)
-    cands = lsh_candidate_pairs(minhash_signatures(df))
+    """The scale path: LSH candidates -> exact Jaccard verify -> threshold.
+    Shingles are computed once, persisted, and shared by the signature
+    build and the Jaccard verification (which references them on both
+    sides of the candidate join)."""
+    sh = shingles(df).persist()
+    cands = lsh_candidate_pairs(minhash_signatures(df, sh=sh))
     return _pair_jaccard(sh, cands).where(F.col("jaccard") >= threshold)
 
 
@@ -159,7 +187,9 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Full-recall hamming<=3 pairs via 4x8-bit block index (pigeonhole:
     <=3 differing bits leave at least one of 4 blocks identical)."""
-    st = simhash_table(df)
+    # persist: (id, simhash) is 12 bytes/doc; the 4-block union self-join
+    # would otherwise recompute the fingerprint lineage 8 times.
+    st = simhash_table(df).persist()
     blocks = []
     for b in range(4):
         blocks.append(

@@ -30,21 +30,31 @@ EN_STOPWORDS = [
 BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
-def _marker_hits(toks: Column, markers: list[str]) -> Column:
+def _marker_hits(dtoks: Column, markers: list[str]) -> Column:
+    """Marker hits over an already-distinct token array."""
     arr = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.array_intersect(F.array_distinct(toks), arr))
+    return F.size(F.array_intersect(dtoks, arr))
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic rule-based language ID: CJK charset -> zh, else the
     marker-word table in order, else 'unk'. (On natural text the marker
-    lists dominate; on this synthetic corpus it demonstrates the plumbing.)"""
-    toks = tokens(F.lower(F.col(text_col)))
-    pred = F.when(F.col(text_col).rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
+    lists dominate; on this synthetic corpus it demonstrates the plumbing.)
+
+    The distinct-token array is staged as its own projection attribute:
+    the marker predicate references it once per language, and each
+    reference would otherwise embed its own copy of the tokenize+distinct
+    subtree (no subexpression elimination across those copies)."""
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("__dtoks"),
+    )
+    pred = F.when(F.col("__t").rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
     for lang, markers in LANG_MARKERS:
-        pred = pred.when(_marker_hits(toks, markers) >= 2, F.lit(lang))
+        pred = pred.when(_marker_hits(F.col("__dtoks"), markers) >= 2, F.lit(lang))
     pred = pred.otherwise(F.lit("unk"))
-    return df.select(F.col(id_col), pred.alias("pred_lang"))
+    return staged.select(F.col(id_col), pred.alias("pred_lang"))
 
 
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -52,8 +62,9 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     n_chars, n_tokens, mean token length, punctuation ratio, stopword
     ratio; score = stopword_ratio-centered minus punctuation penalty,
     scaled by a length prior. All ratios rounded to 6."""
+    staged = df.select("*", tokens(F.col(text_col)).alias("__toks"))
     t = F.col(text_col)
-    toks = tokens(t)
+    toks = F.col("__toks")  # staged: tokenization runs once per row
     n_chars = F.length(t)
     n_tokens = F.size(toks)
     punct = F.length(F.regexp_replace(t, "[^.!?,;:]", ""))
@@ -64,7 +75,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     mean_tok_len = (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1))
     length_prior = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
     score = length_prior * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4)) - punct_ratio)
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
@@ -94,8 +105,12 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token bag (hex string + 32-bit int form). Robust to token reordering —
     catches shuffled near-copies that exact dedup misses."""
-    bag = F.array_join(F.array_sort(F.array_distinct(tokens(F.col(text_col)))), " ")
-    return df.select(
+    staged = df.select(
+        F.col(id_col),
+        F.array_join(F.array_sort(F.array_distinct(tokens(F.col(text_col)))), " ").alias("__bag"),
+    )  # staged: the sort+distinct+join runs once, not once per hash below
+    bag = F.col("__bag")
+    return staged.select(
         F.col(id_col),
         F.md5(bag).alias("bag_md5"),
         h32(bag).alias("bag_h32"),
