@@ -38,6 +38,12 @@ HEADLINE = [
     "datetime_expand_orders",
     "histogram_extendedprice",
     "json_extract_props",
+    "asof_last_order_before_event",
+    "range_join_price_bands",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "cube_order_totals",
+    "pivot_status_by_priority",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Join operators Spark's API lacks as single calls — as-of join and
+range join — plus the skew-safe aggregation pattern, each expressed as a
+composition of built-in DataFrame ops (no UDFs, no driver loops).
+
+The reference has no joins at all (SURVEY.md §2.6); these are north-star
+extension operators for the event/fact tables.
+
+Scale notes
+-----------
+- ``asof_join``: ONE shuffle on the join key + one window sort per
+  partition — the canonical distributed as-of. Never a per-row range
+  probe, never a cross product. Skewed keys hit the same limits as any
+  window (salt the key upstream if one entity dominates).
+- ``range_join``: broadcast nested-loop against a SMALL band dimension
+  (bands are broadcast; the fact side streams). For non-overlapping
+  sorted bands prefer ``width_bucket``-style O(1) bucketing; this
+  operator exists for the general (possibly overlapping) case.
+- ``skew_safe_distinct_count``: two-stage distinct (shuffle on the
+  composite key, then tiny per-group count) — the standard rewrite when
+  ``countDistinct`` on a skewed group key would funnel one group's whole
+  universe through one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward (inclusive) as-of join: for each left row, attach the
+    ``value_cols`` of the right row with the greatest ``right_ts`` <=
+    ``left_ts`` for the same key. Left rows with no prior right row get
+    nulls (LEFT ASOF semantics).
+
+    Implementation: tag both sides, union, and take ``last(value,
+    ignorenulls=True)`` over a (key, ts, side) window — right rows sort
+    before left rows at equal timestamps so "at-or-before" is inclusive.
+    If several right rows share (key, ts), ``tiebreak`` picks the one
+    with the greatest tiebreak value (required for determinism).
+    """
+    if tiebreak is not None:
+        wdedup = Window.partitionBy(right_key, right_ts).orderBy(F.desc(tiebreak))
+        right = (
+            right.withColumn("__rn", F.row_number().over(wdedup))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    rtypes = dict((f.name, f.dataType) for f in right.schema.fields)
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(rtypes[v]).alias(f"__v_{v}") for v in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(dict((f.name, f.dataType) for f in left.schema.fields)[c]).alias(c) for c in lcols],
+        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.asc("__t"), F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = u.select(
+        "__side",
+        *lcols,
+        *[F.last(f"__v_{v}", ignorenulls=True).over(w).alias(v) for v in value_cols],
+    )
+    return matched.where(F.col("__side") == 1).drop("__side")
+
+
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value: Column,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Join each fact row to every band with lo <= value < hi. The band
+    table is broadcast (it is a dimension by construction); the fact side
+    streams through a broadcast nested-loop join — no shuffle of the
+    fact table at any scale."""
+    return fact.join(
+        F.broadcast(bands),
+        (value >= F.col(lo_col)) & (value < F.col(hi_col)),
+        "inner",
+    )
+
+
+def skew_safe_distinct_count(
+    df: DataFrame, group_col: str, distinct_col: str
+) -> DataFrame:
+    """count(DISTINCT distinct_col) per group as two exchanges: distinct
+    on the composite key first (spreads a hot group across reducers),
+    then a cheap count per group."""
+    return (
+        df.select(group_col, distinct_col)
+        .distinct()
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    )

@@ -3,6 +3,7 @@
 from data_pipeline_agent_spark.plans import (  # noqa: F401
     queries_cleaning,
     queries_dedup,
+    queries_joins,
     queries_ml,
     queries_relational,
     queries_similarity,

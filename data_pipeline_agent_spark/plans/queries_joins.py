@@ -1,0 +1,248 @@
+"""Oracle-checked queries for the join-operator extensions: as-of join,
+range join, skew-safe distinct, plus cube/pivot/grouping-set surface and
+two more TPC-H-style scan/join shapes (Q4, Q6).
+
+The reference implements no joins (SURVEY.md §2.6); this is north-star
+extension surface. Every query here is a pure Catalyst plan — the as-of
+join is one shuffle + one window, the range join broadcasts the band
+dimension, and the pivots/cubes are single-shuffle hash aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_agent_spark.operators.joins import (
+    asof_join,
+    range_join,
+    skew_safe_distinct_count,
+)
+from data_pipeline_agent_spark.plans.registry import register, table
+
+# --- as-of join ---------------------------------------------------------------
+
+
+@register(
+    "asof_last_order_before_event",
+    oracle="""
+        WITH rd AS (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                    ORDER BY o_orderkey DESC) AS rn
+          FROM orders
+        )
+        SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+               o.o_orderkey AS last_orderkey,
+               round(o.o_totalprice, 6) AS last_totalprice
+        FROM events e
+        ASOF LEFT JOIN (SELECT * FROM rd WHERE rn = 1) o
+          ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+    """,
+    description="as-of join: latest order at-or-before each event (union+window)",
+)
+def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    joined = asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round("o_totalprice", 6).alias("last_totalprice"),
+    )
+
+
+# --- range join ---------------------------------------------------------------
+
+PRICE_BANDS = [
+    ("band_0_20k", 0.0, 20_000.0),
+    ("band_20_40k", 20_000.0, 40_000.0),
+    ("band_40_60k", 40_000.0, 60_000.0),
+    ("band_60_80k", 60_000.0, 80_000.0),
+    ("band_80_100k", 80_000.0, 100_000.0),
+    ("band_100k_up", 100_000.0, 1e18),
+]
+
+
+@register(
+    "range_join_price_bands",
+    oracle="""
+        SELECT b.band,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l.l_extendedprice), 2) AS total_price
+        FROM lineitem l
+        JOIN (VALUES
+            ('band_0_20k', 0.0, 20000.0),
+            ('band_20_40k', 20000.0, 40000.0),
+            ('band_40_60k', 40000.0, 60000.0),
+            ('band_60_80k', 60000.0, 80000.0),
+            ('band_80_100k', 80000.0, 100000.0),
+            ('band_100k_up', 100000.0, 1e18)
+        ) AS b(band, lo, hi)
+          ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+        GROUP BY b.band
+    """,
+    description="range join: broadcast band dimension, BETWEEN predicate",
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        range_join(li, bands, F.col("l_extendedprice"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# --- skew-safe distinct -------------------------------------------------------
+
+
+@register(
+    "events_distinct_users_by_type",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events GROUP BY event_type
+    """,
+    description="two-stage distinct count (skew-safe rewrite of countDistinct)",
+)
+def events_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skew_safe_distinct_count(
+        table(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+# --- cube / grouping-id -------------------------------------------------------
+
+
+@register(
+    "cube_order_totals",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               round(sum(o_totalprice), 6) AS total,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    description="cube over (status, priority) with grouping_id",
+)
+def cube_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "orders")
+    return df.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.round(F.sum("o_totalprice"), 6).alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+# --- pivot --------------------------------------------------------------------
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+PRIORITY_ALIASES = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS p1_urgent,
+               CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS p2_high,
+               CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3_medium,
+               CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4_not_specified,
+               CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS p5_low
+        FROM orders GROUP BY o_orderstatus
+    """,
+    description="pivot: priority counts per status (explicit value list)",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "orders")
+    # explicit value list: deterministic schema, no extra distinct-scan job
+    pivoted = (
+        df.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PRIORITIES)
+        .agg(F.count(F.lit(1)).cast("long"))
+    )
+    renamed = pivoted.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(a)
+          for v, a in zip(PRIORITIES, PRIORITY_ALIASES)],
+    )
+    return renamed
+
+
+# --- TPC-H Q4-style: EXISTS + grouped count ----------------------------------
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    description="TPC-H Q4-style: EXISTS semi-join with correlated date predicate",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+# --- TPC-H Q6-style: pure pushdown scan --------------------------------------
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    description="TPC-H Q6-style: all predicates pushed to the parquet scan",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias("revenue"))
+    )

@@ -1,0 +1,65 @@
+"""Unit tests for the join-operator extensions (operators/joins.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_pipeline_agent_spark.operators.joins import asof_join, range_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-05")),  # after both right rows for key 10
+            (2, 10, _ts("2024-01-02")),  # exactly ON a right ts (inclusive)
+            (3, 10, _ts("2024-01-01")),  # before the first right row -> null
+            (4, 99, _ts("2024-01-05")),  # key with no right rows -> null
+        ],
+        "eid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-02"), 100.0),
+            (10, _ts("2024-01-04"), 200.0),
+        ],
+        "k long, rts timestamp, v double",
+    )
+    out = {
+        r["eid"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "k", "ts", "rts", ["v"], tiebreak="v"
+        ).collect()
+    }
+    assert out[1] == 200.0  # latest at-or-before 01-05
+    assert out[2] == 100.0  # equality is inclusive
+    assert out[3] is None  # nothing at-or-before
+    assert out[4] is None  # key never seen on the right
+
+
+def test_asof_join_tiebreak_deterministic(spark):
+    left = spark.createDataFrame([(1, 5, _ts("2024-02-01"))], "eid long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(5, _ts("2024-01-01"), 1.0), (5, _ts("2024-01-01"), 9.0)],
+        "k long, rts timestamp, v double",
+    )
+    rows = asof_join(left, right, "k", "k", "ts", "rts", ["v"], tiebreak="v").collect()
+    assert rows[0]["v"] == 9.0  # greatest tiebreak wins among same-ts rows
+
+
+def test_range_join_broadcast_plan(spark):
+    fact = spark.range(100).select((F.col("id") * 10.0).alias("x"))
+    bands = spark.createDataFrame(
+        [("low", 0.0, 500.0), ("high", 500.0, 2000.0)], "band string, lo double, hi double"
+    )
+    out = range_join(fact, bands, F.col("x"))
+    counts = {r["band"]: r["n"] for r in out.groupBy("band").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"low": 50, "high": 50}
+    # the band side must be broadcast: no shuffle of the fact table
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
