@@ -1,0 +1,96 @@
+"""Source/sink tests: CSV inference round-trip, JSONL, format dispatch,
+partition pruning, and bucketed exchange-free joins."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_agent_spark.sources.readers import read_any
+from data_pipeline_agent_spark.sources.sinks import (
+    read_bucketed_table,
+    write_bucketed_table,
+    write_csv_single,
+    write_partitioned_parquet,
+)
+
+
+def test_csv_roundtrip_inference(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text(
+        "id,name,score,when,empty\n"
+        "1,alpha,1.5,2024-01-02 03:04:05,\n"
+        "2,beta,2.5,2024-02-03 04:05:06,\n"
+        "3,,3.5,2024-03-04 05:06:07,\n"
+    )
+    df = read_any(spark, str(p))
+    types = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    assert types["id"] in ("int", "bigint")
+    assert types["score"] == "double"
+    assert types["when"] == "timestamp"
+    assert df.count() == 3
+    assert df.where(F.col("name").isNull()).count() == 1
+
+
+def test_jsonl_read(spark, tmp_path):
+    p = tmp_path / "t.json"
+    rows = [{"a": i, "b": f"x{i}"} for i in range(5)]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    df = read_any(spark, str(p))
+    assert df.count() == 5
+    assert set(df.columns) == {"a", "b"}
+
+
+def test_dispatch_defaults_to_csv(spark, tmp_path):
+    p = tmp_path / "noext"
+    p.write_text("x,y\n1,2\n")
+    assert read_any(spark, str(p)).columns == ["x", "y"]
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(i, "AB"[i % 2], float(i)) for i in range(100)], "id long, part string, v double"
+    )
+    out = str(tmp_path / "part_parquet")
+    write_partitioned_parquet(src, out, ["part"])
+    # directory layout is the partition key
+    assert sorted(d for d in os.listdir(out) if d.startswith("part=")) == ["part=A", "part=B"]
+    back = spark.read.parquet(out).where(F.col("part") == "A")
+    assert back.count() == 50
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the non-matching directory is pruned at planning time
+    assert "part=A" not in plan or "part=B" not in plan
+
+
+def test_bucketed_join_no_exchange(spark):
+    # managed tables land in the session's default warehouse; DROP TABLE
+    # below removes the files (warehouse.dir is a static conf, unsettable here)
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(1000)], "k long, va string")
+    b = spark.createDataFrame([(i, f"b{i}") for i in range(1000)], "k long, vb string")
+    write_bucketed_table(a, "bt_a", "k", n_buckets=8, sort_col="k")
+    write_bucketed_table(b, "bt_b", "k", n_buckets=8, sort_col="k")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (tiny test tables would broadcast)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_bucketed_table(spark, "bt_a").join(read_bucketed_table(spark, "bt_b"), "k")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_csv_single_sink(spark, tmp_path):
+    df = spark.createDataFrame([("f1", 0.5), ("f2", 0.3)], "feature string, importance double")
+    out = str(tmp_path / "imp_csv")
+    write_csv_single(df, out)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(files) == 1  # single part file, reference S6 shape
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 2
