@@ -6,7 +6,9 @@ from data_pipeline_agent_spark.plans import (  # noqa: F401
     queries_joins,
     queries_ml,
     queries_relational,
+    queries_sketches,
     queries_similarity,
     queries_text,
+    queries_windows,
 )
 from data_pipeline_agent_spark.plans.registry import REGISTRY, QuerySpec  # noqa: F401

@@ -92,3 +92,74 @@ def sim_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(table(spark, sf_dir, "embeddings"), topk=10)
+
+
+# --- array analytics: centroids + norms (IVF building blocks) -----------------
+
+EMB_DIM = 64  # fixed by the testdata generator (all sf dirs)
+
+
+@register(
+    "embedding_centroids",
+    oracle=f"""
+        SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+               round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid,
+               CAST(count(*) AS BIGINT) AS n
+        FROM embeddings, generate_series(1, {EMB_DIM}) t(i)
+        GROUP BY label, i
+    """,
+    description="per-label centroid (IVF coarse quantizer): posexplode + grouped avg",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    # posexplode keeps the computation fully distributed: (label, pos) grid
+    # is the shuffle key; no per-label collect of whole vectors anywhere
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select("label", F.col("pos").cast("long").alias("pos"), "centroid", "n")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+        WITH n AS (
+          SELECT label,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings
+        )
+        SELECT label, round(avg(nrm), 6) AS avg_norm,
+               round(min(nrm), 6) AS min_norm,
+               round(max(nrm), 6) AS max_norm
+        FROM n GROUP BY label
+    """,
+    description="per-label L2 norm stats (sanity gate before cosine math)",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""Window/top-k/percentile analytics queries + TPC-H Q10-style join.
+
+All single-shuffle Catalyst plans. The sliding-window batch query mirrors
+the streaming sliding window in streaming/windows.py — same grouping
+expression, so the batch oracle also validates the streaming semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_agent_spark.plans.registry import register, table
+
+
+@register(
+    "topn_orders_per_status",
+    oracle="""
+        SELECT o_orderstatus, o_orderkey,
+               round(o_totalprice, 6) AS o_totalprice,
+               CAST(rn AS BIGINT) AS rn
+        FROM (
+          SELECT o_orderstatus, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    description="top-N per group: rank-filter window, shuffles once on the group key",
+)
+def topn_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "grouped_percentiles_totalprice",
+    oracle="""
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+        FROM orders GROUP BY o_orderpriority
+    """,
+    description="exact grouped percentiles (linear interpolation, matches quantile_cont)",
+)
+def grouped_percentiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.5, 0.9))")
+    return df.groupBy("o_orderpriority").agg(
+        F.round(pct.getItem(0), 6).alias("p50"),
+        F.round(pct.getItem(1), 6).alias("p90"),
+    )
+
+
+@register(
+    "events_sliding_30min",
+    oracle="""
+        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        w AS (
+          SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000)
+                   AS window_start, event_type, value
+          FROM e
+          UNION ALL
+          SELECT make_timestamp(CAST(floor((epoch(ts) - 1800) / 3600) * 3600 + 1800 AS BIGINT) * 1000000),
+                 event_type, value
+          FROM e
+        )
+        SELECT window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM w GROUP BY 1, 2
+    """,
+    description="sliding window (1h every 30min): each event lands in 2 windows",
+)
+def events_sliding_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+               n.n_name
+        FROM customer c
+          JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+    description="TPC-H Q10-style: returned-item revenue per customer, top 20",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )

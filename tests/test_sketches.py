@@ -1,0 +1,20 @@
+"""Error-bound tests for the approximate-sketch queries (no DuckDB oracle:
+sketches are engine-specific; the contract is the bound, not the bits)."""
+
+from __future__ import annotations
+
+from data_pipeline_agent_spark.plans import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_hll_within_rsd(spark):
+    row = REGISTRY["approx_distinct_partkeys"].spark(spark, SF_DIR).first()
+    # rsd=0.02 → 3-sigma bound 6%; generous but a real regression gate
+    assert row["rel_err"] <= 0.06, row
+
+
+def test_percentile_approx_close(spark):
+    row = REGISTRY["approx_percentiles_extendedprice"].spark(spark, SF_DIR).first()
+    for p in ("p50", "p99"):
+        exact, approx = row[f"{p}_exact"], row[f"{p}_approx"]
+        assert abs(approx - exact) / exact <= 0.01, (p, exact, approx)
