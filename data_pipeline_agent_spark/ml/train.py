@@ -228,11 +228,25 @@ def train_model(
         train, test = feat.randomSplit([0.8, 0.2], seed=SEED)
 
     # --- oversampling for imbalance (main.py:253-262) ---------------------
+    # SMOTE first (LSH-kNN synthetics, ml/smote.py), then random
+    # oversampling, then unresampled — the reference's silent-fallback
+    # chain (SMOTE -> unresampled) with one extra rung.
     if is_classification and is_imbalanced:
         try:
-            train_fit = oversample_minority(train, "label")
+            from data_pipeline_agent_spark.ml.smote import smote_oversample
+
+            # returns originals + synthetics over (num_cols, label); the
+            # data is now balanced so the class weights become uniform
+            # (the reference's weight dict is likewise unused once SMOTE
+            # succeeds, main.py:250-262)
+            train_fit = smote_oversample(train, "label", num_cols)
+            if weight_col is not None:
+                train_fit = train_fit.withColumn(weight_col, F.lit(1.0))
         except Exception:
-            train_fit = train  # reference's silent fallback shape
+            try:
+                train_fit = oversample_minority(train, "label")
+            except Exception:
+                train_fit = train  # reference's silent fallback shape
     else:
         train_fit = train
     train_fit = train_fit.cache()
