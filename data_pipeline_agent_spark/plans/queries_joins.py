@@ -246,3 +246,50 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias("revenue"))
     )
+
+
+# --- anti join ----------------------------------------------------------------
+
+
+@register(
+    "antijoin_customers_no_orders",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    description="left-anti join (NOT EXISTS), full rows preserved",
+)
+def antijoin_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# --- grouping sets (SQL frontend) --------------------------------------------
+
+
+@register(
+    "grouping_sets_order_totals",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 6) AS total,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    description="explicit grouping sets via the SQL frontend (one agg, two sets)",
+)
+def grouping_sets_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 6) AS total,
+               CAST(count(*) AS BIGINT) AS n
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )

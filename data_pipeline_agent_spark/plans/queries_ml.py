@@ -29,7 +29,9 @@ def ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf = RandomForestRegressor(
         seed=42, numTrees=10, maxDepth=5, labelCol="label", featuresCol="features"
     )
-    df = li.withColumn("label", F.col("l_extendedprice"))
+    # importance ranks stabilize far below full data; a seeded sample is
+    # the scale path for fit-for-insight (not fit-for-serving) models
+    df = li.sample(fraction=0.25, seed=42).withColumn("label", F.col("l_extendedprice"))
     model = Pipeline(stages=[assembler, rf]).fit(df)
     imp = list(zip(feats, model.stages[-1].featureImportances.toArray()))
     imp.sort(key=lambda t: -t[1])

@@ -147,3 +147,60 @@ def test_multimodal_image_features(spark):
         image_features(df, fake=False).collect()
     frames = frame_sample(df, every_n=5, fake=True)
     assert frames.count() > 10  # multiple frames per video
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append mode + 10-min watermark: a row arriving AFTER its window's
+    state was finalized and evicted must be dropped (bounded state is what
+    makes unbounded streams survivable; data later than the watermark is
+    the price). The window is closed by an intermediate batch first —
+    Spark only drops rows whose window state is already gone, so the late
+    row needs to trail the eviction by a full micro-batch."""
+    import datetime as dt
+    import glob
+    import os as _os
+    import time as _time
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    outdir = str(tmp_path / "late_stream")
+    batches = [
+        [(1, t(10, 30), 1, "A", 1.0), (2, t(11, 59), 1, "A", 1.0)],  # open 10:00+11:00
+        [(4, t(13, 30), 1, "A", 1.0)],  # advances watermark past 11:00, evicts 10:00
+        [(3, t(10, 40), 1, "A", 100.0)],  # very late: window long closed -> dropped
+    ]
+    prev = []
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(outdir)
+        new = set(glob.glob(f"{outdir}/part-*.parquet")) - set(prev)
+        # file source orders micro-batches by mtime: force strict ordering
+        past = _time.time() - 3600 * (len(batches) - i)
+        for f in new:
+            _os.utime(f, (past, past))
+        prev = glob.glob(f"{outdir}/part-*.parquet")
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(outdir)
+    )
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("t_watermark_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+    by_start = {r["window_start"]: r for r in spark.table("t_watermark_late").collect()}
+    w10 = by_start[dt.datetime(2024, 1, 1, 10, 0)]
+    # only the on-time 10:30 row; the late 10:40 row (value=100) is absent
+    assert w10["n_events"] == 1
+    assert w10["total_value"] == 1.0
