@@ -116,3 +116,26 @@ def skew_safe_distinct_count(
         .groupBy(group_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
     )
+
+
+def salted_agg_sum(
+    df: DataFrame, group_col: str, value_col: str, n_salts: int = 16
+) -> DataFrame:
+    """Two-stage salted sum for skewed group keys: stage 1 aggregates on
+    (key, salt) — a hot key's rows spread over ``n_salts`` reducers —
+    stage 2 merges the ``n_salts`` partials per key (tiny shuffle).
+
+    Note Spark's hash aggregate already does map-side partial combine, so
+    plain ``groupBy(key).sum`` rarely skews for algebraic aggregates; the
+    salt matters when stage 1 is itself expensive per group (collect-like
+    or high-cardinality intermediate state). The operator exists to make
+    the pattern available and testable as a drop-in."""
+    salted = df.withColumn("__salt", (F.rand(0) * n_salts).cast("int"))
+    partial = salted.groupBy(group_col, "__salt").agg(
+        F.sum(value_col).alias("__partial_sum"),
+        F.count(F.lit(1)).alias("__partial_n"),
+    )
+    return partial.groupBy(group_col).agg(
+        F.sum("__partial_sum").alias("total"),
+        F.sum("__partial_n").cast("long").alias("n"),
+    )

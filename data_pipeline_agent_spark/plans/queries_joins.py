@@ -293,3 +293,22 @@ def grouping_sets_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
+
+
+# --- salted aggregation (skew pattern) ----------------------------------------
+
+
+@register(
+    "salted_sum_value_by_type",
+    oracle="""
+        SELECT event_type, round(sum(value), 6) AS total,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+    description="two-stage salted aggregation (skewed-key pattern), same result as plain sum",
+)
+def salted_sum_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_agent_spark.operators.joins import salted_agg_sum
+
+    out = salted_agg_sum(table(spark, sf_dir, "events"), "event_type", "value")
+    return out.select("event_type", F.round("total", 6).alias("total"), "n")
