@@ -36,7 +36,12 @@ def _marker_hits(dtoks: Column, markers: list[str]) -> Column:
     return F.size(F.array_intersect(dtoks, arr))
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Deterministic rule-based language ID: CJK charset -> zh, else the
     marker-word table in order, else 'unk'. (On natural text the marker
     lists dominate; on this synthetic corpus it demonstrates the plumbing.)
@@ -44,9 +49,13 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     The distinct-token array is staged as its own projection attribute:
     the marker predicate references it once per language, and each
     reference would otherwise embed its own copy of the tokenize+distinct
-    subtree (no subexpression elimination across those copies)."""
+    subtree (no subexpression elimination across those copies).
+
+    ``keep`` passes source columns through (e.g. a ground-truth label) so
+    downstream consumers don't need a join back to the corpus."""
     staged = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.col(text_col).alias("__t"),
         F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("__dtoks"),
     )
@@ -54,7 +63,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     for lang, markers in LANG_MARKERS:
         pred = pred.when(_marker_hits(F.col("__dtoks"), markers) >= 2, F.lit(lang))
     pred = pred.otherwise(F.lit("unk"))
-    return staged.select(F.col(id_col), pred.alias("pred_lang"))
+    return staged.select(F.col(id_col), *[F.col(c) for c in keep], pred.alias("pred_lang"))
 
 
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

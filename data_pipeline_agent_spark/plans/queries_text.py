@@ -45,9 +45,9 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = table(spark, sf_dir, "documents")
-    pred = T.language_id(docs)
+    # lang passes through language_id: no join back to the corpus
     return (
-        docs.join(pred, "doc_id")
+        T.language_id(docs, keep=("lang",))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

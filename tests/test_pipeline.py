@@ -81,3 +81,12 @@ def test_api_gated_without_fastapi():
     except ImportError:
         with pytest.raises(NotImplementedError, match="fastapi"):
             create_app()
+
+
+def test_ui_gated_without_gradio():
+    import pytest as _pytest
+
+    from data_pipeline_agent_spark.serve.ui import create_gradio_app
+
+    with _pytest.raises(NotImplementedError, match="gradio"):
+        create_gradio_app()
