@@ -95,3 +95,25 @@ def session_counts(
             "total_value",
         )
     )
+
+
+def dedup_stream(
+    df: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exactly-once dedup: keep the first arrival per id.
+
+    The watermark BOUNDS the dedup state — ids older than
+    max(event_time) - delay are evicted, so memory is O(ids per delay
+    window), not O(all ids ever seen). The contract is therefore
+    "exactly-once within the watermark horizon": a duplicate arriving
+    later than `delay` after the original is NOT suppressed. That is the
+    standard at-scale trade (unbounded dedup state is not survivable on
+    an unbounded stream); pair with a downstream batch dedup_exact pass
+    when a hard global guarantee is needed."""
+    src = with_watermark(df, ts_col, delay)
+    if df.isStreaming:
+        return src.dropDuplicatesWithinWatermark(list(id_cols))
+    return src.dropDuplicates(list(id_cols))

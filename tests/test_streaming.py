@@ -204,3 +204,32 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # only the on-time 10:30 row; the late 10:40 row (value=100) is absent
     assert w10["n_events"] == 1
     assert w10["total_value"] == 1.0
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Duplicate ids across micro-batches collapse to first arrival."""
+    import datetime as dt
+
+    from data_pipeline_agent_spark.streaming.windows import dedup_stream
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    outdir = str(tmp_path / "dedup_stream")
+    b1 = spark.createDataFrame(
+        [(1, t(10, 0), 1, "A", 1.0), (2, t(10, 1), 1, "A", 2.0)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, t(10, 2), 1, "A", 99.0), (3, t(10, 3), 1, "A", 3.0)], schema  # dup id=1
+    )
+    b1.coalesce(1).write.mode("append").parquet(outdir)
+    b2.coalesce(1).write.mode("append").parquet(outdir)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(outdir)
+    )
+    got = _run_stream(spark, dedup_stream(stream), "t_dedup_stream", "append")
+    rows = {r["event_id"]: r["value"] for r in got.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] in (1.0, 99.0)  # exactly one survivor for the dup id
+    assert got.count() == 3
