@@ -63,3 +63,47 @@ def test_range_join_broadcast_plan(spark):
     # the band side must be broadcast: no shuffle of the fact table
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _asof_case(draw):
+    keys = [1, 2, 3]
+    n_l = draw(st.integers(1, 12))
+    n_r = draw(st.integers(0, 12))
+    left = [
+        (i, draw(st.sampled_from(keys)), draw(st.integers(0, 50)))
+        for i in range(n_l)
+    ]
+    right = [
+        (draw(st.sampled_from(keys)), draw(st.integers(0, 50)), float(j))
+        for j in range(n_r)
+    ]
+    return left, right
+
+
+@given(_asof_case())
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_naive(spark, case):
+    """asof_join == the obvious quadratic definition on random inputs:
+    value of the right row with max(rts) <= ts for the key, ties broken
+    by greatest tiebreak value."""
+    left, right = case
+    ldf = spark.createDataFrame(
+        [(eid, k, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)) for eid, k, m in left],
+        "eid long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), v) for k, m, v in right],
+        "k long, rts timestamp, v double",
+    )
+    got = {
+        r["eid"]: r["v"]
+        for r in asof_join(ldf, rdf, "k", "k", "ts", "rts", ["v"], tiebreak="v").collect()
+    }
+    for eid, k, m in left:
+        cands = [(rm, v) for rk, rm, v in right if rk == k and rm <= m]
+        want = max(cands, key=lambda t: (t[0], t[1]))[1] if cands else None
+        assert got[eid] == want, (eid, k, m, cands)
