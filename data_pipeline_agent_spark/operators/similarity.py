@@ -117,3 +117,72 @@ def embedding_near_dup_pairs(emb: DataFrame, topk: int = 10) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
         .limit(topk)
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: MLlib KMeans centroids + nearest-centroid
+    assignment. Returns (assigned_df with __cell, centroids_df).
+
+    At 100 TB the assignment is the write-time step: store the corpus
+    ``partitionBy(__cell)`` so a probe scans only nprobe partitions —
+    the same pruning story as the sign-LSH path but data-adaptive."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = emb.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__fv")
+    )
+    # KMeans fits on a seeded sample: centroid quality saturates far below
+    # full data and the fit is the only non-single-pass step
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="__cell")
+    model = km.fit(vecs.sample(fraction=1.0, seed=seed).limit(100_000))
+    assigned = model.transform(vecs).select(id_col, vec_col, "__cell")
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cdf = emb.sparkSession.createDataFrame(centroids, "cell int, centroid array<double>")
+    return assigned, cdf
+
+
+def ivf_topk(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score each anchor only against vectors in
+    its nprobe nearest cells. Cost O(|anchors| x corpus x nprobe/cells);
+    recall grows with nprobe (exact when nprobe == n_centroids)."""
+    assigned, cdf = ivf_assign(emb, n_centroids, seed, id_col, vec_col)
+    a = anchors.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    # rank centroids per anchor, keep nprobe nearest (tiny cross: |a| x cells)
+    ac = a.crossJoin(F.broadcast(cdf)).withColumn(
+        "__csim", cosine(F.col("__qv"), F.col("centroid"))
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("__csim"), F.asc("cell"))
+    probes = (
+        ac.withColumn("__pr", F.row_number().over(wprobe))
+        .where(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", F.col("cell").alias("__cell"))
+    )
+    pairs = assigned.join(F.broadcast(probes), "__cell").where(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("__qv"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk).cast("long"))
+        .where(F.col("rk") <= k)
+    )

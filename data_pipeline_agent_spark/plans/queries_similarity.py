@@ -163,3 +163,16 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+@register(
+    "sim_ivf_topk",
+    description="IVF approximate top-5 (KMeans cells, nprobe=4; rows-only: "
+    "centroids are a model fit — recall vs brute force gated in tests)",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, anchors, k=5, n_centroids=16, nprobe=4)
