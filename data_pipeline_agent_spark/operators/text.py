@@ -124,3 +124,38 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(bag).alias("bag_md5"),
         h32(bag).alias("bag_h32"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    n_docs: int,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (tf * (ln((1+N)/(1+df)) + 1), sklearn's smooth_idf form).
+
+    Pure DataFrame plan: explode -> tf agg (one shuffle on doc+term) ->
+    document-frequency agg (one shuffle on term) -> join back on term ->
+    per-doc window top-k. ``n_docs`` is a driver scalar (count once,
+    reuse). MLlib's HashingTF/IDF is the stock alternative; exact terms
+    keep the result oracle-checkable and human-readable."""
+    from pyspark.sql import Window
+
+    t = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    tf = t.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        F.round(
+            F.col("tf") * (F.log((1.0 + n_docs) / (1.0 + F.col("dfc"))) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select(id_col, "term", "tfidf", "rk")
+    )

@@ -110,3 +110,29 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, unnest({sql_tokens('lower(text)')}) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS nd FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 round(tf.tf * (ln((1.0 + nd) / (1.0 + dfc)) + 1.0), 6) AS tfidf
+          FROM tf JOIN dfreq USING (term), n
+        )
+        SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rk
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, term ASC) AS rn FROM scored)
+        WHERE rn <= 3
+    """,
+    description="smoothed TF-IDF top-3 terms per document (explode + two aggs + window)",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, n_docs=docs.count(), k=3)
