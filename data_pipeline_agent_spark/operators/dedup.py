@@ -216,3 +216,27 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def normalized_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on NORMALIZED text: lowercase, punctuation stripped,
+    whitespace collapsed. Catches trivially-reformatted copies that byte
+    dedup misses, at the same one-shuffle cost — the standard middle rung
+    between exact and MinHash dedup in a training-data pipeline."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9\\s]", ""),
+            "\\s+",
+            " ",
+        )
+    )
+    staged = df.select(F.col(id_col), norm.alias("__norm"))
+    w = Window.partitionBy("__norm")
+    return staged.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("group_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_kept"),
+    )

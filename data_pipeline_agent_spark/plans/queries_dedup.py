@@ -130,3 +130,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "dedup_normalized_exact",
+    oracle="""
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                      '\\s+', ' ', 'g')) AS norm
+          FROM documents
+        )
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY norm) AS group_id,
+               CAST(count(*) OVER (PARTITION BY norm) AS BIGINT) AS group_size,
+               doc_id = min(doc_id) OVER (PARTITION BY norm) AS is_kept
+        FROM n
+    """,
+    description="normalized exact dedup (casefold + punct strip + ws collapse)",
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.normalized_exact_duplicates(table(spark, sf_dir, "documents"))
