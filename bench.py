@@ -44,6 +44,11 @@ HEADLINE = [
     "q6_revenue_forecast",
     "cube_order_totals",
     "pivot_status_by_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q13_order_distribution",
+    "q18_large_volume_customers",
 ]
 
 

@@ -9,6 +9,7 @@ from data_pipeline_agent_spark.plans import (  # noqa: F401
     queries_sketches,
     queries_similarity,
     queries_text,
+    queries_tpch_extra,
     queries_windows,
 )
 from data_pipeline_agent_spark.plans.registry import REGISTRY, QuerySpec  # noqa: F401
