@@ -51,3 +51,31 @@ def approx_percentiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(F.col("e").getItem(1), 6).alias("p99_exact"),
         F.round(F.col("a").getItem(1), 6).alias("p99_approx"),
     )
+
+
+@register(
+    "hll_users_by_type_union",
+    description="datasketches HLL per event_type + lossless sketch-union total: "
+    "the mergeable-sketch pattern for multi-level rollups at scale",
+)
+def hll_users_by_type_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct users via HLL sketches, then a grand total computed
+    by UNIONING THE SKETCHES (not re-scanning): the pattern that lets a
+    100 TB pipeline maintain distinct-count rollups incrementally. Exact
+    countDistinct emitted alongside so the error is visible/testable."""
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+    )
+    per_type_est = per_type.select(
+        "event_type",
+        "n_exact",
+        F.hll_sketch_estimate("sk").cast("long").alias("n_approx"),
+    )
+    total = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("__ALL__").alias("event_type"),
+        F.lit(None).cast("long").alias("n_exact"),
+        F.hll_sketch_estimate("sk").cast("long").alias("n_approx"),
+    )
+    return per_type_est.unionByName(total)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_pipeline_agent_spark.operators import text as T
 from data_pipeline_agent_spark.operators.text import BPE_REGEX, EN_STOPWORDS, LANG_MARKERS
@@ -136,3 +137,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return T.tfidf_top_terms(docs, n_docs=docs.count(), k=3)
+
+
+@register(
+    "text_wordcount_top100",
+    oracle="""
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT lower(unnest(string_split(text, ' '))) AS word
+            FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+        ORDER BY n DESC, word ASC
+        LIMIT 100
+    """,
+    description="classic wordcount: explode split tokens, partial-agg combine, top-k",
+)
+def text_wordcount_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # explode is map-side; the only shuffle is the word-key partial agg, which
+    # combines locally first — the canonical scale-out wordcount plan.
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(100)
+    )

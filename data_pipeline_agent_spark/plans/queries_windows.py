@@ -134,3 +134,104 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")
     )
+
+
+@register(
+    "lag_order_gap_days",
+    oracle="""
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(avg(gap_days), 6) AS avg_gap_days
+        FROM (
+            SELECT o_custkey,
+                   date_diff('day',
+                             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                    ORDER BY o_orderdate, o_orderkey),
+                             o_orderdate) AS gap_days
+            FROM orders
+        )
+        WHERE gap_days IS NOT NULL
+        GROUP BY o_custkey
+        HAVING count(*) >= 5
+    """,
+    description="lag window: per-customer inter-order gap, one shuffle on custkey",
+)
+def lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.withColumn(
+        "gap_days",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("long"),
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.avg("gap_days"), 6).alias("avg_gap_days"),
+        )
+        .where(F.col("n_orders") >= 5)
+    )
+
+
+@register(
+    "moving_avg_daily_revenue",
+    oracle="""
+        SELECT strftime(d, '%Y-%m-%d') AS d,
+               round(rev, 6) AS rev,
+               round(avg(rev) OVER (ORDER BY d
+                                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+                   AS rev_ma7
+        FROM (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   sum(o_totalprice) AS rev
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+            GROUP BY CAST(o_orderdate AS DATE)
+        )
+    """,
+    description="7-row moving average over daily revenue (agg first: window input "
+    "is days-sized, so the unpartitioned window is deliberately tiny)",
+)
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").where(F.col("o_orderdate") >= "2000-01-01")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev_raw")
+    )
+    # Window over ~hundreds of day rows — aggregate BEFORE windowing so the
+    # single-partition window sees days, never raw orders.
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.round("rev_raw", 6).alias("rev"),
+        F.round(F.avg("rev_raw").over(w), 6).alias("rev_ma7"),
+    )
+
+
+@register(
+    "cumulative_monthly_revenue",
+    oracle="""
+        SELECT m,
+               round(rev, 6) AS rev,
+               round(sum(rev) OVER (ORDER BY m
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW), 2) AS rev_cum
+        FROM (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   sum(o_totalprice) AS rev
+            FROM orders
+            GROUP BY date_trunc('month', o_orderdate)
+        )
+    """,
+    description="running total of monthly revenue (agg-then-window, months-sized)",
+)
+def cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.sum("o_totalprice").alias("rev_raw")
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "m",
+        F.round("rev_raw", 6).alias("rev"),
+        F.round(F.sum("rev_raw").over(w), 2).alias("rev_cum"),
+    )
