@@ -18,3 +18,16 @@ def test_percentile_approx_close(spark):
     for p in ("p50", "p99"):
         exact, approx = row[f"{p}_exact"], row[f"{p}_approx"]
         assert abs(approx - exact) / exact <= 0.01, (p, exact, approx)
+
+
+def test_hll_union_by_type(spark):
+    rows = REGISTRY["hll_users_by_type_union"].spark(spark, SF_DIR).collect()
+    per_type = [r for r in rows if r["event_type"] != "__ALL__"]
+    total = [r for r in rows if r["event_type"] == "__ALL__"]
+    assert per_type and len(total) == 1
+    # per-type estimates within HLL default-precision 3-sigma (~5%)
+    for r in per_type:
+        assert abs(r["n_approx"] - r["n_exact"]) <= max(3, 0.05 * r["n_exact"]), r
+    # the union estimate must be <= sum of parts and >= the largest part
+    assert total[0]["n_approx"] <= sum(r["n_approx"] for r in per_type)
+    assert total[0]["n_approx"] >= max(r["n_approx"] for r in per_type) * 0.95
