@@ -79,9 +79,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
     li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    # customer scales with SF (the segment filter keeps ~1/5 of it) — no
+    # forced broadcast; AQE picks broadcast while it fits the threshold.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -124,11 +126,13 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    # customer and the supplier-side dims both scale with SF — no forced
+    # broadcast (nation/region above keep their hints; they are bounded).
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(dims),
+            dims,
             (li.l_suppkey == dims.s_suppkey) & (cust.c_nationkey == dims.s_nationkey),
         )
         .groupBy("n_name")
@@ -208,9 +212,13 @@ def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="set operation EXCEPT (anti-semantics over keys)",
 )
 def setop_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL EXCEPT is a SET operation: distinct both sides FIRST, then
+    # exceptAll.  (exceptAll-then-distinct is NOT equivalent — a value with
+    # multiplicity 3 on the left and 1 on the right would survive it, while
+    # EXCEPT removes every value present on the right at all.)
     cust = table(spark, sf_dir, "customer").select("c_custkey")
     ord_keys = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return cust.exceptAll(ord_keys).distinct()
+    return cust.distinct().exceptAll(ord_keys.distinct())
 
 
 @register(

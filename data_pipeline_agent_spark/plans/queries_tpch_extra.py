@@ -8,7 +8,16 @@ outer-join + double aggregation, q15/q17 are decorrelated subqueries
 (window max / per-group avg), q18 is a semi-join on an aggregated fact,
 q19 an OR-of-conjuncts pushdown, q22 an anti-join against an aggregate
 scalar.  All scale: the only shuffles are on join/agg keys of the fact
-tables; every dimension side is broadcast.
+tables.
+
+Broadcast policy (100 TB rule): ``F.broadcast`` hints are ONLY placed on
+*bounded* relations — ``nation``/``region`` (fixed-cardinality dims) and
+selectively-filtered slices of ``part`` (one brand / one type ≈ 1/25 of the
+table).  SF-scaling sides (``customer``, ``supplier``, unfiltered ``part``)
+carry NO hint: at sf0.1 AQE still picks a broadcast join (they are under the
+64 MB ``autoBroadcastJoinThreshold`` set in session.py), while at 1000
+executors × 100 TB the same plan degrades gracefully to a shuffle join
+instead of OOM-ing the executors on a multi-GB forced build side.
 
 The reference (/root/reference/main.py) has no joins at all (SURVEY.md §2.6)
 — this whole module is north-star extension surface.
@@ -66,10 +75,11 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   F.col("n_name").alias("cust_nation"))),
         F.col("c_nationkey") == F.col("c_nk"),
     )
+    # supplier/customer scale with SF — no broadcast hint; AQE decides.
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -129,11 +139,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey") == F.col("s_nk"),
     ).select("s_suppkey", "nation")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # part is filtered to one p_type (~1/25) → broadcast-hinted; the
+    # SF-scaling supplier/customer sides are left to AQE.
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
@@ -175,9 +187,11 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(table(spark, sf_dir, "nation")),
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey", F.col("n_name").alias("nation"))
+    # part filtered by LIKE '%bolt%' (small slice) → hinted; supplier is
+    # SF-scaling → no hint.
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -238,8 +252,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = table(spark, sf_dir, "part")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # part is unfiltered here (SF-scaling) — no forced broadcast; AQE
+    # broadcasts it while it fits and shuffles when it doesn't.
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -311,10 +327,17 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
-    # The correlated subquery averages over ALL lineitems of the part (not
-    # just Brand#13 rows), so compute the window before the part filter.
+    # The correlated subquery averages over ALL lineitems of each part, but
+    # only parts of Brand#13 can reach the final join — so prune lineitem
+    # with a broadcast left-semi join on the filtered part keys BEFORE the
+    # window.  Per-part averages are unchanged (the window partitions by
+    # l_partkey and the semi-join keeps whole partkey groups), while the
+    # window input shrinks ~25× — the difference between shuffling 4 TB and
+    # 160 GB of lineitem at the 100 TB scale point.
+    pk = part.select(F.col("p_partkey").alias("pk"))
+    pruned = li.join(F.broadcast(pk), li.l_partkey == F.col("pk"), "left_semi")
     w = Window.partitionBy("l_partkey")
-    flagged = li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+    flagged = pruned.withColumn("avg_qty", F.avg("l_quantity").over(w))
     return (
         flagged.join(F.broadcast(part), flagged.l_partkey == part.p_partkey)
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
@@ -352,10 +375,11 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
+    # customer scales with SF — no broadcast hint (AQE decides).
     return (
         li.join(big.withColumnRenamed("l_orderkey", "bk"), li.l_orderkey == F.col("bk"), "left_semi")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -383,7 +407,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # Unfiltered part (SF-scaling) — no forced broadcast.
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 21))

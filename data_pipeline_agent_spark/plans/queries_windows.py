@@ -120,9 +120,11 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     nation = table(spark, sf_dir, "nation")
+    # customer scales with SF — no broadcast hint (AQE decides); nation is a
+    # bounded dimension and keeps its hint.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -210,7 +212,7 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cumulative_monthly_revenue",
     oracle="""
-        SELECT m,
+        SELECT strftime(m, '%Y-%m-%d') AS m,
                round(rev, 6) AS rev,
                round(sum(rev) OVER (ORDER BY m
                                     ROWS BETWEEN UNBOUNDED PRECEDING
@@ -226,12 +228,14 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+    monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mm")).agg(
         F.sum("o_totalprice").alias("rev_raw")
     )
-    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.orderBy("mm").rowsBetween(Window.unboundedPreceding, 0)
+    # Month rendered as an ISO date string on BOTH sides so the oracle
+    # compare is type-exact (timestamp vs date drift otherwise).
     return monthly.select(
-        "m",
+        F.date_format("mm", "yyyy-MM-dd").alias("m"),
         F.round("rev_raw", 6).alias("rev"),
         F.round(F.sum("rev_raw").over(w), 2).alias("rev_cum"),
     )
