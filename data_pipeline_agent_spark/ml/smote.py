@@ -67,9 +67,16 @@ def smote_oversample(
         extra = maxc - cnt
         if extra <= 0 or cnt < 2:
             continue
+        # Content-derived id (NOT monotonically_increasing_id): stable
+        # across cache eviction / task retries / partition recomputation,
+        # so the LSH fit, the pair join, and the deterministic-u
+        # interpolation all agree on ids even if partitions are rebuilt.
+        # Duplicate feature rows share an id; the ida != idb filter then
+        # drops self-pairs of identical points, which interpolate to the
+        # point itself anyway (zero information loss).
         mino = (
             base.where(F.col(label_col) == cls)
-            .withColumn("__id", F.monotonically_increasing_id())
+            .withColumn("__id", F.xxhash64(*[F.col(c) for c in feature_cols]))
         )
         mv = assembler.transform(mino).persist()
         lsh = BucketedRandomProjectionLSH(
@@ -96,6 +103,12 @@ def smote_oversample(
         # replacement when more are needed than the pool holds)
         frac = extra / (cnt * k)
         sampled = pool.sample(withReplacement=frac > 1.0, fraction=frac, seed=seed)
+        # Eagerly checkpoint the (small, ~extra-row) sampled pool so its
+        # lineage no longer references mv, then release the per-class
+        # cache — otherwise every class iteration leaks a persisted frame
+        # until the session ends.
+        sampled = sampled.localCheckpoint(eager=True)
+        mv.unpersist()
         u = _deterministic_u(F.col("__ida"), F.col("__idb"), seed)
         interp = F.zip_with(
             "__xa", "__xb", lambda a, b: a + u * (b - a)

@@ -189,6 +189,7 @@ def train_model(
     n_distinct = feat.agg(F.count_distinct(target)).first()[0]
     is_classification = target_is_string or n_distinct < 20
 
+    label_classes: list | None = None  # index -> original value (reporting)
     if is_classification and target_is_string:
         feat = (
             StringIndexer(
@@ -197,6 +198,25 @@ def train_model(
             .fit(feat)
             .transform(feat)
         )
+    elif is_classification:
+        # Numeric categorical target: MLlib classifiers require labels in
+        # [0, numClasses) — raw codes like {-1, 1} crash the fit and sparse
+        # codes like {1, 5, 9} inflate the inferred class count.  Dense-map
+        # to 0..k-1 in ascending numeric order (sklearn LabelEncoder's
+        # order for numbers, /root/reference/main.py:228-230).  k < 20 by
+        # the task heuristic, so the distinct-collect and when-chain are
+        # bounded.
+        label_classes = sorted(
+            r[0] for r in feat.select(target).where(F.col(target).isNotNull()).distinct().collect()
+        )
+        expr = None
+        for i, v in enumerate(label_classes):
+            expr = (
+                F.when(F.col(target) == v, float(i))
+                if expr is None
+                else expr.when(F.col(target) == v, float(i))
+            )
+        feat = feat.withColumn("label", expr)
     else:
         feat = feat.withColumn("label", F.col(target).cast("double"))
 

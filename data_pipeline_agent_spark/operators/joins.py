@@ -78,12 +78,24 @@ def asof_join(
         .orderBy(F.asc("__t"), F.asc("__side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Pack all value columns into ONE struct that is NULL for left-side
+    # rows, and take last(struct, ignorenulls) — so every value column
+    # always comes from the SAME matched right row.  (Per-column last()
+    # would, when a right row carries a NULL in one value column, fall back
+    # to an older row for that column only, stitching a record that never
+    # existed.)
+    vs = F.when(
+        F.col("__side") == 0,
+        F.struct(*[F.col(f"__v_{v}").alias(v) for v in value_cols]),
+    )
     matched = u.select(
         "__side",
         *lcols,
-        *[F.last(f"__v_{v}", ignorenulls=True).over(w).alias(v) for v in value_cols],
+        F.last(vs, ignorenulls=True).over(w).alias("__vs"),
     )
-    return matched.where(F.col("__side") == 1).drop("__side")
+    return matched.where(F.col("__side") == 1).select(
+        *lcols, *[F.col("__vs").getField(v).alias(v) for v in value_cols]
+    )
 
 
 def range_join(

@@ -107,3 +107,22 @@ def test_asof_join_matches_naive(spark, case):
         cands = [(rm, v) for rk, rm, v in right if rk == k and rm <= m]
         want = max(cands, key=lambda t: (t[0], t[1]))[1] if cands else None
         assert got[eid] == want, (eid, k, m, cands)
+
+
+def test_asof_join_null_value_column_same_row(spark):
+    """All value columns must come from the SAME matched right row, even
+    when that row carries a NULL in one of them — a per-column last()
+    would stitch v1 from an older row with v2 from the newer one."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-05"))], "eid long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01"), 1.0, 111.0),
+            (10, _ts("2024-01-03"), None, 333.0),  # newest match: v1 is NULL
+        ],
+        "k long, rts timestamp, v1 double, v2 double",
+    )
+    row = asof_join(left, right, "k", "k", "ts", "rts", ["v1", "v2"]).collect()[0]
+    assert row["v2"] == 333.0
+    assert row["v1"] is None  # from the SAME (newest) row, not 1.0 from the older one

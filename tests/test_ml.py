@@ -101,3 +101,25 @@ def test_no_numeric_features_error(spark):
     )
     with pytest.raises(ValueError, match="No numeric columns"):
         train_model(df, "label")
+
+
+def test_train_numeric_categorical_labels(spark, tmp_path):
+    """Arbitrary numeric class codes ({-1, 5, 9}) must train: MLlib
+    classifiers need labels in [0, numClasses), so the trainer dense-maps
+    numeric categorical targets to 0..k-1 (sklearn LabelEncoder order,
+    /root/reference/main.py:228-230). Raw codes would crash RF/LR and
+    inflate the inferred class count."""
+    import random
+
+    rng = random.Random(7)
+    codes = [-1, 5, 9]
+    rows = []
+    for _ in range(300):
+        cls = rng.randrange(3)
+        mu = [-3.0, 0.0, 3.0][cls]
+        rows.append((float(rng.gauss(mu, 0.8)), float(rng.gauss(mu, 0.8)), codes[cls]))
+    df = spark.createDataFrame(rows, "f1 double, f2 double, grade int")
+    path, metric, _ = train_model(df, "grade", model_dir=str(tmp_path))
+    assert metric["Classes"] == 3
+    assert metric["F1 Score"] > 0.8
+    assert os.path.isdir(path)
