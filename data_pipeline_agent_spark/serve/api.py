@@ -6,6 +6,19 @@
   GET  /report/{id}                 HTML report
   GET  /download/{id}               model artifact (zipped MLlib dir)
 
+PWA/static surface (reference api.py:127-203 + sw.js):
+
+  GET  /favicon.ico                 redirect (api.py:137-140)
+  GET  /manifest.json               PWA manifest (api.py:142-158)
+  GET  /sw.js                       service worker (api.py:161-171)
+  GET  /gradio/gradio_api/upload_progress   {"status","progress"} stub (api.py:174-177)
+  GET  /gradio/gradio_api/app_id    {"app_id"} stub (api.py:184-187)
+  GET  /.well-known/appspecific/com.chrome.devtools.json  (api.py:179-182)
+  /static mount                     StaticFiles dir (api.py:127-135)
+  /gradio mount                     Gradio Blocks app when gradio is
+                                    installed (api.py:190-203); skipped
+                                    gracefully otherwise
+
 FastAPI is not installed in this container, so construction is gated:
 ``create_app()`` raises NotImplementedError with the missing dependency.
 With fastapi/uvicorn available the app serves the same routes over the
@@ -95,4 +108,87 @@ def create_app():
                         zf.write(full, os.path.relpath(full, j["model_path"]))
         return FileResponse(zip_path, filename=os.path.basename(zip_path))
 
+    _add_pwa_routes(app)
     return app
+
+
+# PWA manifest content — parity with /root/reference/api.py:145-156
+MANIFEST = {
+    "name": "Data Pipeline Agent",
+    "short_name": "Data Pipeline",
+    "description": "AI-powered data cleaning, visualization, and model training",
+    "start_url": "/gradio",
+    "display": "standalone",
+    "background_color": "#ffffff",
+    "theme_color": "#3070f0",
+}
+
+# Minimal pass-through service worker — parity with api.py:163-168
+SERVICE_WORKER_JS = """
+// Minimal service worker for PWA caching
+self.addEventListener('fetch', event => {
+  event.respondWith(fetch(event.request));
+});
+"""
+
+FAVICON_URL = "https://fastapi.tiangolo.com/img/favicon.png"
+
+
+def _add_pwa_routes(app) -> None:
+    """PWA/static/Gradio-mount routes (reference api.py:127-203).
+
+    Every route the reference web UI fetches on load, so a browser pointed
+    at this server hits no 404s: favicon redirect, manifest, service
+    worker, the two gradio_api stubs, the Chrome devtools probe, a
+    /static mount, and (when gradio is importable) the Blocks UI mounted
+    at /gradio.
+    """
+    import json as _json
+
+    from fastapi.responses import RedirectResponse, Response
+
+    @app.get("/favicon.ico")
+    async def favicon():
+        return RedirectResponse(url=FAVICON_URL)
+
+    @app.get("/manifest.json")
+    async def get_manifest():
+        return Response(content=_json.dumps(MANIFEST), media_type="application/json")
+
+    @app.get("/sw.js")
+    async def get_service_worker():
+        return Response(content=SERVICE_WORKER_JS, media_type="application/javascript")
+
+    @app.get("/gradio/gradio_api/upload_progress")
+    async def upload_progress():
+        return {"status": "completed", "progress": 100}
+
+    @app.get("/.well-known/appspecific/com.chrome.devtools.json")
+    async def chrome_devtools():
+        return {"status": "ok"}
+
+    @app.get("/gradio/gradio_api/app_id")
+    async def app_id():
+        return {"app_id": "data-pipeline-agent"}
+
+    # /static mount (api.py:127-135): create the dir if absent, like the
+    # reference does, so the mount never fails on a fresh checkout.
+    try:
+        from fastapi.staticfiles import StaticFiles
+
+        static_dir = os.path.join(tempfile.gettempdir(), "dpa_spark_static")
+        os.makedirs(static_dir, exist_ok=True)
+        app.mount("/static", StaticFiles(directory=static_dir), name="static")
+    except ImportError:  # aiofiles missing etc. — static mount is optional
+        pass
+
+    # /gradio mount (api.py:190-203) — only when gradio is installed.
+    try:
+        import gradio as gr
+
+        from data_pipeline_agent_spark.serve.ui import create_gradio_app
+
+        gradio_app = create_gradio_app()
+        gr.mount_gradio_app(app, gradio_app, path="/gradio", root_path="/gradio")
+    except (ImportError, NotImplementedError):
+        pass

@@ -90,3 +90,34 @@ def test_ui_gated_without_gradio():
 
     with _pytest.raises(NotImplementedError, match="gradio"):
         create_gradio_app()
+
+
+def test_pwa_route_surface_parity():
+    """The PWA/static surface (reference api.py:127-203) must be declared:
+    manifest/service-worker constants match the reference's content shape,
+    and when fastapi IS installed the app exposes every route the
+    reference web UI fetches on load."""
+    from data_pipeline_agent_spark.serve import api as api_mod
+
+    assert api_mod.MANIFEST["name"] == "Data Pipeline Agent"
+    assert api_mod.MANIFEST["start_url"] == "/gradio"
+    assert {"short_name", "display", "background_color", "theme_color"} <= set(
+        api_mod.MANIFEST
+    )
+    assert "addEventListener('fetch'" in api_mod.SERVICE_WORKER_JS
+
+    try:
+        import fastapi  # noqa: F401
+    except ImportError:
+        return  # construction gate covered by test_api_gated_without_fastapi
+    app = api_mod.create_app()
+    paths = {getattr(r, "path", None) for r in app.routes}
+    for expected in [
+        "/favicon.ico",
+        "/manifest.json",
+        "/sw.js",
+        "/gradio/gradio_api/upload_progress",
+        "/gradio/gradio_api/app_id",
+        "/.well-known/appspecific/com.chrome.devtools.json",
+    ]:
+        assert expected in paths, f"missing PWA route {expected}"
