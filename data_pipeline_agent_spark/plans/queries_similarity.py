@@ -176,3 +176,32 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     anchors = emb.where(F.col("vec_id") < 10)
     return S.ivf_topk(emb, anchors, k=5, n_centroids=16, nprobe=4)
+
+
+@register(
+    "sim_ivf_exact_topk",
+    oracle=f"""
+        WITH a AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT a.query_id, e.vec_id AS neighbor_id,
+                 round({_sql_cos('a.qv', 'e.embedding')}, 6) AS cos_sim
+          FROM embeddings e, a WHERE e.vec_id != a.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+        FROM scored
+        QUALIFY rk <= 5
+    """,
+    description="IVF in exhaustive mode (nprobe == n_centroids): every cell is "
+    "probed, so the ANN machinery itself is oracle-checked against the exact "
+    "brute-force answer — cell assignment/probing must not lose or duplicate "
+    "any candidate regardless of where KMeans puts the centroids",
+)
+def sim_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, anchors, k=5, n_centroids=8, nprobe=8)
