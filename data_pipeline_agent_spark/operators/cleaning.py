@@ -118,17 +118,76 @@ def frequency_encode(df: DataFrame, col: str) -> DataFrame:
     return out.select(*df.columns)
 
 
-def label_encode(df: DataFrame, col: str) -> DataFrame:
+# Above this many distincts the single-reducer sort window and a broadcast
+# of the code table are both scale hazards; switch to the distributed path.
+# 65k string codes is well under autoBroadcastJoinThreshold, so below the
+# cutoff the broadcast hint is *provably* safe, not a guess.
+LABEL_ENCODE_BROADCAST_CUTOFF = 65_536
+
+
+def _rank_distincts_distributed(vals: DataFrame) -> DataFrame:
+    """Dense 0..k-1 codes for a (possibly huge) distinct-value table in
+    alphabetical order, with NO global single-reducer sort:
+
+    1. range-repartition by value — each partition holds a contiguous,
+       ordered slice of the value domain (distributed sort);
+    2. count rows per partition (collect of ~n_partitions scalars) and
+       prefix-sum the offsets on the driver;
+    3. code = partition offset + (row_number within the partition - 1).
+
+    This is the sort-based zipWithIndex recipe expressed in DataFrame ops;
+    cost is one range shuffle + one hash shuffle of the DISTINCT table
+    (never the fact table), and nothing is broadcast or globally sorted.
+    """
+    spark = vals.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = (
+        vals.repartitionByRange(n_parts, F.asc_nulls_last("__v"))
+        .withColumn("__pid", F.spark_partition_id())
+        # persisted so the offset collect and the final ranking observe the
+        # SAME range boundaries (range partitioning samples its splits)
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    off_expr, acc = F.lit(0), 0
+    for pid in sorted(counts):
+        off_expr = F.when(F.col("__pid") == pid, F.lit(acc)).otherwise(off_expr)
+        acc += counts[pid]
+    wp = Window.partitionBy("__pid").orderBy(F.asc_nulls_last("__v"))
+    return part.select(
+        "__v",
+        (off_expr + F.row_number().over(wp) - F.lit(1)).cast("long").alias("__code"),
+    )
+
+
+def label_encode(df: DataFrame, col: str, n_distinct: int | None = None) -> DataFrame:
     """E5 — integer codes by alphabetical order of the stringified value
-    (sklearn LabelEncoder, main.py:102-105). Codes = dense_rank-1 over the
-    distinct values; the distinct table is broadcast-joined back.
+    (sklearn LabelEncoder, main.py:102-105).
+
+    Join strategy is picked from the profiled distinct count: below
+    LABEL_ENCODE_BROADCAST_CUTOFF the code table is built with one tiny
+    sort window and broadcast-joined (bounded, provably under the
+    broadcast threshold); above it — E5 fires for any column with
+    nunique <= n/2, which at 100 TB can be billions of distincts — codes
+    come from a distributed range-partitioned rank and the join is left
+    to AQE (shuffle join of fact vs code table on the value).
     """
     vals = df.select(F.col(col).cast("string").alias("__v")).distinct()
-    w = Window.orderBy(F.asc_nulls_last("__v"))
-    codes = vals.withColumn("__code", (F.row_number().over(w) - F.lit(1)).cast("long"))
+    if n_distinct is not None and n_distinct > LABEL_ENCODE_BROADCAST_CUTOFF:
+        codes = _rank_distincts_distributed(vals)
+        codes_joinable = codes  # no hint: AQE picks the strategy
+    else:
+        w = Window.orderBy(F.asc_nulls_last("__v"))
+        codes = vals.withColumn(
+            "__code", (F.row_number().over(w) - F.lit(1)).cast("long")
+        )
+        codes_joinable = F.broadcast(codes)
     out = (
         df.join(
-            F.broadcast(codes),
+            codes_joinable,
             F.col(col).cast("string").eqNullSafe(F.col("__v")),
             "left",
         )
@@ -145,7 +204,7 @@ def encode_strings(df: DataFrame, n_rows: int, n_distinct: dict[str, int]) -> Da
         if n_distinct.get(c, 0) > n_rows / 2:
             df = frequency_encode(df, c)
         else:
-            df = label_encode(df, c)
+            df = label_encode(df, c, n_distinct=n_distinct.get(c))
     return df
 
 

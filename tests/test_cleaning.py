@@ -112,3 +112,35 @@ def test_clean_data_end_to_end(spark, mixed_df):
     rows = cleaned.collect()
     assert len(rows) == 200
     assert not any(v is None for r in rows for v in r)
+
+
+def test_label_encode_high_cardinality_no_forced_broadcast(spark):
+    """Above LABEL_ENCODE_BROADCAST_CUTOFF the encoder must (a) not force-
+    broadcast the code table (billions of distincts at 100 TB would OOM a
+    forced build side) and (b) still assign dense alphabetical codes via
+    the distributed range-partitioned rank."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.cleaning import label_encode
+
+    n = 1_000_000
+    df = spark.range(n).select(F.format_string("v%07d", F.col("id")).alias("s"))
+    out = label_encode(df, "s", n_distinct=n)
+
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan, "high-card path must not force a broadcast"
+
+    # zero-padded values sort lexically == numerically, so code == id
+    checked = (
+        label_encode(
+            df.withColumn("orig", F.col("s")).select("s", "orig"), "s", n_distinct=n
+        )
+        .where(F.col("orig").isin("v0000000", "v0000001", "v0123456", "v0999999"))
+        .collect()
+    )
+    got = {r["orig"]: r["s"] for r in checked}
+    assert got == {"v0000000": 0, "v0000001": 1, "v0123456": 123456, "v0999999": 999999}
+    stats = label_encode(df, "s", n_distinct=n).agg(
+        F.count_distinct("s").alias("k"), F.min("s").alias("lo"), F.max("s").alias("hi")
+    ).first()
+    assert (stats["k"], stats["lo"], stats["hi"]) == (n, 0, n - 1)
