@@ -1,0 +1,102 @@
+"""Connected components over a duplicate-pair table.
+
+LSH/SimHash dedup emits *pairs* (A~B, B~C); a training pipeline needs the
+transitive closure — {A,B,C} is ONE duplicate cluster with one survivor.
+(The reference has no dedup surface at all, SURVEY.md §2.6; this is
+north-star extension work on top of operators/dedup.py.)
+
+Algorithm: iterative min-label propagation over the symmetrized edge list.
+Each round every node takes the min of its own label and its neighbors'
+labels; a round is one equi-join + one groupBy-min — two shuffles keyed on
+node id, fully distributed, never materializing anything per-component.
+Convergence is reached in O(diameter) rounds; duplicate clusters in a real
+corpus are short chains (near-dup neighborhoods), so this converges in a
+handful of rounds. ``max_iter`` bounds the loop for adversarial graphs
+(a path graph of length > max_iter would need the small-star/large-star
+variant; the bound is asserted, not silently wrong — see ``strict``).
+
+Each round ends with an eager ``localCheckpoint``: it truncates the plan
+lineage (otherwise the DAG doubles every round and Catalyst analysis cost
+explodes) and stores only the (node, comp) table, which is one row per
+distinct node in the pair table — tiny relative to the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    strict: bool = True,
+) -> DataFrame:
+    """Return (node, comp) where comp is the MIN node id reachable from
+    ``node`` over the undirected edge set — a deterministic component
+    label. Only nodes that appear in ``edges`` are returned (isolated
+    rows of the corpus are not duplicate-cluster members by definition).
+
+    ``strict=True`` raises if the label table has not converged after
+    ``max_iter`` rounds instead of returning partial components.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter):
+        prop = e.join(labels, e.u == labels.node).select(
+            F.col("v").alias("node"), F.col("comp")
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "__old"), "node")
+            .where(F.col("comp") != F.col("__old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            converged = True
+            break
+    e.unpersist()
+    if strict and not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds the bound; raise max_iter or use "
+            "a star-contraction variant)"
+        )
+    return labels
+
+
+def duplicate_groups(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """(doc_id, group_id, group_size, is_kept) for every document that is
+    a member of a duplicate cluster: group_id = min doc id in the cluster
+    (the survivor), keep-first semantics matching exact_duplicates."""
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs, src=src, dst=dst)
+    w = Window.partitionBy("comp")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("group_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        (F.col("node") == F.col("comp")).alias("is_kept"),
+    )

@@ -151,3 +151,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.normalized_exact_duplicates(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_groups",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        {_minhash_cte()},
+        bands AS ({_bands_sql()}),
+        cands AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        ),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cands c JOIN ex ea ON ea.id = c.id_a JOIN ex eb ON eb.id = c.id_b AND eb.g = ea.g
+          GROUP BY 1, 2
+        ),
+        dups AS (
+          SELECT i.id_a, i.id_b
+          FROM inter i JOIN sh sa ON i.id_a = sa.id JOIN sh sb ON i.id_b = sb.id
+          WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM dups
+          UNION
+          SELECT id_b, id_a FROM dups
+        ),
+        reach(node, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+        ),
+        cc AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+        SELECT node AS doc_id, comp AS group_id,
+               CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS group_size,
+               node = comp AS is_kept
+        FROM cc
+    """,
+    description="transitive duplicate clusters: MinHash-LSH verified pairs -> "
+    "min-label-propagation connected components (keep-first survivor); oracle "
+    "is the same pair SQL closed transitively by a recursive CTE",
+)
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_agent_spark.operators.graph import duplicate_groups
+
+    pairs = D.minhash_near_dup_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.8
+    ).select("id_a", "id_b")
+    return duplicate_groups(pairs)

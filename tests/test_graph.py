@@ -1,0 +1,57 @@
+"""connected_components / duplicate_groups unit tests (operators/graph.py).
+
+The sf0.01 oracle check (dedup_minhash_groups, recursive-CTE twin) covers
+the integrated path; these cover graph shapes the corpus may not contain:
+long chains (transitivity over many hops), multiple disjoint clusters,
+and the convergence bound.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_agent_spark.operators.graph import (
+    connected_components,
+    duplicate_groups,
+)
+
+
+def _cc(spark, pairs, **kw):
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {
+        r["node"]: r["comp"] for r in connected_components(edges, **kw).collect()
+    }
+
+
+def test_chain_collapses_to_min_label(spark):
+    # 1-2, 2-3, 3-4, 4-5: one component, min label 1, needs multi-round
+    # propagation (diameter 4)
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_components_keep_separate_labels(spark):
+    got = _cc(spark, [(10, 11), (11, 12), (50, 51), (99, 98)])
+    assert got == {10: 10, 11: 10, 12: 10, 50: 50, 51: 50, 98: 98, 99: 98}
+
+
+def test_edge_direction_irrelevant(spark):
+    # pairs arrive as (bigger, smaller) — symmetrization must handle it
+    got = _cc(spark, [(7, 3), (3, 9)])
+    assert got == {3: 3, 7: 3, 9: 3}
+
+
+def test_convergence_bound_strict_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, [(i, i + 1) for i in range(10)], max_iter=2, strict=True)
+
+
+def test_duplicate_groups_survivor_semantics(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (8, 9)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in duplicate_groups(pairs).collect()}
+    assert rows[1]["group_id"] == 1 and rows[1]["is_kept"]
+    assert rows[3]["group_id"] == 1 and not rows[3]["is_kept"]
+    assert rows[1]["group_size"] == 3
+    assert rows[8]["group_id"] == 8 and rows[8]["group_size"] == 2
+    # every cluster keeps exactly one survivor
+    kept = [r for r in rows.values() if r["is_kept"]]
+    assert len(kept) == 2
