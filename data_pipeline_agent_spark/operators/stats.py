@@ -75,3 +75,44 @@ def corr_pairs(df: DataFrame, max_cols: int = 10) -> tuple[list[str], dict]:
     for c in cols:
         out[(c, c)] = 1.0
     return cols, out
+
+
+def kde_grid(df: DataFrame, col: str, n_points: int = 64) -> list[tuple[float, float]]:
+    """A7 KDE overlay (reference: sns.histplot(kde=True), main.py:156,179).
+
+    Gaussian kernel density evaluated on an n_points even grid between the
+    column's min and max, via ``pyspark.mllib.stat.KernelDensity`` — the
+    sample stays distributed (one RDD pass per estimate); only the
+    n_points grid densities come back to the driver. Bandwidth is Scott's
+    rule (std * n^(-1/5)), the seaborn default, so the curve shape matches
+    the reference's overlay.
+
+    Returns [] when the column is empty or constant (no density to draw),
+    mirroring seaborn's silent skip.
+    """
+    from pyspark.mllib.stat import KernelDensity
+
+    s = (
+        df.where(F.col(col).isNotNull())
+        .agg(
+            F.count(col).alias("n"),
+            F.stddev(F.col(col).cast("double")).alias("sd"),
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        )
+        .first()
+    )
+    n, sd, lo, hi = s["n"], s["sd"], s["lo"], s["hi"]
+    if not n or n < 2 or sd is None or sd == 0.0 or lo == hi:
+        return []
+    bw = float(sd) * float(n) ** (-0.2)
+    kd = KernelDensity()
+    kd.setSample(
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).cast("double"))
+        .rdd.map(lambda r: r[0])
+    )
+    kd.setBandwidth(bw)
+    xs = [lo + (hi - lo) * i / (n_points - 1) for i in range(n_points)]
+    ys = kd.estimate(xs)
+    return [(float(x), float(y)) for x, y in zip(xs, ys)]

@@ -8,9 +8,10 @@ The data behind every figure is a distributed Spark aggregate
 This container has no matplotlib/seaborn, so figures render as
 dependency-free SVG data-URIs (deterministic string assembly). With
 matplotlib installed the same FigureSpec data could feed PNG rendering —
-the Spark side is identical either way. KDE overlays are omitted
-(documented deviation: seaborn kde needs scipy; the histogram carries the
-same information).
+the Spark side is identical either way. Histograms carry the reference's
+KDE overlay (sns.histplot(kde=True), main.py:156,179) as a polyline:
+densities come from pyspark.mllib.stat.KernelDensity on a 64-point grid
+(operators/stats.kde_grid), scaled to the tallest bar like seaborn does.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ from data_pipeline_agent_spark.operators.stats import (
     corr_pairs,
     group_counts,
     histogram_bins,
+    kde_grid,
 )
 
 _W, _H = 600, 360
@@ -42,7 +44,12 @@ def _svg_text(lines: list[str]) -> str:
     return f'<svg xmlns="http://www.w3.org/2000/svg" width="{_W}" height="{_H}">{body}</svg>'
 
 
-def _svg_bars(pairs: list[tuple], title: str, horizontal: bool = False) -> str:
+def _svg_bars(
+    pairs: list[tuple],
+    title: str,
+    horizontal: bool = False,
+    kde: list[tuple[float, float]] | None = None,
+) -> str:
     if not pairs:
         return _svg_text([title, "(no data)"])
     mx = max(v for _, v in pairs) or 1
@@ -61,6 +68,19 @@ def _svg_bars(pairs: list[tuple], title: str, horizontal: bool = False) -> str:
                 f'<text x="{x + bw / 2}" y="{_H - 24}" text-anchor="middle" font-size="9" '
                 f'font-family="sans-serif">{str(label)[:8]}</text>'
             )
+    if kde:
+        # density polyline over the bars, peak scaled to the tallest bar
+        # (the visual convention of sns.histplot(kde=True))
+        peak = max(y for _, y in kde) or 1.0
+        plot_w = n * (bw + 4) - 4
+        pts = []
+        for j, (_, y) in enumerate(kde):
+            px = 40 + plot_w * j / max(len(kde) - 1, 1)
+            py = _H - 40 - (y / peak) * (_H - 90)
+            pts.append(f"{px:.1f},{py:.1f}")
+        parts.append(
+            f'<polyline points="{" ".join(pts)}" fill="none" stroke="#d2691e" stroke-width="2"/>'
+        )
     return (
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{_W}" height="{_H}">'
         + "".join(parts)
@@ -140,9 +160,12 @@ def generate_visualizations(
             pairs = group_counts(df, target_col, limit=20)
             svg = _svg_bars(pairs, f"Distribution of {target_col}")
         else:
-            bins = histogram_bins(df.where(F.col(target_col).isNotNull()), target_col)
+            nn = df.where(F.col(target_col).isNotNull())
+            bins = histogram_bins(nn, target_col)
             svg = _svg_bars(
-                [(f"{lo:.3g}", c) for lo, _, c in bins], f"Distribution of {target_col}"
+                [(f"{lo:.3g}", c) for lo, _, c in bins],
+                f"Distribution of {target_col}",
+                kde=kde_grid(nn, target_col),
             )
         figs.append((f"Target Distribution ({target_col})", _svg_to_b64(svg)))
 
@@ -155,8 +178,13 @@ def generate_visualizations(
 
     # 4. Top-5 numeric feature distributions (main.py:178-187)
     for i, col in enumerate(numeric_columns(df)[:5]):
-        bins = histogram_bins(df.where(F.col(col).isNotNull()), col)
-        svg = _svg_bars([(f"{lo:.3g}", c) for lo, _, c in bins], f"Distribution of {col}")
+        nn = df.where(F.col(col).isNotNull())
+        bins = histogram_bins(nn, col)
+        svg = _svg_bars(
+            [(f"{lo:.3g}", c) for lo, _, c in bins],
+            f"Distribution of {col}",
+            kde=kde_grid(nn, col),
+        )
         figs.append((f"Feature {i + 1}: {col}", _svg_to_b64(svg)))
 
     return figs

@@ -121,3 +121,60 @@ def test_pwa_route_surface_parity():
         "/.well-known/appspecific/com.chrome.devtools.json",
     ]:
         assert expected in paths, f"missing PWA route {expected}"
+
+
+def test_kde_grid_matches_gaussian_kde(spark):
+    """kde_grid == the textbook Gaussian KDE (1/(n*h)) * sum phi((x-xi)/h)
+    at Scott's bandwidth, evaluated with numpy on the same fixture."""
+    import math
+
+    import numpy as np
+
+    from data_pipeline_agent_spark.operators.stats import kde_grid
+
+    vals = [1.0, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0, 7.0, 9.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    grid = kde_grid(df, "x", n_points=16)
+    assert len(grid) == 16
+    xs = np.array([p[0] for p in grid])
+    assert xs[0] == 1.0 and xs[-1] == 9.0
+
+    a = np.array(vals)
+    n = len(a)
+    h = a.std(ddof=1) * n ** (-0.2)  # Scott's rule, sample stddev
+    expect = np.array(
+        [
+            (1.0 / (n * h * math.sqrt(2 * math.pi)))
+            * np.exp(-0.5 * ((x - a) / h) ** 2).sum()
+            for x in xs
+        ]
+    )
+    got = np.array([p[1] for p in grid])
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_kde_grid_degenerate_cases(spark):
+    from data_pipeline_agent_spark.operators.stats import kde_grid
+
+    const = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    assert kde_grid(const, "x") == []
+    empty = spark.createDataFrame([], "x double")
+    assert kde_grid(empty, "x") == []
+
+
+def test_histogram_figures_carry_kde_polyline(spark):
+    import base64
+
+    from data_pipeline_agent_spark.pipeline.viz import generate_visualizations
+
+    import random
+
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [(float(rng.gauss(0, 1)),) for _ in range(300)], "f double"
+    )
+    figs = generate_visualizations(df)
+    feat = [p for t, p in figs if t.startswith("Feature 1")]
+    assert feat
+    svg = base64.b64decode(feat[0]).decode()
+    assert "<polyline" in svg  # the KDE overlay is drawn
