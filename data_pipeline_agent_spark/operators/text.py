@@ -159,3 +159,175 @@ def tfidf_top_terms(
         .where(F.col("rk") <= k)
         .select(id_col, "term", "tfidf", "rk")
     )
+
+
+# --- Gopher-style quality gates (Rae et al. 2021, public heuristics) --------
+
+GOPHER_BULLET_RE = "^[-*•]"
+GOPHER_ELLIPSIS_RE = "(\\.\\.\\.|…)$"
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher rule signals + the composite keep/drop gate, per document:
+
+    word count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    ratio (#/ellipsis) < 0.1, >80% words with an alphabetic char, <90%
+    bullet-started lines, <30% ellipsis-ended lines, >=2 English stopword
+    hits. All pure column expressions (one projection, codegen'd); the
+    whole gate runs in the scan stage with no shuffle at any scale.
+    """
+    t = F.col(text_col)
+    staged = df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        F.filter(tokens(t), lambda x: F.length(x) > 0).alias("__w"),
+        F.filter(
+            F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+            lambda l: F.length(l) > 0,
+        ).alias("__l"),
+    )
+    t = F.col("__t")
+    w = F.col("__w")
+    lines = F.col("__l")
+    wc = F.size(w)
+    wc1 = F.greatest(wc, F.lit(1))
+    word_chars = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_dots = F.floor(
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    )
+    n_ell = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    symbol_ratio = (n_hash + n_dots + n_ell) / wc1
+    alpha_frac = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / wc1
+    nl = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.size(F.filter(lines, lambda l: l.rlike(GOPHER_BULLET_RE))) / nl
+    ellipsis_frac = F.size(F.filter(lines, lambda l: l.rlike(GOPHER_ELLIPSIS_RE))) / nl
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(F.transform(w, F.lower)), stop_arr)
+    )
+    mean_wl = word_chars / wc1
+    gate = (
+        wc.between(50, 100_000)
+        & mean_wl.between(3.0, 10.0)
+        & (symbol_ratio < 0.1)
+        & (alpha_frac > 0.8)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (stop_hits >= 2)
+    )
+    return staged.select(
+        F.col(id_col),
+        wc.cast("long").alias("word_count"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        gate.alias("gopher_pass"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition signals: duplicate-line fraction (by count and by
+    characters) and the character coverage of the most frequent word
+    2-gram. Two grouped aggregations keyed on (doc, line) / (doc, gram) —
+    shuffle volume is O(corpus tokens), never all-pairs.
+
+    dup_line_frac      = (lines - distinct lines) / lines
+    dup_line_char_frac = chars in repeat occurrences / line chars
+    top_2gram_char_frac = count(top 2-gram) * len(top 2-gram) / doc chars
+    (tie-break: higher count, then lexicographically smallest gram)
+    """
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(t).alias("n_chars"),
+        F.filter(
+            F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+            lambda l: F.length(l) > 0,
+        ).alias("__l"),
+        F.filter(tokens(t), lambda x: F.length(x) > 0).alias("__w"),
+    )
+    # --- line duplication ---------------------------------------------------
+    ln = base.select("id", F.explode("__l").alias("line"))
+    per_line = ln.groupBy("id", "line").agg(F.count(F.lit(1)).alias("cnt"))
+    line_stats = per_line.groupBy("id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_distinct_lines"),
+        F.sum((F.col("cnt") - 1) * F.length("line")).alias("rep_chars"),
+        F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
+    )
+    # --- top word-2gram coverage -------------------------------------------
+    grams2 = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__w") - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at("__w", i), F.element_at("__w", i + 1)),
+    )
+    g = base.where(F.size("__w") >= 2).select("id", "n_chars", F.explode(grams2).alias("gram"))
+    per_gram = g.groupBy("id", "n_chars", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    wtop = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top_gram = (
+        per_gram.withColumn("__rk", F.row_number().over(wtop))
+        .where(F.col("__rk") == 1)
+        .select(
+            "id",
+            F.col("gram").alias("top_2gram"),
+            F.col("cnt").cast("long").alias("top_2gram_count"),
+            F.round(
+                F.col("cnt") * F.length("gram") / F.greatest("n_chars", F.lit(1)), 6
+            ).alias("top_2gram_char_frac"),
+        )
+    )
+    return (
+        line_stats.join(top_gram, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.round((F.col("n_lines") - F.col("n_distinct_lines")) / F.col("n_lines"), 6).alias(
+                "dup_line_frac"
+            ),
+            F.round(F.col("rep_chars") / F.greatest("line_chars", F.lit(1)), 6).alias(
+                "dup_line_char_frac"
+            ),
+            "top_2gram",
+            "top_2gram_count",
+            "top_2gram_char_frac",
+        )
+    )
+
+
+# --- PII redaction -----------------------------------------------------------
+
+# RE2-safe patterns (no lookaround) so the DuckDB oracle runs the SAME
+# regexes; applied in order, counts taken on the progressively-redacted
+# text in both engines (a URL-embedded email is a URL, not an email).
+PII_PATTERNS = [
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\+?[0-9]{7,15}\\b", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact URLs, emails, IPv4s, and long digit runs (phone-like) with
+    typed placeholders; emit per-type match counts. Single projection,
+    fully codegen'd — the standard pre-training scrub pass, no shuffle."""
+    cur = F.col(text_col)
+    cols = [F.col(id_col)]
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, F.lit(pat), F.lit(token))
+    return df.select(*cols, cur.alias("redacted"), *counts)

@@ -166,3 +166,135 @@ def text_wordcount_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(100)
     )
+
+
+# --- Gopher quality / repetition / PII (training-data filters) ---------------
+
+_WORDS_SQL = f"list_filter({sql_tokens('text')}, x -> len(x) > 0)"
+_LINES_SQL = (
+    "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),"
+    " l -> len(l) > 0)"
+)
+
+
+@register(
+    "text_gopher_quality",
+    oracle=f"""
+        WITH b AS (
+          SELECT doc_id, text, {_WORDS_SQL} AS w, {_LINES_SQL} AS l
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id,
+                 len(w) AS wc,
+                 greatest(len(w), 1) AS wc1,
+                 len(array_to_string(w, '')) AS word_chars,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 floor((length(text) - length(replace(text, '...', ''))) / 3) AS n_dots,
+                 length(text) - length(replace(text, '…', '')) AS n_ell,
+                 len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                 greatest(len(l), 1) AS nl,
+                 len(list_filter(l, x -> regexp_matches(x, '^[-*•]'))) AS n_bullet,
+                 len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS n_elll,
+                 len(list_filter(list_distinct(list_transform(w, x -> lower(x))),
+                     x -> x IN ({_in_list(EN_STOPWORDS)}))) AS stop_hits
+          FROM b
+        )
+        SELECT doc_id,
+               CAST(wc AS BIGINT) AS word_count,
+               round(word_chars / wc1, 6) AS mean_word_len,
+               round((n_hash + n_dots + n_ell) / wc1, 6) AS symbol_word_ratio,
+               round(n_alpha / wc1, 6) AS alpha_word_frac,
+               round(n_bullet / nl, 6) AS bullet_line_frac,
+               round(n_elll / nl, 6) AS ellipsis_line_frac,
+               CAST(stop_hits AS BIGINT) AS stopword_hits,
+               (wc BETWEEN 50 AND 100000)
+                 AND (word_chars / wc1 BETWEEN 3.0 AND 10.0)
+                 AND ((n_hash + n_dots + n_ell) / wc1 < 0.1)
+                 AND (n_alpha / wc1 > 0.8)
+                 AND (n_bullet / nl < 0.9)
+                 AND (n_elll / nl < 0.3)
+                 AND (stop_hits >= 2) AS gopher_pass
+        FROM f
+    """,
+    description="Gopher quality gate: word-count/word-length bounds, symbol "
+    "ratio, alpha fraction, bullet/ellipsis line fractions, stopword hits — "
+    "pure scan-stage column expressions",
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.gopher_quality_flags(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+        WITH b AS (
+          SELECT doc_id AS id, length(text) AS n_chars,
+                 {_LINES_SQL} AS l, {_WORDS_SQL} AS w
+          FROM documents
+        ),
+        ln AS (SELECT id, unnest(l) AS line FROM b),
+        per_line AS (SELECT id, line, count(*) AS cnt FROM ln GROUP BY 1, 2),
+        line_stats AS (
+          SELECT id, sum(cnt) AS n_lines, count(*) AS n_distinct_lines,
+                 sum((cnt - 1) * length(line)) AS rep_chars,
+                 sum(cnt * length(line)) AS line_chars
+          FROM per_line GROUP BY 1
+        ),
+        g AS (
+          SELECT id, n_chars,
+                 unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1])) AS gram
+          FROM b WHERE len(w) >= 2
+        ),
+        per_gram AS (SELECT id, n_chars, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        topg AS (
+          SELECT id, gram AS top_2gram, CAST(cnt AS BIGINT) AS top_2gram_count,
+                 round(cnt * length(gram) / greatest(n_chars, 1), 6) AS top_2gram_char_frac
+          FROM (SELECT *, row_number() OVER (PARTITION BY id
+                          ORDER BY cnt DESC, gram ASC) AS rn FROM per_gram)
+          WHERE rn = 1
+        )
+        SELECT ls.id AS doc_id,
+               CAST(ls.n_lines AS BIGINT) AS n_lines,
+               round((ls.n_lines - ls.n_distinct_lines) / ls.n_lines, 6) AS dup_line_frac,
+               round(ls.rep_chars / greatest(ls.line_chars, 1), 6) AS dup_line_char_frac,
+               t.top_2gram, t.top_2gram_count, t.top_2gram_char_frac
+        FROM line_stats ls LEFT JOIN topg t ON ls.id = t.id
+    """,
+    description="Gopher repetition signals: duplicate-line fractions + top "
+    "word-2gram character coverage (grouped aggs on (doc,line)/(doc,gram))",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.repetition_stats(table(spark, sf_dir, "documents"))
+
+
+def _pii_oracle() -> str:
+    from data_pipeline_agent_spark.operators.text import PII_PATTERNS
+
+    prev, stages = "s0", ["s0 AS (SELECT doc_id, text AS t FROM documents)"]
+    carried: list[str] = []
+    for i, (name, pat, token) in enumerate(PII_PATTERNS, start=1):
+        keep = ", ".join(carried) + (", " if carried else "")
+        stages.append(
+            f"s{i} AS (SELECT doc_id, {keep}"
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{token}', 'g') AS t FROM {prev})"
+        )
+        carried.append(f"n_{name}")
+        prev = f"s{i}"
+    cols = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return (
+        "WITH " + ", ".join(stages) + f" SELECT doc_id, t AS redacted, {cols} FROM {prev}"
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle=_pii_oracle(),
+    description="PII scrub: URL/email/IPv4/phone redaction with typed "
+    "placeholders + per-type counts; sequential RE2-safe regexes, one "
+    "codegen'd projection",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.pii_redact(table(spark, sf_dir, "documents"))
