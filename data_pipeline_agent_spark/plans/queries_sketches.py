@@ -79,3 +79,86 @@ def hll_users_by_type_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").cast("long").alias("n_approx"),
     )
     return per_type_est.unionByName(total)
+
+
+@register(
+    "cms_heavy_hitters_partkey",
+    description="count_min_sketch heavy hitters: CMS estimates vs exact "
+    "counts for the top-10 part keys (single-pass mergeable sketch; "
+    "over-estimate-only error bounded in tests)",
+)
+def cms_heavy_hitters_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over l_partkey, probed at the exact top-10 keys.
+
+    The CMS aggregate is one pass and mergeable (the 100 TB path for
+    frequency rollups); probing uses the driver-side sketch (a few KB).
+    CMS guarantees est >= exact and est <= exact + eps*N w.h.p. — both
+    asserted in tests/test_sketches.py.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("l_partkey"))
+        .limit(10)
+    )
+    sk_row = li.agg(
+        F.expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").alias("sk")
+    ).first()
+    sketch = spark.sparkContext._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_row["sk"])
+    )
+    rows = [
+        (r["l_partkey"], r["n_exact"], int(sketch.estimateCount(r["l_partkey"])))
+        for r in top.collect()
+    ]
+    return spark.createDataFrame(
+        rows, "l_partkey long, n_exact long, n_cms long"
+    ).select(
+        "l_partkey",
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") - F.col("n_exact")).cast("long").alias("overcount"),
+    )
+
+
+@register(
+    "bloom_semijoin_orders",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_matched,
+               round(sum(o_totalprice), 6) AS total
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+    """,
+    description="selective semi-join eligible for Spark's runtime Bloom "
+    "prefilter (spark.sql.optimizer.runtime.bloomFilter.enabled, on by "
+    "default): the build side's keys become a broadcast bloom filter probed "
+    "in the fact scan before the join shuffle; result stays exact",
+)
+def bloom_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB pre-filter pattern, the Spark-idiomatic way: a selective
+    dim filter + semi-join lets Catalyst's InjectRuntimeFilter turn the dim
+    keys into a Bloom filter (a few MB for millions of keys) that the fact
+    scan probes BEFORE shuffling — ~all non-matching rows are dropped at
+    the scan. False positives only cost shuffle bytes; the join keeps the
+    result exact. Hand-rolling the same thing via a Python-UDF mightContain
+    would move the probe off the JVM hot path, so we deliberately express
+    the plan declaratively and let the optimizer place the filter.
+    """
+    cust = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            cust.select("c_custkey"),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.round(F.sum("o_totalprice"), 6).alias("total"),
+        )
+    )

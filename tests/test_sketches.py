@@ -31,3 +31,25 @@ def test_hll_union_by_type(spark):
     # the union estimate must be <= sum of parts and >= the largest part
     assert total[0]["n_approx"] <= sum(r["n_approx"] for r in per_type)
     assert total[0]["n_approx"] >= max(r["n_approx"] for r in per_type) * 0.95
+
+
+def test_cms_overestimate_bound(spark):
+    """CMS guarantees est >= exact, and est <= exact + eps*N with
+    confidence 1-delta (eps=0.001, delta=0.01 in the query)."""
+    from data_pipeline_agent_spark.plans import REGISTRY
+
+    rows = REGISTRY["cms_heavy_hitters_partkey"].spark(
+        spark, str(SF_DIR)
+    ).collect()
+    assert len(rows) == 10
+    n_total = 60_000 * 1  # sf0.001 lineitem ~60k? bound uses actual N below
+    # recompute N from the table for a correct bound at any SF_DIR
+    from data_pipeline_agent_spark.plans.registry import table as _table
+
+    n_total = _table(spark, str(SF_DIR), "lineitem").count()
+    for r in rows:
+        assert r["n_cms"] >= r["n_exact"], "CMS must never under-count"
+        assert r["overcount"] == r["n_cms"] - r["n_exact"]
+        assert r["n_cms"] <= r["n_exact"] + 0.001 * n_total * 10, (
+            f"CMS overcount beyond 10x eps*N bound: {r}"
+        )
