@@ -316,12 +316,18 @@ PII_PATTERNS = [
 ]
 
 
-def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Redact URLs, emails, IPv4s, and long digit runs (phone-like) with
     typed placeholders; emit per-type match counts. Single projection,
-    fully codegen'd — the standard pre-training scrub pass, no shuffle."""
+    fully codegen'd — the standard pre-training scrub pass, no shuffle.
+    ``keep`` passes source columns through (avoids a join back)."""
     cur = F.col(text_col)
-    cols = [F.col(id_col)]
+    cols = [F.col(id_col), *[F.col(c) for c in keep]]
     counts = []
     for name, pat, token in PII_PATTERNS:
         counts.append(

@@ -298,3 +298,130 @@ def _pii_oracle() -> str:
 )
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pii_redact(table(spark, sf_dir, "documents"))
+
+
+# --- composite: the end-to-end corpus-curation funnel ------------------------
+
+_GOPHER_GATE_SQL = f"""
+    (len(w) BETWEEN 50 AND 100000)
+    AND (len(array_to_string(w, '')) / greatest(len(w), 1) BETWEEN 3.0 AND 10.0)
+    AND ((length(text) - length(replace(text, '#', ''))
+          + floor((length(text) - length(replace(text, '...', ''))) / 3)
+          + length(text) - length(replace(text, '…', ''))) / greatest(len(w), 1) < 0.1)
+    AND (len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) / greatest(len(w), 1) > 0.8)
+    AND (len(list_filter(l, x -> regexp_matches(x, '^[-*•]'))) / greatest(len(l), 1) < 0.9)
+    AND (len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) / greatest(len(l), 1) < 0.3)
+    AND (len(list_filter(list_distinct(list_transform(w, x -> lower(x))),
+         x -> x IN ({_in_list(EN_STOPWORDS)}))) >= 2)
+"""
+
+
+def _pii_chain_sql(src: str) -> str:
+    """Staged redact CTEs over ``src`` (doc_id, lang, text) -> final CTE
+    ``pz`` with (doc_id, lang, t=redacted, n_url, n_email, n_ipv4, n_phone)."""
+    from data_pipeline_agent_spark.operators.text import PII_PATTERNS
+
+    prev, stages, carried = src, [], []
+    for i, (name, pat, token) in enumerate(PII_PATTERNS, start=1):
+        keep = ", ".join(carried) + (", " if carried else "")
+        col = "text" if i == 1 else "t"
+        stages.append(
+            f"p{i} AS (SELECT doc_id, lang, {keep}"
+            f"CAST(len(regexp_extract_all({col}, '{pat}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace({col}, '{pat}', '{token}', 'g') AS t FROM {prev})"
+        )
+        carried.append(f"n_{name}")
+        prev = f"p{i}"
+    stages.append(f"pz AS (SELECT * FROM {prev})")
+    return ", ".join(stages)
+
+
+@register(
+    "corpus_curation_summary",
+    oracle=f"""
+        WITH nrm AS (
+          SELECT doc_id, lang, text,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                      '\\s+', ' ', 'g')) AS norm
+          FROM documents
+        ),
+        sv AS (
+          SELECT doc_id, lang, text FROM (
+            SELECT doc_id, lang, text,
+                   min(doc_id) OVER (PARTITION BY norm) AS gid
+            FROM nrm
+          ) WHERE doc_id = gid
+        ),
+        gb AS (
+          SELECT doc_id, lang, text, {_WORDS_SQL} AS w, {_LINES_SQL} AS l FROM sv
+        ),
+        q AS (SELECT doc_id, lang, text FROM gb WHERE {_GOPHER_GATE_SQL}),
+        {_pii_chain_sql('q')},
+        raw AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_raw FROM documents GROUP BY 1),
+        ded AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_dedup FROM sv GROUP BY 1),
+        qua AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_quality FROM q GROUP BY 1),
+        tok AS (
+          SELECT lang,
+                 CAST(sum(len(list_filter(string_split_regex(trim(t), '\\s+'),
+                      x -> len(x) > 0))) AS BIGINT) AS total_tokens,
+                 CAST(sum(n_url + n_email + n_ipv4 + n_phone) AS BIGINT) AS n_pii
+          FROM pz GROUP BY 1
+        )
+        SELECT r.lang, r.n_raw,
+               coalesce(d.n_dedup, 0) AS n_dedup,
+               coalesce(u.n_quality, 0) AS n_quality,
+               coalesce(t.total_tokens, 0) AS total_tokens,
+               coalesce(t.n_pii, 0) AS n_pii
+        FROM raw r
+          LEFT JOIN ded d USING (lang)
+          LEFT JOIN qua u USING (lang)
+          LEFT JOIN tok t USING (lang)
+    """,
+    description="end-to-end curation funnel per language: normalized dedup "
+    "survivors -> Gopher quality gate -> PII scrub -> token/PII totals. "
+    "Demonstrates operator composition; every stage is the same oracle-"
+    "checked operator registered individually",
+)
+def corpus_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_agent_spark.functions.text_hash import tokens as _tokens
+    from data_pipeline_agent_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    kept = (
+        D.normalized_exact_duplicates(docs)
+        .where(F.col("is_kept"))
+        .select("doc_id")
+    )
+    sv = docs.join(kept, "doc_id")  # dedup survivors (one shuffle on doc_id)
+    passed = (
+        T.gopher_quality_flags(sv)
+        .where(F.col("gopher_pass"))
+        .select("doc_id")
+    )
+    qd = sv.join(passed, "doc_id")
+    red = T.pii_redact(qd, keep=("lang",))
+    tok = red.select(
+        "lang",
+        F.size(F.filter(_tokens(F.col("redacted")), lambda x: F.length(x) > 0)).alias("tk"),
+        (F.col("n_url") + F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")).alias("pii"),
+    )
+    raw = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    ded = sv.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_dedup"))
+    qua = qd.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_quality"))
+    tot = tok.groupBy("lang").agg(
+        F.sum("tk").cast("long").alias("total_tokens"),
+        F.sum("pii").cast("long").alias("n_pii"),
+    )
+    return (
+        raw.join(ded, "lang", "left")
+        .join(qua, "lang", "left")
+        .join(tot, "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            F.coalesce("n_dedup", F.lit(0)).cast("long").alias("n_dedup"),
+            F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce("total_tokens", F.lit(0)).cast("long").alias("total_tokens"),
+            F.coalesce("n_pii", F.lit(0)).cast("long").alias("n_pii"),
+        )
+    )
