@@ -167,30 +167,27 @@ GOPHER_BULLET_RE = "^[-*•]"
 GOPHER_ELLIPSIS_RE = "(\\.\\.\\.|…)$"
 
 
-def gopher_quality_flags(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Gopher rule signals + the composite keep/drop gate, per document:
+def gopher_words(t: Column) -> Column:
+    """Non-empty whitespace words — stage this before gopher_parts."""
+    return F.filter(tokens(t), lambda x: F.length(x) > 0)
 
-    word count in [50, 100k], mean word length in [3, 10], symbol-to-word
-    ratio (#/ellipsis) < 0.1, >80% words with an alphabetic char, <90%
-    bullet-started lines, <30% ellipsis-ended lines, >=2 English stopword
-    hits. All pure column expressions (one projection, codegen'd); the
-    whole gate runs in the scan stage with no shuffle at any scale.
-    """
-    t = F.col(text_col)
-    staged = df.select(
-        F.col(id_col),
-        t.alias("__t"),
-        F.filter(tokens(t), lambda x: F.length(x) > 0).alias("__w"),
-        F.filter(
-            F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
-            lambda l: F.length(l) > 0,
-        ).alias("__l"),
+
+def gopher_lines(t: Column) -> Column:
+    """Non-empty trimmed lines — stage this before gopher_parts."""
+    return F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
     )
-    t = F.col("__t")
-    w = F.col("__w")
-    lines = F.col("__l")
+
+
+def gopher_parts(t: Column, w: Column, lines: Column) -> dict[str, Column]:
+    """The Gopher rule signals as raw column expressions over a text column
+    and its STAGED words/lines arrays (stage them as projection attributes
+    first — each is referenced several times below, and copies of the
+    tokenize subtree are not eliminated inside lambda bodies).  Returns
+    the signal dict plus the composite ``gate``; callers pick what they
+    need, so the gate can be inlined into a single-pass funnel without a
+    join against a flags table."""
     wc = F.size(w)
     wc1 = F.greatest(wc, F.lit(1))
     word_chars = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
@@ -218,16 +215,47 @@ def gopher_quality_flags(
         & (ellipsis_frac < 0.3)
         & (stop_hits >= 2)
     )
+    return {
+        "word_count": wc,
+        "mean_word_len": mean_wl,
+        "symbol_word_ratio": symbol_ratio,
+        "alpha_word_frac": alpha_frac,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "stopword_hits": stop_hits,
+        "gate": gate,
+    }
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher rule signals + the composite keep/drop gate, per document:
+
+    word count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    ratio (#/ellipsis) < 0.1, >80% words with an alphabetic char, <90%
+    bullet-started lines, <30% ellipsis-ended lines, >=2 English stopword
+    hits. All pure column expressions (one projection, codegen'd); the
+    whole gate runs in the scan stage with no shuffle at any scale.
+    """
+    t = F.col(text_col)
+    staged = df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        gopher_words(t).alias("__w"),
+        gopher_lines(t).alias("__l"),
+    )
+    p = gopher_parts(F.col("__t"), F.col("__w"), F.col("__l"))
     return staged.select(
         F.col(id_col),
-        wc.cast("long").alias("word_count"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
-        F.round(alpha_frac, 6).alias("alpha_word_frac"),
-        F.round(bullet_frac, 6).alias("bullet_line_frac"),
-        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
-        stop_hits.cast("long").alias("stopword_hits"),
-        gate.alias("gopher_pass"),
+        p["word_count"].cast("long").alias("word_count"),
+        F.round(p["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(p["symbol_word_ratio"], 6).alias("symbol_word_ratio"),
+        F.round(p["alpha_word_frac"], 6).alias("alpha_word_frac"),
+        F.round(p["bullet_line_frac"], 6).alias("bullet_line_frac"),
+        F.round(p["ellipsis_line_frac"], 6).alias("ellipsis_line_frac"),
+        p["stopword_hits"].cast("long").alias("stopword_hits"),
+        p["gate"].alias("gopher_pass"),
     )
 
 
@@ -316,6 +344,18 @@ PII_PATTERNS = [
 ]
 
 
+def pii_chain(t: Column) -> tuple[Column, dict[str, Column]]:
+    """The staged redact chain as raw column expressions: returns
+    (fully-redacted text, {type: match-count}) with counts taken on the
+    progressively-redacted text (a URL-embedded email is a URL)."""
+    cur = t
+    counts: dict[str, Column] = {}
+    for name, pat, token in PII_PATTERNS:
+        counts[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, F.lit(pat), F.lit(token))
+    return cur, counts
+
+
 def pii_redact(
     df: DataFrame,
     text_col: str = "text",
@@ -326,14 +366,10 @@ def pii_redact(
     typed placeholders; emit per-type match counts. Single projection,
     fully codegen'd — the standard pre-training scrub pass, no shuffle.
     ``keep`` passes source columns through (avoids a join back)."""
-    cur = F.col(text_col)
-    cols = [F.col(id_col), *[F.col(c) for c in keep]]
-    counts = []
-    for name, pat, token in PII_PATTERNS:
-        counts.append(
-            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
-            .cast("long")
-            .alias(f"n_{name}")
-        )
-        cur = F.regexp_replace(cur, F.lit(pat), F.lit(token))
-    return df.select(*cols, cur.alias("redacted"), *counts)
+    red, counts = pii_chain(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        red.alias("redacted"),
+        *[c.cast("long").alias(f"n_{name}") for name, c in counts.items()],
+    )
