@@ -333,3 +333,32 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_value")
     )
+
+
+@register(
+    "events_view_to_purchase_30min",
+    oracle="""
+        SELECT l.user_id,
+               l.ts AS first_ts,
+               r.ts AS next_ts,
+               CAST(date_diff('second', l.ts, r.ts) AS BIGINT) AS gap_seconds,
+               r.value AS next_value
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND r.ts > l.ts
+         AND r.ts <= l.ts + INTERVAL 30 MINUTE
+        WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+    """,
+    description="interval join (conversion attribution): purchases within "
+    "30 min of a view per user — the batch twin of the stream-stream join "
+    "in streaming/joins.py (same plan, watermark-bounded state when "
+    "streaming)",
+)
+def events_view_to_purchase_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_agent_spark.plans.registry import events_table
+    from data_pipeline_agent_spark.streaming.joins import followup_within
+
+    return followup_within(
+        events_table(spark, sf_dir), first_type="view", next_type="purchase",
+        horizon="30 minutes",
+    )
