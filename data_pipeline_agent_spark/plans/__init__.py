@@ -2,6 +2,7 @@
 
 from data_pipeline_agent_spark.plans import (  # noqa: F401
     queries_cleaning,
+    queries_corpus,
     queries_dedup,
     queries_joins,
     queries_ml,
@@ -10,6 +11,7 @@ from data_pipeline_agent_spark.plans import (  # noqa: F401
     queries_similarity,
     queries_text,
     queries_tpch_extra,
+    queries_tpch_fill,
     queries_windows,
 )
 from data_pipeline_agent_spark.plans.registry import REGISTRY, QuerySpec  # noqa: F401

@@ -1,0 +1,191 @@
+"""Training-corpus management queries: contamination, sampling, packing.
+
+Beyond the curation funnel (queries_text.py), a 100 TB training-data
+pipeline needs: benchmark-contamination detection (n-gram overlap with an
+eval set), deterministic stratified sampling (re-runs must pick the SAME
+documents — no RNG), sequence packing (fill fixed token budgets), and
+per-source corpus stats. All four are pure DataFrame plans with DuckDB
+oracle twins; determinism comes from md5 arithmetic shared with the dedup
+stack (functions/text_hash.py), never from Spark/DuckDB RNG.
+
+The reference (/root/reference/main.py) is a single-table profiler with
+none of these — north-star extension surface per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_agent_spark.functions.text_hash import tokens, word_ngrams
+from data_pipeline_agent_spark.plans.registry import register, table
+from data_pipeline_agent_spark.plans.sql_text import sql_ngrams, sql_tokens
+
+# Eval-set membership: a deterministic 1/97 slice of the corpus stands in
+# for a benchmark suite (the container ships no external eval files).
+_EVAL_MOD = 97
+_CONTAM_N = 4  # word n-gram width for contamination; production corpora use
+# ~13-token shingles, but the ~54-word synthetic docs draw from a tiny
+# vocabulary, so 4 is the width at which genuine cross-slice overlap exists
+# (8-grams: zero hits at sf0.01, which would make the check vacuous)
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {sql_tokens('lower(text)')} AS w FROM documents
+        ),
+        g AS (
+            SELECT doc_id, unnest({sql_ngrams('w', _CONTAM_N)}) AS gram FROM toks
+        ),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_EVAL_MOD} = 0),
+        tr AS (SELECT doc_id, gram FROM g WHERE doc_id % {_EVAL_MOD} <> 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+        FROM tr JOIN ev USING (gram)
+        GROUP BY doc_id
+    """,
+    description="benchmark-contamination check: training docs sharing any "
+    "4-word-gram with the (deterministic 1/97) eval slice, with the count "
+    "of distinct shared shingles per contaminated doc",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at scale: shingle both corpus slices, equi-join on
+    the shingle. Both sides are distinct-projected BEFORE the join (the
+    shingle explode is map-side; the only shuffles are the two distincts
+    and the gram-keyed join — no all-pairs doc comparison anywhere). At
+    100 TB the eval side is the benchmark suite: thousands of docs, so its
+    distinct gram set broadcasts; here it is 1/97 of the corpus and the
+    join strategy is left to AQE.
+
+    word_ngrams already emits DISTINCT shingles per doc, so the train side
+    needs no extra dedup before the count."""
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(tokens(F.lower(F.col("text"))), _CONTAM_N)).alias("gram"),
+    )
+    ev = (
+        grams.where(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    tr = grams.where(F.col("doc_id") % _EVAL_MOD != 0)
+    return (
+        tr.join(ev, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+
+
+@register(
+    "sample_stratified_deterministic",
+    oracle="""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              < (CASE WHEN lang = 'en' THEN '80' ELSE '40' END)
+    """,
+    description="deterministic stratified sampling: keep en at 50% and "
+    "other languages at 25% by comparing the first md5 byte of the doc id "
+    "against a per-stratum threshold — identical pick-set on every run "
+    "and every engine, no RNG",
+)
+def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.sample()/sampleBy() draw from a seeded RNG whose stream depends
+    on partitioning — a repartition changes the picked rows, which is
+    unacceptable for a training corpus (re-runs must reproduce the exact
+    dataset). Hash-thresholding the stable doc key is the standard fix:
+    the predicate is a pure scan-stage expression (no shuffle, no state),
+    rates are per-stratum CASE thresholds on the first md5 byte
+    (0x80/256 = 50%, 0x40/256 = 25%)."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thr = F.when(F.col("lang") == "en", F.lit("80")).otherwise(F.lit("40"))
+    return docs.where(bucket < thr).select("doc_id", "lang")
+
+
+_PACK_BUDGET = 512  # tokens per packed sequence
+
+
+@register(
+    "pack_sequences_by_source",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, doc_id,
+                   len({sql_tokens('text')}) AS n_tokens
+            FROM documents
+        ),
+        b AS (
+            SELECT source, n_tokens,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / {_PACK_BUDGET}) AS BIGINT) AS bin
+            FROM t
+        )
+        SELECT source, bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM b GROUP BY source, bin
+    """,
+    description=f"sequence packing: assign docs (doc_id order, per source) "
+    f"to {_PACK_BUDGET}-token training bins by cumulative token count; "
+    f"reports docs and tokens per bin",
+)
+def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill packing for training-sequence construction: within
+    each source, documents in stable doc_id order are assigned to the bin
+    their preceding cumulative token count falls in. One window shuffle
+    partitioned by source (at 100 TB, source/shard is the natural packing
+    unit — the window never sees a global order), one aggregate on
+    (source, bin). Greedy first-fit would need sequential state; the
+    cumulative-quotient rule is order-parallel, deterministic, and within
+    one document of the same packing efficiency."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = t.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET).cast(
+            "long"
+        ),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "source_token_stats",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, len({sql_tokens('text')}) AS n_tokens FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+               round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens
+        FROM t GROUP BY source
+    """,
+    description="per-source corpus inventory: doc count, token total, "
+    "exact p50/p90 token-length percentiles (one grouped aggregate)",
+)
+def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("source", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    pct = F.expr("percentile(n_tokens, array(0.5, 0.9))")
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(pct.getItem(0), 6).alias("p50_tokens"),
+        F.round(pct.getItem(1), 6).alias("p90_tokens"),
+    )
