@@ -1,0 +1,114 @@
+"""Plan-shape regression tests.
+
+Correctness is gated by the DuckDB oracles; these tests pin the *physical
+properties* that make the same plans survive 100 TB: no forced broadcast
+of SF-scaling tables, pruning semi-joins placed below windows, scan-level
+filter pushdown and column pruning, equi-joins (not cartesians) for the
+shingle-overlap queries, and whole-stage codegen over the text features.
+They read Catalyst's analyzed/optimized/formatted plan text — cheap (no
+job runs) and stable under the pinned Spark 4.1.x.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_agent_spark.plans import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+# Queries that join SF-scaling tables (customer/supplier/part unfiltered)
+# and therefore must carry NO broadcast hint at all — AQE decides.
+_NO_HINT_QUERIES = [
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_bracket_revenue",
+    "q12_priority_by_status",
+    "q16_supplier_counts",
+]
+
+
+@pytest.mark.parametrize("name", _NO_HINT_QUERIES)
+def test_no_broadcast_hint_on_scaling_joins(spark, name):
+    plan = _analyzed(REGISTRY[name].spark(spark, SF_DIR))
+    assert "ResolvedHint" not in plan, f"{name} carries a forced broadcast hint"
+
+
+# Queries where hints are allowed ONLY because the hinted side is a bounded
+# dim (nation/region) or a selective filtered slice; the SF-scaling side
+# (customer/supplier) must not sit directly under a hint. The analyzed
+# plan prints each hint node followed by its subtree — a hint whose
+# subtree scans customer/supplier parquet without an intervening selective
+# filter would show the relation name in the first indented lines.
+_BOUNDED_HINT_QUERIES = ["q7_nation_volume", "q8_market_share", "q10_returned_revenue"]
+
+
+@pytest.mark.parametrize("name", _BOUNDED_HINT_QUERIES)
+def test_hints_only_on_bounded_dims(spark, name):
+    plan = _analyzed(REGISTRY[name].spark(spark, SF_DIR))
+    for chunk in plan.split("ResolvedHint")[1:]:
+        head = "\n".join(chunk.splitlines()[:4])
+        assert "customer.parquet" not in head and "supplier.parquet" not in head, (
+            f"{name}: SF-scaling table directly under a broadcast hint:\n{head}"
+        )
+
+
+def test_q17_semi_join_prunes_below_window(spark):
+    plan = _optimized(REGISTRY["q17_small_qty_revenue"].spark(spark, SF_DIR))
+    assert "Window" in plan and "LeftSemi" in plan
+    # parent-first tree print: the pruning semi-join must sit BELOW the window
+    assert plan.index("Window") < plan.index("LeftSemi"), (
+        "q17 window input is not pruned by the Brand#13 semi-join"
+    )
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    txt = _formatted(REGISTRY["q6_revenue_forecast"].spark(spark, SF_DIR))
+    pushed = [l for l in txt.splitlines() if "PushedFilters" in l]
+    assert pushed, "no scan reports pushed filters"
+    joined = " ".join(pushed)
+    assert "l_shipdate" in joined and "l_discount" in joined, joined
+
+
+def test_source_token_stats_prunes_columns(spark):
+    txt = _formatted(REGISTRY["source_token_stats"].spark(spark, SF_DIR))
+    read = [l for l in txt.splitlines() if "ReadSchema" in l]
+    assert read, "no scan schema reported"
+    joined = " ".join(read)
+    # only source+text are referenced; doc_id/lang/n_chars must be pruned
+    assert "n_chars" not in joined and "doc_id" not in joined, joined
+
+
+def test_contamination_is_equi_join(spark):
+    txt = _formatted(REGISTRY["contamination_ngram_overlap"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_text_quality_whole_stage_codegen(spark):
+    # formatted mode marks codegen'd operators with a "* " prefix
+    txt = _formatted(REGISTRY["text_quality_score"].spark(spark, SF_DIR))
+    assert "* Project" in txt, f"quality projection fell out of codegen:\n{txt}"
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    # window partitioned by source: exactly one Exchange below the window
+    # (hashpartitioning on source), plus the final aggregate exchange.
+    txt = _formatted(REGISTRY["pack_sequences_by_source"].spark(spark, SF_DIR))
+    assert txt.count("Exchange") <= 2, txt
+    assert "SinglePartition" not in txt, "packing degenerated to a global window"
