@@ -96,6 +96,11 @@ def main() -> None:
         df = REGISTRY[n].spark(spark, sf_dir)
         _materialize(df)
         timings[n] = round(time.perf_counter() - t0, 3)
+        # Query functions persist() intermediates (bands, shingles) that no
+        # one unpersists; 90+ queries in one session otherwise accumulate
+        # cached partitions (GC pressure skews later timings) and identical
+        # plans silently reuse a prior query's cache (flatters the numbers).
+        spark.catalog.clearCache()
 
     headline_total = round(sum(timings[n] for n in headline), 3)
     full_total = round(sum(timings.values()), 3)

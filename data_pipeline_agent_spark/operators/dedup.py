@@ -32,6 +32,7 @@ from data_pipeline_agent_spark.functions.text_hash import (
     tokens,
     word_ngrams,
 )
+from data_pipeline_agent_spark.session import fan_out
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -62,7 +63,8 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     projection with the whole n-gram tree inlined into the predicate and
     re-evaluated per row (measured 50x slower than the filter on toks)."""
     staged = (
-        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        fan_out(df)  # single-row-group scans otherwise shingle on one core
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
         .where(F.size("toks") >= NGRAM_N)
     )
     return staged.select(

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_agent_spark.session import fan_out
+
 SIGN_BITS = 8  # bucket key = sign pattern of the first 8 dims -> 256 buckets
 
 
@@ -59,7 +61,7 @@ def brute_force_topk(
     a = anchors.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    pairs = emb.join(F.broadcast(a), F.col(id_col) != F.col("query_id"))
+    pairs = fan_out(emb).join(F.broadcast(a), F.col(id_col) != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
@@ -83,7 +85,7 @@ def lsh_bucketed_topk(
     """Approximate top-k: candidates limited to the anchor's sign bucket.
     Same output shape as brute_force_topk; recall depends on bucket
     granularity (documented scale path)."""
-    bucketed = emb.withColumn("__bkt", sign_bucket(F.col(vec_col)))
+    bucketed = fan_out(emb).withColumn("__bkt", sign_bucket(F.col(vec_col)))
     a = anchors.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -106,7 +108,7 @@ def lsh_bucketed_topk(
 def embedding_near_dup_pairs(emb: DataFrame, topk: int = 10) -> DataFrame:
     """Embedding-cosine near-dup candidates: within-sign-bucket pairs,
     ranked by cosine. The dedup-by-embedding member of the dedup family."""
-    b = emb.withColumn("__bkt", sign_bucket(F.col("embedding")))
+    b = fan_out(emb).withColumn("__bkt", sign_bucket(F.col("embedding")))
     l = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "__bkt")
     r = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "__bkt")
     pairs = l.join(r, "__bkt").where(F.col("id_a") < F.col("id_b"))
@@ -135,7 +137,7 @@ def ivf_assign(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    vecs = emb.select(
+    vecs = fan_out(emb).select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__fv")
     )
     # KMeans fits on a seeded sample: centroid quality saturates far below

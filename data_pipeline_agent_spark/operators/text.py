@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_agent_spark.functions.text_hash import h32, tokens
+from data_pipeline_agent_spark.session import fan_out
 
 # rule-based language ID: ordered (lang, marker-words) table; CJK charset
 # first, then stopword hits, default 'en'-vs-'unk' by latin-letter share
@@ -53,7 +54,7 @@ def language_id(
 
     ``keep`` passes source columns through (e.g. a ground-truth label) so
     downstream consumers don't need a join back to the corpus."""
-    staged = df.select(
+    staged = fan_out(df).select(
         F.col(id_col),
         *[F.col(c) for c in keep],
         F.col(text_col).alias("__t"),
@@ -71,7 +72,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     n_chars, n_tokens, mean token length, punctuation ratio, stopword
     ratio; score = stopword_ratio-centered minus punctuation penalty,
     scaled by a length prior. All ratios rounded to 6."""
-    staged = df.select("*", tokens(F.col(text_col)).alias("__toks"))
+    staged = fan_out(df).select("*", tokens(F.col(text_col)).alias("__toks"))
     t = F.col(text_col)
     toks = F.col("__toks")  # staged: tokenization runs once per row
     n_chars = F.length(t)
@@ -103,7 +104,7 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     # F.lit keeps the regex out of SQL-literal escaping (where \s would
     # collapse to s and the class would match whitespace)
     bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_REGEX), F.lit(0)))
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         ws.cast("long").alias("ws_tokens"),
         bpe.cast("long").alias("bpe_tokens"),
@@ -114,7 +115,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token bag (hex string + 32-bit int form). Robust to token reordering —
     catches shuffled near-copies that exact dedup misses."""
-    staged = df.select(
+    staged = fan_out(df).select(
         F.col(id_col),
         F.array_join(F.array_sort(F.array_distinct(tokens(F.col(text_col)))), " ").alias("__bag"),
     )  # staged: the sort+distinct+join runs once, not once per hash below
@@ -143,7 +144,7 @@ def tfidf_top_terms(
     keep the result oracle-checkable and human-readable."""
     from pyspark.sql import Window
 
-    t = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    t = fan_out(df).select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
     tf = t.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
     scored = tf.join(dfreq, "term").select(
@@ -239,7 +240,7 @@ def gopher_quality_flags(
     whole gate runs in the scan stage with no shuffle at any scale.
     """
     t = F.col(text_col)
-    staged = df.select(
+    staged = fan_out(df).select(
         F.col(id_col),
         t.alias("__t"),
         gopher_words(t).alias("__w"),
@@ -275,7 +276,7 @@ def repetition_stats(
     from pyspark.sql import Window
 
     t = F.col(text_col)
-    base = df.select(
+    base = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.length(t).alias("n_chars"),
         F.filter(
@@ -367,7 +368,7 @@ def pii_redact(
     fully codegen'd — the standard pre-training scrub pass, no shuffle.
     ``keep`` passes source columns through (avoids a join back)."""
     red, counts = pii_chain(F.col(text_col))
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         *[F.col(c) for c in keep],
         red.alias("redacted"),

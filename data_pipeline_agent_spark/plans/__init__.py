@@ -1,6 +1,7 @@
 """Query catalog. Importing this package populates the registry."""
 
 from data_pipeline_agent_spark.plans import (  # noqa: F401
+    queries_behavior,
     queries_cleaning,
     queries_corpus,
     queries_dedup,

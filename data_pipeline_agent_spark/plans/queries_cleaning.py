@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_agent_spark.operators.cleaning import iqr_bounds
 from data_pipeline_agent_spark.plans.registry import register, table
+from data_pipeline_agent_spark.session import fan_out
 
 # --- P1/P2: null-count profile (main.py:72,76) -------------------------------
 
@@ -61,7 +62,9 @@ def profile_nullcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="E1/O1 exact percentiles with pandas-style linear interpolation",
 )
 def median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = table(spark, sf_dir, "lineitem")
+    # exact percentile's partial state is the value list itself — widen the
+    # single-row-group local scan so partials build on every core
+    df = fan_out(table(spark, sf_dir, "lineitem"))
     q = lambda c, p: F.round(F.percentile(F.col(c), F.lit(p)), 6)  # noqa: E731
     return df.agg(
         q("l_quantity", 0.25).alias("qty_p25"),

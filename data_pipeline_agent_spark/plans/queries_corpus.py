@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_agent_spark.functions.text_hash import tokens, word_ngrams
 from data_pipeline_agent_spark.plans.registry import register, table
+from data_pipeline_agent_spark.session import fan_out
 from data_pipeline_agent_spark.plans.sql_text import sql_ngrams, sql_tokens
 
 # Eval-set membership: a deterministic 1/97 slice of the corpus stands in
@@ -60,17 +61,21 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     word_ngrams already emits DISTINCT shingles per doc, so the train side
     needs no extra dedup before the count."""
-    docs = table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(word_ngrams(tokens(F.lower(F.col("text"))), _CONTAM_N)).alias("gram"),
-    )
-    ev = (
-        grams.where(F.col("doc_id") % _EVAL_MOD == 0)
-        .select("gram")
-        .distinct()
-    )
-    tr = grams.where(F.col("doc_id") % _EVAL_MOD != 0)
+    docs = fan_out(table(spark, sf_dir, "documents"))
+
+    def grams_of(d):
+        return d.select(
+            "doc_id",
+            F.explode(
+                word_ngrams(tokens(F.lower(F.col("text"))), _CONTAM_N)
+            ).alias("gram"),
+        )
+
+    # Slice filters sit BELOW the explode on each branch, so each side
+    # tokenizes only its own documents (the shared-grams frame would be
+    # shingled twice, once per consumer, without a persist).
+    ev = grams_of(docs.where(F.col("doc_id") % _EVAL_MOD == 0)).select("gram").distinct()
+    tr = grams_of(docs.where(F.col("doc_id") % _EVAL_MOD != 0))
     return (
         tr.join(ev, "gram")
         .groupBy("doc_id")
@@ -142,7 +147,7 @@ def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, bin). Greedy first-fit would need sequential state; the
     cumulative-quotient rule is order-parallel, deterministic, and within
     one document of the same packing efficiency."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     t = docs.select(
         "source", "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
     )
@@ -180,7 +185,7 @@ def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact p50/p90 token-length percentiles (one grouped aggregate)",
 )
 def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     t = docs.select("source", F.size(tokens(F.col("text"))).alias("n_tokens"))
     pct = F.expr("percentile(n_tokens, array(0.5, 0.9))")
     return t.groupBy("source").agg(
@@ -188,4 +193,80 @@ def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(pct.getItem(0), 6).alias("p50_tokens"),
         F.round(pct.getItem(1), 6).alias("p90_tokens"),
+    )
+
+
+# --- incremental dedup against a prior snapshot -------------------------------
+
+# "new batch" = the deterministic 1/5 slice; everything else plays the
+# already-ingested snapshot corpus
+_BATCH_MOD = 5
+
+
+@register(
+    "dedup_incremental_new_docs",
+    oracle=f"""
+        SELECT n.doc_id, n.source
+        FROM documents n
+        WHERE n.doc_id % {_BATCH_MOD} = 0
+          AND NOT EXISTS (
+              SELECT 1 FROM documents s
+              WHERE s.doc_id % {_BATCH_MOD} <> 0
+                AND md5(s.text) = md5(n.text)
+          )
+    """,
+    description="incremental ingestion dedup: new-batch docs whose exact "
+    "text hash does not already exist in the prior snapshot (anti-join on "
+    "the content hash)",
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-2 dedup problem: dedup an incoming batch AGAINST the
+    existing corpus without re-deduping the corpus. One left-anti join on
+    the md5 content hash; the snapshot side is projected to the hash
+    column only before the join (at 100 TB that projection — not the
+    documents — is what shuffles, and Spark's runtime bloom filter prunes
+    most new-batch rows before the exchange)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    new = docs.where(F.col("doc_id") % _BATCH_MOD == 0).select(
+        "doc_id", "source", F.md5("text").alias("__h")
+    )
+    snap = docs.where(F.col("doc_id") % _BATCH_MOD != 0).select(
+        F.md5("text").alias("__h")
+    )
+    return new.join(snap, "__h", "left_anti").select("doc_id", "source")
+
+
+# --- deterministic quality-weighted sampling ----------------------------------
+
+# Knuth multiplicative hash: pure integer arithmetic shared bit-for-bit by
+# Spark and DuckDB (md5-hex is the string equivalent used by the
+# stratified sampler; this is the cheaper path when the key is an int)
+_KNUTH = 2654435761
+
+
+@register(
+    "sample_quality_weighted",
+    oracle=f"""
+        SELECT doc_id, n_chars,
+               round(least(1.0, n_chars / 500.0), 6) AS keep_prob
+        FROM documents
+        WHERE (doc_id * {_KNUTH}) % 1000000
+              < least(1.0, n_chars / 500.0) * 1000000
+    """,
+    description="deterministic quality-weighted sampling: keep probability "
+    "proportional to document length (capped at 1), decided by a Knuth "
+    "multiplicative hash of the doc id — identical pick-set on every run "
+    "and engine, no RNG",
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus downsampling without RNG: u = knuth(doc_id) in
+    [0, 1) compared against a per-document keep probability (here a
+    length prior; swap in any quality score). A pure scan-stage
+    predicate — no shuffle, no state, reproducible across reruns,
+    engines, and repartitioning, which df.sample() is not."""
+    docs = table(spark, sf_dir, "documents")
+    u = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(1_000_000)
+    keep_prob = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
+    return docs.where(u < keep_prob * F.lit(1_000_000)).select(
+        "doc_id", "n_chars", F.round(keep_prob, 6).alias("keep_prob")
     )

@@ -312,3 +312,89 @@ def salted_sum_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = salted_agg_sum(table(spark, sf_dir, "events"), "event_type", "value")
     return out.select("event_type", F.round("total", 6).alias("total"), "n")
+
+
+# --- fuzzy record-linkage join (blocked edit-distance) ------------------------
+
+
+@register(
+    "fuzzy_match_customer_names",
+    oracle="""
+        SELECT CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+        GROUP BY 1
+    """,
+    description="fuzzy record linkage: within-nation blocked self-join, "
+    "Levenshtein distance <= 2, pair counts per distance",
+)
+def fuzzy_match_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching — the record-linkage primitive. The
+    self-join runs only WITHIN blocking-key groups (here c_nationkey; real
+    linkage adds more blocking columns), so the candidate count is
+    sum(block_size^2) instead of n^2 — the standard way edit-distance
+    matching survives scale. The edit distance itself is the built-in JVM
+    ``levenshtein`` inside the join's post-filter, no Python anywhere."""
+    cust = table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("k_a"),
+        F.col("c_name").alias("n_a"),
+    )
+    b = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("k_b"),
+        F.col("c_name").alias("n_b"),
+    )
+    return (
+        a.join(b, "nk")
+        .where(F.col("k_a") < F.col("k_b"))
+        .select(F.levenshtein("n_a", "n_b").cast("long").alias("distance"))
+        .where(F.col("distance") <= 2)
+        .groupBy("distance")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+# --- key-skew profiler --------------------------------------------------------
+
+
+@register(
+    "skew_profile_order_custkey",
+    oracle="""
+        WITH c AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(cnt) AS BIGINT) AS max_cnt,
+               round(avg(cnt), 6) AS avg_cnt,
+               round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+               round(max(cnt) / avg(cnt), 6) AS skew_ratio
+        FROM c
+    """,
+    description="join/agg key skew profiler for orders.o_custkey: key count, "
+    "max/avg/p99 per-key row counts, max-over-avg skew ratio",
+)
+def skew_profile_order_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diagnostic that decides between a plain shuffle, AQE skew-join,
+    and manual salting: per-key counts (one shuffle on the key), then a
+    scalar aggregate over the keys-sized frame. Run it on any prospective
+    join/agg key before committing to a partitioning strategy at scale."""
+    c = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return c.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.round(F.avg("cnt"), 6).alias("avg_cnt"),
+        F.round(F.percentile(F.col("cnt"), F.lit(0.99)), 6).alias("p99_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_ratio"),
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_agent_spark.plans.registry import register, table
+from data_pipeline_agent_spark.session import fan_out
 
 
 @register(
@@ -24,7 +25,7 @@ from data_pipeline_agent_spark.plans.registry import register, table
     description="HLL++ distinct vs exact: single-pass mergeable sketch (rsd 2%)",
 )
 def approx_distinct_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    li = fan_out(table(spark, sf_dir, "lineitem"))
     return li.agg(
         F.countDistinct("l_partkey").cast("long").alias("n_exact"),
         F.approx_count_distinct("l_partkey", rsd=0.02).cast("long").alias("n_approx"),
@@ -42,7 +43,7 @@ def approx_distinct_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="percentile_approx (GK sketch) vs exact percentile, p50/p99",
 )
 def approx_percentiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    li = fan_out(table(spark, sf_dir, "lineitem"))
     exact = F.expr("percentile(l_extendedprice, array(0.5, 0.99))")
     approx = F.expr("percentile_approx(l_extendedprice, array(0.5, 0.99), 10000)")
     return li.agg(exact.alias("e"), approx.alias("a")).select(
@@ -95,7 +96,7 @@ def cms_heavy_hitters_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     CMS guarantees est >= exact and est <= exact + eps*N w.h.p. — both
     asserted in tests/test_sketches.py.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = fan_out(table(spark, sf_dir, "lineitem"))
     top = (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_exact"))

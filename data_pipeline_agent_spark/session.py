@@ -58,6 +58,24 @@ def get_spark(app_name: str = "data_pipeline_agent_spark", shuffle_partitions: i
     return spark
 
 
+def fan_out(df, min_partitions: int | None = None):
+    """Widen a narrow scan before CPU-heavy per-row work (shingling,
+    hashing, vector math).
+
+    Parquet splits on row-group boundaries, so a small single-row-group
+    file scans as ONE task and pins the whole downstream expression
+    pipeline to one core (measured 5x on the sf0.1 contamination check).
+    On a real cluster reading 100 TB the scan already has >= cores splits
+    and this is a no-op — the condition keeps the extra round-robin
+    exchange off the scale path.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
     """Load every test table as a DataFrame dict and register temp views.
 
