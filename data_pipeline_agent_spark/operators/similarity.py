@@ -25,6 +25,10 @@ from data_pipeline_agent_spark.session import fan_out
 
 SIGN_BITS = 8  # bucket key = sign pattern of the first 8 dims -> 256 buckets
 
+# fitted coarse-quantizer models, keyed (applicationId, plan hash, k, seed);
+# each entry is a handful of centroid vectors — negligible driver memory
+_KMEANS_CACHE: dict = {}
+
 
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right double-accumulated dot product (deterministic)."""
@@ -141,9 +145,22 @@ def ivf_assign(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__fv")
     )
     # KMeans fits on a seeded sample: centroid quality saturates far below
-    # full data and the fit is the only non-single-pass step
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="__cell")
-    model = km.fit(vecs.sample(fraction=1.0, seed=seed).limit(100_000))
+    # full data and the fit is the only non-single-pass step.  The fitted
+    # model is memoized per (session, input-plan, k, seed): a production IVF
+    # index trains its coarse quantizer once and reuses it for every probe
+    # and for the semantic-dedup pass — refitting per query would redo the
+    # only iterative job in the stack.
+    key = (
+        emb.sparkSession.sparkContext.applicationId,
+        emb.semanticHash(),
+        n_centroids,
+        seed,
+    )
+    model = _KMEANS_CACHE.get(key)
+    if model is None:
+        km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="__cell")
+        model = km.fit(vecs.sample(fraction=1.0, seed=seed).limit(100_000))
+        _KMEANS_CACHE[key] = model
     assigned = model.transform(vecs).select(id_col, vec_col, "__cell")
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     cdf = emb.sparkSession.createDataFrame(centroids, "cell int, centroid array<double>")
@@ -187,4 +204,61 @@ def ivf_topk(
     return (
         scored.withColumn("rk", F.row_number().over(wk).cast("long"))
         .where(F.col("rk") <= k)
+    )
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.97,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    public method): cluster the embedding space with the IVF coarse
+    quantizer, then compare pairs only WITHIN each cluster and keep those
+    with cosine >= threshold.
+
+    Cost is sum(cluster_size^2), never corpus^2 — with k sized so clusters
+    are bounded (k ~ n/1000 in the paper), the pair stage is linear-ish
+    and embarrassingly parallel per cluster. Pairs can miss near-dups that
+    straddle a cluster boundary (the documented SemDeDup trade-off); raise
+    n_clusters for speed or lower it for recall."""
+    assigned, _ = ivf_assign(emb, n_clusters, seed, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__cell"
+    )
+    return (
+        a.join(b, "__cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_duplicate_groups(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.97,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Transitive closure of semantic_dup_pairs: (vec_id, group_id,
+    group_size, is_kept) with keep-first (min id) survivors — the
+    embedding-space member of the duplicate-clustering family, same
+    output contract as graph.duplicate_groups over MinHash pairs."""
+    from data_pipeline_agent_spark.operators.graph import duplicate_groups
+
+    pairs = semantic_dup_pairs(emb, n_clusters, threshold, seed, id_col, vec_col)
+    return duplicate_groups(pairs.select("id_a", "id_b")).withColumnRenamed(
+        "doc_id", id_col
     )

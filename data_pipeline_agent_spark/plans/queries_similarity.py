@@ -205,3 +205,21 @@ def sim_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     anchors = emb.where(F.col("vec_id") < 10)
     return S.ivf_topk(emb, anchors, k=5, n_centroids=8, nprobe=8)
+
+
+@register(
+    "dedup_semantic_clusters",
+    description="SemDeDup-style semantic duplicate clusters: KMeans-cell "
+    "pair search closed transitively into keep-first groups (rows-only: "
+    "cell assignment is a model fit; pair containment vs brute force "
+    "gated in tests)",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold note: the synthetic embeddings have NO true near-dups
+    (max pairwise cosine ~0.5), so the demo threshold sits at 0.4 where
+    clusters actually form; production SemDeDup runs at ~0.95+ on real
+    embeddings — the plan is identical, only the constant changes."""
+    from data_pipeline_agent_spark.operators.similarity import semantic_duplicate_groups
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_duplicate_groups(emb, n_clusters=16, threshold=0.4)

@@ -239,3 +239,62 @@ def cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev_raw", 6).alias("rev"),
         F.round(F.sum("rev_raw").over(w), 2).alias("rev_cum"),
     )
+
+
+@register(
+    "decile_customer_acctbal",
+    oracle="""
+        WITH cuts AS (
+            SELECT quantile_cont(c_acctbal,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+            FROM customer
+        )
+        SELECT CAST(1 + len(list_filter(qs, q -> c_acctbal > q)) AS BIGINT)
+                   AS decile,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(c_acctbal), 6) AS lo,
+               round(max(c_acctbal), 6) AS hi,
+               round(avg(c_acctbal), 6) AS mean_bal
+        FROM customer, cuts
+        GROUP BY 1
+    """,
+    description="distributed decile bucketing of customer balances: "
+    "percentile cutoffs from one aggregate, bucket assignment by cutoff "
+    "comparison — never a global ntile sort",
+)
+def decile_customer_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quantile bucketing WITHOUT the global sort. ``ntile(10)
+    OVER (ORDER BY ...)`` funnels every row through one partition (the
+    unpartitioned-window scale-killer); instead the 9 decile cutoffs come
+    from a single percentile aggregate (1 row, broadcast), and each row's
+    decile is 'how many cutoffs am I above' — a pure scan-stage
+    expression. Bucket populations differ from exact ntile only at
+    duplicate boundary values, which quantile bucketing resolves by value
+    (all ties land in one bucket) rather than by arbitrary row order —
+    the better semantics for analytics anyway."""
+    cust = table(spark, sf_dir, "customer")
+    cuts = cust.agg(
+        F.percentile(
+            F.col("c_acctbal"),
+            F.array(*[F.lit(p / 10.0) for p in range(1, 10)]),
+        ).alias("qs")
+    )
+    return (
+        cust.crossJoin(F.broadcast(cuts))
+        .select(
+            "c_acctbal",
+            (
+                F.lit(1)
+                + F.size(F.filter("qs", lambda q: F.col("c_acctbal") > q))
+            )
+            .cast("long")
+            .alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("c_acctbal"), 6).alias("lo"),
+            F.round(F.max("c_acctbal"), 6).alias("hi"),
+            F.round(F.avg("c_acctbal"), 6).alias("mean_bal"),
+        )
+    )

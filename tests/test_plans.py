@@ -101,14 +101,23 @@ def test_contamination_is_equi_join(spark):
 
 
 def test_text_quality_whole_stage_codegen(spark):
+    # fan_out adds an Exchange, so the plan is adaptive and codegen markers
+    # only appear on the FINAL plan — materialize before explaining
+    df = REGISTRY["text_quality_score"].spark(spark, SF_DIR)
+    df.collect()  # finalize THIS df's adaptive plan (count() plans separately)
+    txt = _formatted(df)
     # formatted mode marks codegen'd operators with a "* " prefix
-    txt = _formatted(REGISTRY["text_quality_score"].spark(spark, SF_DIR))
     assert "* Project" in txt, f"quality projection fell out of codegen:\n{txt}"
 
 
 def test_pack_sequences_single_window_shuffle(spark):
-    # window partitioned by source: exactly one Exchange below the window
-    # (hashpartitioning on source), plus the final aggregate exchange.
+    # window partitioned by source: one hash Exchange below the window plus
+    # the final aggregate exchange; fan_out may add one round-robin widen.
     txt = _formatted(REGISTRY["pack_sequences_by_source"].spark(spark, SF_DIR))
-    assert txt.count("Exchange") <= 2, txt
+    import re
+
+    hash_ex = len(re.findall(r"Arguments: hashpartitioning", txt))
+    assert hash_ex <= 2, txt
+    n_exchanges = len(re.findall(r"\n\(\d+\) Exchange", txt))
+    assert n_exchanges <= 3, txt
     assert "SinglePartition" not in txt, "packing degenerated to a global window"

@@ -18,3 +18,55 @@ def test_ivf_recall_vs_bruteforce(spark):
     full = ivf_topk(emb, anchors, k=5, n_centroids=8, nprobe=8)
     f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
     assert f == e
+
+
+def test_semantic_dup_pairs_contained_in_bruteforce(spark):
+    """SemDeDup pairs must be a SUBSET of the brute-force all-pairs set at
+    the same threshold (within-cluster search can miss boundary pairs but
+    must never invent one), and every reported cosine honors the bound."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.similarity import (
+        cosine,
+        semantic_dup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = semantic_dup_pairs(emb, n_clusters=16, threshold=0.4).collect()
+    assert got, "threshold 0.4 should produce pairs on this corpus"
+    assert all(r["cos_sim"] >= 0.4 for r in got)
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    bf = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cs"))
+        .where(F.col("cs") >= 0.4)
+        .collect()
+    )
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got}
+    bf_pairs = {(r["id_a"], r["id_b"]) for r in bf}
+    assert got_pairs <= bf_pairs
+    # within-cluster search at k=16 keeps most of the mass on this corpus
+    assert len(got_pairs) / len(bf_pairs) >= 0.3
+
+
+def test_semantic_duplicate_groups_contract(spark):
+    """Group output contract: min-id survivor per cluster, every member
+    mapped to exactly one group, group_size consistent."""
+    from data_pipeline_agent_spark.operators.similarity import (
+        semantic_duplicate_groups,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = semantic_duplicate_groups(emb, n_clusters=16, threshold=0.4).collect()
+    assert rows
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], []).append(r)
+    for gid, members in by_group.items():
+        ids = [m["vec_id"] for m in members]
+        assert min(ids) == gid
+        assert all(m["group_size"] == len(members) for m in members)
+        assert sum(m["is_kept"] for m in members) == 1
