@@ -19,6 +19,7 @@ from data_pipeline_agent_spark.operators.joins import (
     skew_safe_distinct_count,
 )
 from data_pipeline_agent_spark.plans.registry import register, table
+from data_pipeline_agent_spark.session import fan_out
 
 # --- as-of join ---------------------------------------------------------------
 
@@ -339,7 +340,9 @@ def fuzzy_match_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching survives scale. The edit distance itself is the built-in JVM
     ``levenshtein`` inside the join's post-filter, no Python anywhere."""
     cust = table(spark, sf_dir, "customer")
-    a = cust.select(
+    # probe side carries the per-pair levenshtein evaluation — widen the
+    # single-row-group local scan so it doesn't run on one core
+    a = fan_out(cust).select(
         F.col("c_nationkey").alias("nk"),
         F.col("c_custkey").alias("k_a"),
         F.col("c_name").alias("n_a"),

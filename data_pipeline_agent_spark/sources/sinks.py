@@ -54,3 +54,31 @@ def write_csv_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_bucketed_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(name)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout: ``repartitionByRange`` splits the
+    data into ``n_files`` contiguous key ranges and ``sortWithinPartitions``
+    orders rows inside each file, so every file's parquet row-group
+    statistics cover a narrow, (near-)disjoint min/max slice of
+    ``cluster_col``.
+
+    This is what makes point/range predicates on the cluster column cheap
+    at 100 TB: the parquet reader drops whole row groups whose [min, max]
+    misses the filter, so a selective read touches ~1/n_files of the bytes
+    instead of scanning everything (single-column Z-ordering, in effect;
+    interleave bit-mixed keys upstream for the multi-column variant).
+    Range boundaries come from Spark's reservoir sampling of the column —
+    a small sampling job at write time, no global sort."""
+    (
+        df.repartitionByRange(n_files, cluster_col)
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -121,3 +121,37 @@ def test_pack_sequences_single_window_shuffle(spark):
     n_exchanges = len(re.findall(r"\n\(\d+\) Exchange", txt))
     assert n_exchanges <= 3, txt
     assert "SinglePartition" not in txt, "packing degenerated to a global window"
+
+
+def test_fuzzy_match_is_blocked_equijoin(spark):
+    # blocking must make this a hash equi-join on the block key — an
+    # unblocked edit-distance self-join would appear as a cartesian/BNLJ
+    txt = _formatted(REGISTRY["fuzzy_match_customer_names"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_decile_has_no_global_sort_window(spark):
+    # the whole point vs ntile: no Window node anywhere (the only
+    # SinglePartition exchange allowed is the 1-row cutoffs aggregate)
+    txt = _formatted(REGISTRY["decile_customer_acctbal"].spark(spark, SF_DIR))
+    assert "Window" not in txt, "decile fell back to a window"
+
+
+def test_funnel_shuffles_only_on_user_id(spark):
+    import re
+
+    txt = _formatted(REGISTRY["events_funnel_conversion"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in txt
+    # every hash exchange must be keyed on user_id (stage frames are
+    # users-sized; nothing may shuffle on a wider key)
+    for args in re.findall(r"Arguments: hashpartitioning\(([^,]+),", txt):
+        assert "user_id" in args, txt
+
+
+def test_gapfill_window_sits_above_daily_aggregate(spark):
+    # the unpartitioned forward-fill window is legal ONLY because its
+    # input is the days-sized aggregate: the plan must show an Aggregate
+    # below the Window, and the window input must not be the raw scan
+    opt = _optimized(REGISTRY["resample_daily_revenue_gapfill"].spark(spark, SF_DIR))
+    assert opt.index("Window") < opt.index("Aggregate"), opt

@@ -94,3 +94,41 @@ def test_csv_single_sink(spark, tmp_path):
     assert len(files) == 1  # single part file, reference S6 shape
     back = spark.read.option("header", True).csv(out)
     assert back.count() == 2
+
+
+def test_write_range_clustered_files_have_disjoint_stats(spark, tmp_path):
+    """The clustered layout's whole point: each output file's min/max
+    range on the cluster column must be narrow and (near-)disjoint, so
+    parquet row-group stats can prune selective reads. Assert real file
+    footer statistics, not just row counts."""
+    import pyarrow.parquet as pq
+
+    from data_pipeline_agent_spark.sources.sinks import write_range_clustered
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = str(tmp_path / "orders_clustered")
+    write_range_clustered(df, out, "o_totalprice", n_files=8)
+
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "o_totalprice"
+        )
+        lo = min(
+            md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    assert len(ranges) >= 4  # range partitioner actually split the data
+    ranges.sort()
+    # contiguous, non-overlapping slices of the key space
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # round-trip intact
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
