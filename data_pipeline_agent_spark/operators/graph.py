@@ -54,6 +54,17 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
+
+    # Convergence test: labels only ever DECREASE, so the exact sum of all
+    # labels is strictly monotone until the fixpoint — comparing one
+    # decimal(38,0) scalar per round replaces a join of consecutive label
+    # tables + count (a shuffle join per round at scale). Decimal keeps the
+    # sum exact for any realistic id space (double would lose ulps past
+    # 2^53 and could falsely report convergence).
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iter):
         prop = e.join(labels, e.u == labels.node).select(
@@ -65,15 +76,12 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.withColumnRenamed("comp", "__old"), "node")
-            .where(F.col("comp") != F.col("__old"))
-            .count()
-        )
+        new_sum = _label_sum(new)
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     e.unpersist()
     if strict and not converged:
         raise RuntimeError(

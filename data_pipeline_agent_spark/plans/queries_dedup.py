@@ -200,3 +200,103 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), threshold=0.8
     ).select("id_a", "id_b")
     return duplicate_groups(pairs)
+
+
+def _quality_sql() -> str:
+    """The text_quality_score composite formula (same expression as its
+    oracle-checked query) as a per-doc CTE body."""
+    from data_pipeline_agent_spark.operators.text import EN_STOPWORDS
+
+    stop_list = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    t = sql_tokens("text")
+    return f"""
+        SELECT doc_id AS qid,
+               round(least(len({t}) / 100.0, 1.0)
+                     * (1.0 - abs(len(list_filter({t},
+                                x -> lower(x) IN ({stop_list})))
+                            / greatest(len({t}), 1) - 0.4)
+                          - length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                            / greatest(length(text), 1)), 6) AS qs
+        FROM documents
+    """
+
+
+@register(
+    "dedup_survivor_best_quality",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        {_minhash_cte()},
+        bands AS ({_bands_sql()}),
+        cands AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        ),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cands c JOIN ex ea ON ea.id = c.id_a JOIN ex eb ON eb.id = c.id_b AND eb.g = ea.g
+          GROUP BY 1, 2
+        ),
+        dups AS (
+          SELECT i.id_a, i.id_b
+          FROM inter i JOIN sh sa ON i.id_a = sa.id JOIN sh sb ON i.id_b = sb.id
+          WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM dups
+          UNION
+          SELECT id_b, id_a FROM dups
+        ),
+        reach(node, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+        ),
+        cc AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+        q AS ({_quality_sql()}),
+        ranked AS (
+          SELECT cc.comp, cc.node, q.qs,
+                 row_number() OVER (PARTITION BY cc.comp
+                                    ORDER BY q.qs DESC, cc.node ASC) AS rk,
+                 count(*) OVER (PARTITION BY cc.comp) AS gsz
+          FROM cc JOIN q ON q.qid = cc.node
+        )
+        SELECT comp AS group_id,
+               node AS survivor_doc_id,
+               qs AS survivor_quality,
+               CAST(gsz AS BIGINT) AS group_size
+        FROM ranked WHERE rk = 1
+    """,
+    description="quality-aware dedup survivorship: per duplicate cluster, "
+    "keep the member with the highest quality score (tie: smallest id) — "
+    "the policy real training pipelines use instead of keep-first",
+)
+def dedup_survivor_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship = argmax(quality) per transitive duplicate cluster.
+    Composition of three already-verified stages (LSH pairs -> connected
+    components -> quality scores) plus one window over the groups-sized
+    frame: the window input is one row per duplicate-cluster member, tiny
+    relative to the corpus, partitioned by group — no global sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.graph import duplicate_groups
+    from data_pipeline_agent_spark.operators.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    groups = duplicate_groups(pairs)
+    q = quality_score(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        groups.join(q, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "group_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("quality_score").alias("survivor_quality"),
+            "group_size",
+        )
+    )
