@@ -132,3 +132,47 @@ def test_write_range_clustered_files_have_disjoint_stats(spark, tmp_path):
     # round-trip intact
     back = spark.read.parquet(out)
     assert back.count() == df.count()
+
+
+def test_write_zorder_clustered_files_cover_compact_rectangles(spark, tmp_path):
+    """Z-ordered files must each cover a COMPACT rectangle of the
+    (custkey, totalprice) space — the property that lets row-group stats
+    prune on either column. A plain single-column sort would leave the
+    other column spanning its full range in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_pipeline_agent_spark.sources.sinks import write_zorder_clustered
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = str(tmp_path / "orders_z")
+    write_zorder_clustered(df, out, ["o_custkey", "o_totalprice"], n_files=16)
+
+    def col_range(md, name):
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        idx = names.index(name)
+        st = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+        return min(s.min for s in st), max(s.max for s in st)
+
+    spans_a, spans_b, n_rows = [], [], 0
+    glo_a, ghi_a = float("inf"), float("-inf")
+    glo_b, ghi_b = float("inf"), float("-inf")
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 8
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        n_rows += md.num_rows
+        lo, hi = col_range(md, "o_custkey")
+        spans_a.append(hi - lo)
+        glo_a, ghi_a = min(glo_a, lo), max(ghi_a, hi)
+        lo, hi = col_range(md, "o_totalprice")
+        spans_b.append(hi - lo)
+        glo_b, ghi_b = min(glo_b, lo), max(ghi_b, hi)
+    assert n_rows == df.count()
+    # average per-file span must be well under the global span on BOTH
+    # dimensions (a random or single-sorted layout fails one of them)
+    avg_a = sum(spans_a) / len(spans_a)
+    avg_b = sum(spans_b) / len(spans_b)
+    assert avg_a <= (ghi_a - glo_a) * 0.6, (avg_a, ghi_a - glo_a)
+    assert avg_b <= (ghi_b - glo_b) * 0.6, (avg_b, ghi_b - glo_b)
