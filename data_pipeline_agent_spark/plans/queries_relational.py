@@ -362,3 +362,139 @@ def events_view_to_purchase_30min(spark: SparkSession, sf_dir: str) -> DataFrame
         events_table(spark, sf_dir), first_type="view", next_type="purchase",
         horizon="30 minutes",
     )
+
+
+# --- data-quality validation report ------------------------------------------
+
+
+@register(
+    "validate_orders_expectations",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'nonpositive_totalprice' AS rule,
+                   CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+                       AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'null_orderdate',
+                   CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'duplicate_orderkey',
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'orphan_custkey',
+                   CAST(count(*) AS BIGINT)
+            FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        )
+    """,
+    description="data-quality expectations report over orders: positivity, "
+    "non-null, key uniqueness, and referential integrity to customer — "
+    "violation counts per rule in one pass plus one anti-join",
+)
+def validate_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingestion gate every pipeline needs before data flows on.
+    Column rules (positivity, null, uniqueness) fuse into ONE aggregate
+    pass over the fact table; referential integrity is one left-anti join
+    against the dimension's keys (runtime-bloom-filter eligible). The
+    report is rules-sized — nothing wide ever reaches the driver."""
+    orders = table(spark, sf_dir, "orders")
+    cust_keys = table(spark, sf_dir, "customer").select("c_custkey")
+    scalars = orders.agg(
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("nonpos"),
+        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("nulldate"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dupkey"),
+    )
+    orphans = (
+        orders.join(cust_keys, orders.o_custkey == cust_keys.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rules = scalars.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("nonpositive_totalprice").alias("rule"),
+                    F.col("nonpos").cast("long").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("null_orderdate").alias("rule"),
+                    F.col("nulldate").cast("long").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("duplicate_orderkey").alias("rule"),
+                    F.col("dupkey").cast("long").alias("n_violations"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.rule", "r.n_violations")
+    orphan_row = orphans.select(
+        F.lit("orphan_custkey").alias("rule"),
+        F.col("n").cast("long").alias("n_violations"),
+    )
+    return rules.unionByName(orphan_row)
+
+
+# --- snapshot diff (CDC-style) ------------------------------------------------
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+        WITH old AS (
+            SELECT o_orderkey, md5(concat_ws('|', o_orderstatus,
+                       CAST(round(o_totalprice, 2) AS VARCHAR))) AS h
+            FROM orders WHERE o_orderkey % 7 <> 0
+        ),
+        new AS (
+            SELECT o_orderkey, md5(concat_ws('|', o_orderstatus,
+                       CAST(round(o_totalprice, 2) AS VARCHAR))) AS h
+            FROM orders WHERE o_orderkey % 5 <> 0
+        )
+        SELECT * FROM (
+            SELECT 'added' AS change, CAST(count(*) AS BIGINT) AS n
+            FROM new WHERE o_orderkey NOT IN (SELECT o_orderkey FROM old)
+            UNION ALL
+            SELECT 'removed', CAST(count(*) AS BIGINT)
+            FROM old WHERE o_orderkey NOT IN (SELECT o_orderkey FROM new)
+            UNION ALL
+            SELECT 'unchanged', CAST(count(*) AS BIGINT)
+            FROM old JOIN new USING (o_orderkey) WHERE old.h = new.h
+        )
+    """,
+    description="CDC-style snapshot diff: added/removed/unchanged row "
+    "counts between two deterministic order slices, compared by key plus "
+    "a content hash of the tracked columns",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diffing without a transaction log: full-outer join on the
+    key, change classified by null-side and a content hash over tracked
+    columns (hash computed scan-side, so the join carries key+hash only —
+    at 100 TB the shuffle is two narrow columns per snapshot, not the
+    rows). The 1/7 and 1/5 slices stand in for yesterday/today."""
+    orders = table(spark, sf_dir, "orders")
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice"), 2).cast("string"),
+        )
+    )
+    old = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", h.alias("h_old")
+    )
+    new = orders.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", h.alias("h_new")
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    return (
+        j.select(
+            F.when(F.col("h_old").isNull(), F.lit("added"))
+            .when(F.col("h_new").isNull(), F.lit("removed"))
+            .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+            .alias("change")
+        )
+        .where(F.col("change").isNotNull())
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
