@@ -55,3 +55,50 @@ def test_duplicate_groups_survivor_semantics(spark):
     # every cluster keeps exactly one survivor
     kept = [r for r in rows.values() if r["is_kept"]]
     assert len(kept) == 2
+
+
+def test_connected_components_matches_naive_closure_property(spark):
+    """Property test: on random small graphs, the distributed min-label
+    propagation must agree with a driver-side union-find ground truth."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_agent_spark.operators.graph import connected_components
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+                lambda p: p[0] != p[1]
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        expected = {n: find(n) for n in parent}
+
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(df, max_iter=40).collect()
+        }
+        assert got == expected, (sorted(got.items()), sorted(expected.items()))
+
+    check()
