@@ -263,3 +263,37 @@ def test_interval_join_stream_equals_batch(spark, events_batch):
     cols = ["user_id", "first_ts", "next_ts", "gap_seconds", "next_value"]
     assert _sig(got.where(closed), cols) == _sig(want.where(closed), cols)
     assert want.count() > 0  # the fixture actually exercises the join
+
+
+def test_streaming_funnel_equals_batch_funnel(spark, tmp_path):
+    """The stateful funnel's final per-user stage must reproduce the
+    oracle-checked batch funnel counts: users with stage >= k equals the
+    batch query's n_users for step k. Single file -> single micro-batch,
+    so in-batch event-time sorting gives exact parity."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.plans import REGISTRY
+    from data_pipeline_agent_spark.plans.registry import events_table
+    from data_pipeline_agent_spark.streaming.funnel import user_funnel_stage
+
+    outdir = str(tmp_path / "funnel_stream")
+    ev = events_table(spark, SF).select("user_id", "ts", "event_type")
+    ev.coalesce(1).write.mode("append").parquet(outdir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(outdir)
+    )
+    out = _run_stream(spark, user_funnel_stage(stream), "funnel_mem", "update")
+    stages = {r["user_id"]: r["stage"] for r in out.collect()}
+
+    batch = {
+        int(r["step_idx"]): int(r["n_users"])
+        for r in REGISTRY["events_funnel_conversion"].spark(spark, SF).collect()
+    }
+    for k, expected in batch.items():
+        got = sum(1 for s in stages.values() if s >= k)
+        assert got == expected, (k, got, expected)
+    # every user with at least one event is represented in state output
+    assert len(stages) == ev.select("user_id").distinct().count()
