@@ -154,3 +154,46 @@ def write_zorder_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-files compaction — the table-maintenance pass every long-
+    running ingestion pipeline needs (streaming sinks and per-batch
+    writes accumulate KB-sized files whose per-file open/footer/task
+    overhead eventually dominates scans).
+
+    Sizes the output by the SOURCE's actual on-disk bytes (driver-side
+    file listing, no data read), then rewrites with a round-robin
+    ``repartition`` — an even, parallel redistribution, unlike
+    ``coalesce`` which only merges co-located partitions and can leave
+    the tail skewed. Writes to a NEW path: swap-in is the caller's
+    atomic-rename/metastore step. Returns the output file count."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
+def align_schemas(dfs: list[DataFrame]) -> DataFrame:
+    """Schema-evolution union: rows from every frame, with columns missing
+    in any frame filled with NULL — ``unionByName(allowMissingColumns)``
+    folded over the list. The read-side half of schema evolution (the
+    write side is parquet's mergeSchema); use when batches of the same
+    logical table gained/lost columns over time."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out

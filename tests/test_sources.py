@@ -176,3 +176,59 @@ def test_write_zorder_clustered_files_cover_compact_rectangles(spark, tmp_path):
     avg_b = sum(spans_b) / len(spans_b)
     assert avg_a <= (ghi_a - glo_a) * 0.6, (avg_a, ghi_a - glo_a)
     assert avg_b <= (ghi_b - glo_b) * 0.6, (avg_b, ghi_b - glo_b)
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from data_pipeline_agent_spark.sources.sinks import compact_parquet
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    frag = str(tmp_path / "fragmented")
+    df.repartition(64).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 64
+
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, out, target_file_mb=256)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == n == 1  # ~100 KB of data fits one 256 MB target
+    assert spark.read.parquet(out).count() == df.count()
+
+
+def test_align_schemas_union_with_missing_columns(spark):
+    from data_pipeline_agent_spark.sources.sinks import align_schemas
+
+    a = spark.createDataFrame([(1, "x")], "id long, old_col string")
+    b = spark.createDataFrame([(2, 3.5)], "id long, new_col double")
+    out = align_schemas([a, b]).orderBy("id").collect()
+    assert [r["id"] for r in out] == [1, 2]
+    assert out[0]["old_col"] == "x" and out[0]["new_col"] is None
+    assert out[1]["old_col"] is None and out[1]["new_col"] == 3.5
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """Property check: the Morton key expression must equal a driver-side
+    bit interleave for random quantized inputs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.sources.sinks import zorder_key
+
+    random.seed(7)
+    rows = [(random.randrange(256), random.randrange(256)) for _ in range(200)]
+
+    def interleave(a, b, bits=8):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = (
+        df.select("a", "b", zorder_key([F.col("a"), F.col("b")], bits=8).alias("z"))
+        .collect()
+    )
+    for r in got:
+        assert r["z"] == interleave(r["a"], r["b"]), (r["a"], r["b"], r["z"])
