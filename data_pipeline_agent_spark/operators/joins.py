@@ -46,22 +46,19 @@ def asof_join(
     ignorenulls=True)`` over a (key, ts, side) window — right rows sort
     before left rows at equal timestamps so "at-or-before" is inclusive.
     If several right rows share (key, ts), ``tiebreak`` picks the one
-    with the greatest tiebreak value (required for determinism).
+    with the greatest tiebreak value (required for determinism); the
+    tiebreak is fused into the SAME window's sort order (right rows at
+    equal ts sort tiebreak-ascending, so ``last`` lands on the greatest)
+    — no extra shuffle or pre-dedup pass over the right side.
     """
-    if tiebreak is not None:
-        wdedup = Window.partitionBy(right_key, right_ts).orderBy(F.desc(tiebreak))
-        right = (
-            right.withColumn("__rn", F.row_number().over(wdedup))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-
     rtypes = dict((f.name, f.dataType) for f in right.schema.fields)
     lcols = left.columns
+    tb_type = rtypes[tiebreak] if tiebreak is not None else "int"
     l_tagged = left.select(
         F.col(left_key).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
+        F.lit(None).cast(tb_type).alias("__tb"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(rtypes[v]).alias(f"__v_{v}") for v in value_cols],
     )
@@ -69,13 +66,19 @@ def asof_join(
         F.col(right_key).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
+        (F.col(tiebreak) if tiebreak is not None else F.lit(0)).cast(tb_type).alias("__tb"),
         *[F.lit(None).cast(dict((f.name, f.dataType) for f in left.schema.fields)[c]).alias(c) for c in lcols],
         *[F.col(v).alias(f"__v_{v}") for v in value_cols],
     )
     u = l_tagged.unionByName(r_tagged)
+    # Sort (ts, side, tiebreak): right rows (side 0) precede left rows at
+    # equal ts (inclusive at-or-before); among right rows tied on ts the
+    # greatest tiebreak sorts last, so last(ignorenulls) selects it.  The
+    # left side's NULL __tb never participates in a comparison that
+    # matters (side already differs).
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.asc("__t"), F.asc("__side"))
+        .orderBy(F.asc("__t"), F.asc("__side"), F.asc_nulls_last("__tb"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # Pack all value columns into ONE struct that is NULL for left-side

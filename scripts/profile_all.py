@@ -1,0 +1,49 @@
+"""One-off profiler: time every registry query at sf0.1, write profile.json.
+
+Not part of the driver contract — dev tooling for finding the slow tail
+that BENCH_r{N}.json truncates away.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_pipeline_agent_spark.plans import REGISTRY  # noqa: E402
+from data_pipeline_agent_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("profile")
+    from pyspark.sql import functions as F
+
+    def mat(df):
+        df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("sig"),
+        ).collect()
+
+    warm = "/root/testdata/sf0.001"
+    names = sorted(REGISTRY)
+    for n in names[:3]:
+        mat(REGISTRY[n].spark(spark, warm))
+
+    out = {}
+    for n in names:
+        t0 = time.perf_counter()
+        mat(REGISTRY[n].spark(spark, sf_dir))
+        out[n] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "profile.json"), "w") as f:
+        json.dump(dict(sorted(out.items(), key=lambda kv: -kv[1])), f, indent=1)
+    print("total", round(sum(out.values()), 1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
