@@ -46,17 +46,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores INT64 TIMESTAMP(NANOS), which Spark 4 refuses
-    by default. Read nanos as long (runtime-settable legacy conf) and
-    truncate to microseconds with integer division — matching DuckDB's
-    CAST(ts AS TIMESTAMP) truncation of TIMESTAMP_NS, which every events
-    oracle applies on its side."""
+    """Normalize events.parquet's ``ts`` to session-local TIMESTAMP
+    regardless of how the generator wrote it:
+
+    - INT64 TIMESTAMP(NANOS) (older testdata): Spark 4 refuses it by
+      default — read nanos as long (legacy conf) and truncate to micros,
+      matching DuckDB's CAST(ts AS TIMESTAMP) truncation of TIMESTAMP_NS;
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) (pandas default): Spark
+      reads TIMESTAMP_NTZ, which refuses numeric casts the event-time
+      plans use — cast to TIMESTAMP; with the session timezone pinned to
+      UTC (session.py) the wall-clock values are unchanged and agree with
+      DuckDB's naive read.
+    """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict((f.name, f.dataType) for f in df.schema.fields)["ts"]
     if isinstance(ts_type, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
