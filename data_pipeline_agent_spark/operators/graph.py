@@ -42,9 +42,15 @@ def connected_components(
     ``strict=True`` raises if the label table has not converged after
     ``max_iter`` rounds instead of returning partial components.
     """
+    # Materialize the projected pair plan ONCE before symmetrizing: the
+    # union's two branches would otherwise each re-run the (often
+    # expensive) upstream candidate-pair computation — measured 2x the
+    # whole LSH/semantic pair stage per CC call at sf0.1.
+    e_in = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        e_in.union(e_in.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .persist()
     )

@@ -109,6 +109,55 @@ def lsh_bucketed_topk(
     )
 
 
+def int8_quantize(v: Column) -> Column:
+    """Symmetric per-vector int8 quantization: q_i = round_half_up(x_i * s)
+    with s = 127 / max|x|.
+
+    Written as ``floor(x*s + 0.5)`` rather than ``round()`` so the tie
+    semantics are identical in every engine (Spark ROUND is HALF_UP via
+    BigDecimal, C libraries round half away from zero; the floor form is
+    unambiguous everywhere, which the DuckDB oracle twin relies on)."""
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.lit(127.0) / amax
+    return F.transform(
+        v, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
+    )
+
+
+def quantized_topk(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k under int8-quantized cosine — the bandwidth-bound scale path.
+
+    Same anchor-broadcast plan as brute_force_topk, but both sides are
+    quantized first: at 100 TB the int8 corpus is 4x smaller than float32
+    (scan, shuffle, and cache all shrink 4x) and the inner product is
+    integer math; the standard production layout stores the quantized
+    corpus and re-ranks the top candidates against the full-precision
+    vectors (re-rank step omitted here — the quantized scores ARE the
+    output so the quantization error is observable and oracle-checked)."""
+    q = fan_out(emb).select(F.col(id_col), int8_quantize(F.col(vec_col)).alias("__q"))
+    a = anchors.select(
+        F.col(id_col).alias("query_id"), int8_quantize(F.col(vec_col)).alias("__qa")
+    )
+    pairs = q.join(F.broadcast(a), F.col(id_col) != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("__qa"), F.col("__q")), 6).alias("qcos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "qcos_sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def embedding_near_dup_pairs(emb: DataFrame, topk: int = 10) -> DataFrame:
     """Embedding-cosine near-dup candidates: within-sign-bucket pairs,
     ranked by cosine. The dedup-by-embedding member of the dedup family."""
@@ -158,7 +207,18 @@ def ivf_assign(
     )
     model = _KMEANS_CACHE.get(key)
     if model is None:
-        km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv", predictionCol="__cell")
+        # maxIter=8 (default 20): a coarse quantizer only needs cells that
+        # roughly tessellate the space — assignment quality saturates within
+        # a few Lloyd rounds and the recall-floor test gates the outcome;
+        # the extra rounds are the single most expensive non-query cost in
+        # the ANN stack at any scale
+        km = KMeans(
+            k=n_centroids,
+            seed=seed,
+            maxIter=8,
+            featuresCol="__fv",
+            predictionCol="__cell",
+        )
         model = km.fit(vecs.sample(fraction=1.0, seed=seed).limit(100_000))
         _KMEANS_CACHE[key] = model
     assigned = model.transform(vecs).select(id_col, vec_col, "__cell")

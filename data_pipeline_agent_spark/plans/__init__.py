@@ -4,6 +4,7 @@ from data_pipeline_agent_spark.plans import (  # noqa: F401
     queries_behavior,
     queries_cleaning,
     queries_corpus,
+    queries_curation,
     queries_dedup,
     queries_joins,
     queries_ml,

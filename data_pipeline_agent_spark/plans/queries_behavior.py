@@ -188,3 +188,48 @@ def resample_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .withColumn("d", F.date_format("d", "yyyy-MM-dd"))
     )
+
+
+@register(
+    "events_activity_islands",
+    oracle="""
+        WITH d AS (
+            SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (PARTITION BY user_id
+                        ORDER BY day) AS INTEGER) AS anchor
+            FROM d
+        ),
+        g AS (
+            SELECT user_id, anchor, count(*) AS len
+            FROM s GROUP BY user_id, anchor
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_streaks,
+               CAST(max(len) AS BIGINT) AS longest_streak,
+               CAST(sum(len) AS BIGINT) AS n_active_days
+        FROM g GROUP BY user_id
+    """,
+    description="gaps-and-islands: per-user consecutive-active-day streaks "
+    "(count, longest, total active days) via the date-minus-row_number "
+    "anchor trick",
+)
+def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic gaps-and-islands shape: consecutive days collapse to a
+    common anchor (day - row_number), so streaks fall out of two grouped
+    aggregates. The window and both aggregates are all partitioned by
+    user_id — the same single shuffle key end to end, so AQE plans one
+    exchange; nothing here is corpus-ordered."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    s = d.withColumn("anchor", F.date_sub(F.col("day"), F.row_number().over(w)))
+    g = s.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+    )

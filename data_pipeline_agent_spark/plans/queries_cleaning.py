@@ -63,8 +63,14 @@ def profile_nullcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact percentile's partial state is the value list itself — widen the
-    # single-row-group local scan so partials build on every core
-    df = fan_out(table(spark, sf_dir, "lineitem"))
+    # single-row-group local scan so partials build on every core, but only
+    # after projecting to the three needed columns (the exchange then moves
+    # 3 doubles/row, not the full fact width)
+    df = fan_out(
+        table(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice", "l_discount"
+        )
+    )
     q = lambda c, p: F.round(F.percentile(F.col(c), F.lit(p)), 6)  # noqa: E731
     return df.agg(
         q("l_quantity", 0.25).alias("qty_p25"),

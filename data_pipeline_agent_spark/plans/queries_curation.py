@@ -1,0 +1,324 @@
+"""Corpus-curation queries round 3: boilerplate detection, a unigram
+language-model quality signal, per-source quality gating, deterministic
+global shuffle, and mixture (temperature) weighting.
+
+These are the remaining standard stages of a large-scale LLM training-data
+pipeline (after dedup/contamination/sampling/packing in queries_corpus.py):
+
+- boilerplate n-gram detection (CCNet-style: shingles shared by many
+  documents are headers/footers/templates, not content);
+- unigram surprisal (the cheap KenLM stand-in: per-document mean negative
+  log-probability under the corpus's own unigram distribution — high
+  surprisal = gibberish/rare-token soup, low = repetitive boilerplate);
+- per-source quality-quantile gating (keep each source's best half rather
+  than a global threshold that would wipe out whole sources);
+- deterministic corpus shuffle into training shards (hash-ordered, no RNG,
+  reproducible across engines/reruns/repartitions);
+- mixture temperature weighting (w_i ∝ p_i^alpha, the standard multi-source
+  sampling-temperature formula).
+
+All are pure DataFrame plans with DuckDB oracle twins. The reference
+(/root/reference/main.py) is a single-table profiler with none of these —
+north-star extension surface per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_agent_spark.functions.text_hash import h32, tokens, word_ngrams
+from data_pipeline_agent_spark.plans.registry import register, table
+from data_pipeline_agent_spark.plans.sql_text import sql_h32, sql_ngrams, sql_tokens
+from data_pipeline_agent_spark.session import fan_out
+
+_BOILER_N = 4  # shingle width (same rationale as queries_corpus._CONTAM_N:
+# the tiny synthetic vocabulary needs a narrow gram for real overlap)
+_BOILER_MIN_DOCS = 3  # gram is "boilerplate" when >= this many docs contain it
+
+
+@register(
+    "boilerplate_grams_topk",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {sql_tokens('lower(text)')} AS w FROM documents
+        ),
+        g AS (
+            SELECT doc_id, unnest({sql_ngrams('w', _BOILER_N)}) AS gram FROM toks
+        )
+        SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+        FROM g GROUP BY gram
+        ORDER BY n_docs DESC, gram ASC LIMIT 20
+    """,
+    description="boilerplate mining: the 20 most widespread 4-word shingles "
+    "(document frequency), the template/header candidates a curation "
+    "pipeline strips",
+)
+def boilerplate_grams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle -> document-frequency -> top-k. One shuffle (the gram
+    aggregate; shingling is map-side and word_ngrams emits per-doc
+    DISTINCT grams, so count(*) IS the document frequency); top-20 is a
+    TakeOrdered over the aggregate, never a global sort of the gram
+    table."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    g = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(tokens(F.lower(F.col("text"))), _BOILER_N)).alias("gram"),
+    )
+    return (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+@register(
+    "source_boilerplate_share",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, {sql_tokens('lower(text)')} AS w FROM documents
+        ),
+        g AS (
+            SELECT doc_id, source, unnest({sql_ngrams('w', _BOILER_N)}) AS gram
+            FROM toks
+        ),
+        boiler AS (
+            SELECT gram FROM g GROUP BY gram
+            HAVING count(*) >= {_BOILER_MIN_DOCS}
+        ),
+        per_doc AS (
+            SELECT g.doc_id, g.source,
+                   count(*) AS n_grams,
+                   count(*) FILTER (WHERE b.gram IS NOT NULL) AS n_boiler
+            FROM g LEFT JOIN boiler b USING (gram)
+            GROUP BY g.doc_id, g.source
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(n_boiler * 1.0 / n_grams), 6) AS boilerplate_share
+        FROM per_doc GROUP BY source
+    """,
+    description=f"per-source boilerplate exposure: average share of a "
+    f"document's 4-gram shingles that occur in >= {_BOILER_MIN_DOCS} "
+    f"documents corpus-wide (CCNet-style template detection)",
+)
+def source_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregates over one staged shingle table: gram->df, then
+    doc->share. The exploded gram frame is persisted because both passes
+    consume it (re-shingling would double the dominant md5-free explode
+    cost). The boilerplate-gram set is inherently small (bounded by the
+    template vocabulary, not the corpus) so its join side broadcasts at
+    any scale; the flag is computed as a left join + conditional count,
+    not a per-doc array intersection."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    g = docs.select(
+        "doc_id",
+        "source",
+        F.explode(word_ngrams(tokens(F.lower(F.col("text"))), _BOILER_N)).alias("gram"),
+    ).persist()
+    try:
+        boiler = (
+            g.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") >= _BOILER_MIN_DOCS)
+            .select("gram", F.lit(1).alias("__is_boiler"))
+        )
+        per_doc = (
+            g.join(boiler, "gram", "left")
+            .groupBy("doc_id", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.count("__is_boiler").alias("n_boiler"),
+            )
+        )
+        out = per_doc.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("n_boiler") / F.col("n_grams")), 6).alias(
+                "boilerplate_share"
+            ),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        g.unpersist()
+    return out
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({sql_tokens('lower(text)')}) AS w FROM documents
+        ),
+        v AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        t AS (SELECT sum(c) AS total FROM v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(-ln(c / total)), 6) AS surprisal
+        FROM tok JOIN v USING (w), t
+        GROUP BY doc_id
+    """,
+    description="unigram-LM quality signal: per-document mean negative "
+    "log-probability of its tokens under the corpus unigram distribution "
+    "(cheap KenLM stand-in; outliers on either end are curation flags)",
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass LM scoring: (1) build the unigram table (one shuffle on
+    the token; vocabulary grows with Heaps' law, far sublinear in corpus
+    size), (2) join tokens back to their probabilities and aggregate per
+    doc. The join strategy is left to AQE: a natural-language vocab
+    broadcasts; a URL/typo-heavy 100 TB vocab may not, and forcing a hint
+    here would be the label_encode mistake from round 1. The 1-row total
+    is a broadcast cross join, same pattern as the scalar-aggregate
+    queries in queries_cleaning."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).persist()
+    try:
+        vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        total = vocab.agg(F.sum("c").alias("total"))
+        scored = (
+            tok.join(vocab, "w")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.round(F.avg(-F.log(F.col("c") / F.col("total"))), 6).alias(
+                    "surprisal"
+                ),
+            )
+        )
+        scored = scored.localCheckpoint(eager=True)
+    finally:
+        tok.unpersist()
+    return scored
+
+
+@register(
+    "source_quality_gate",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars,
+                   percent_rank() OVER (PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id ASC) AS pr
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+               round(pr, 6) AS q_rank
+        FROM ranked WHERE pr <= 0.5
+    """,
+    description="per-source quality gate: keep each source's top half by "
+    "length score (percent_rank within source) — per-stratum gating "
+    "instead of a global threshold that would drop whole sources",
+)
+def source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window shuffle partitioned by source (every source ranks in
+    parallel; no global sort). The doc_id tiebreak makes the rank — and
+    hence the kept set — deterministic and engine-independent. At 100 TB
+    with a single giant source, the window-within-source becomes the
+    bottleneck; the documented fallback is an approx-quantile threshold
+    per source (2 passes, no window), trading exactness of the boundary
+    for a sort-free plan."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return ranked.where(F.col("pr") <= 0.5).select(
+        "doc_id", "source", "n_chars", F.round("pr", 6).alias("q_rank")
+    )
+
+
+_SHUFFLE_SALT = "shuffle42:"
+_N_SHARDS = 8
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle=f"""
+        WITH k AS (
+            SELECT doc_id,
+                   md5('{_SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)) AS key,
+                   {sql_h32(f"'{_SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)")}
+                       % {_N_SHARDS} AS shard
+            FROM documents
+        )
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                    ORDER BY key ASC, doc_id ASC) AS BIGINT) AS pos
+        FROM k
+    """,
+    description="deterministic training-order shuffle: md5-keyed shard "
+    "assignment + within-shard position, reproducible across engines, "
+    "reruns, and repartitions (no RNG, no global sort)",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global-shuffle step that precedes training-shard writes. A true
+    global row_number would be a single-reducer sort; sharding first on a
+    hash of the salted key keeps every window partition-parallel, and the
+    md5 sort key within each shard gives a uniform pseudo-random order.
+    At 100 TB this is exactly the write-layout plan: repartition(shard) +
+    sortWithinPartitions(key) + partitioned write — one shuffle total."""
+    docs = table(spark, sf_dir, "documents")
+    salted = F.concat(F.lit(_SHUFFLE_SALT), F.col("doc_id").cast("string"))
+    keyed = docs.select(
+        "doc_id",
+        F.md5(salted).alias("__key"),
+        F.pmod(h32(salted), F.lit(_N_SHARDS)).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.asc("__key"), F.asc("doc_id"))
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+_MIX_ALPHA = 0.7  # sampling temperature: w_i ∝ p_i^alpha
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, sum(len({sql_tokens('text')})) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT sum(n_tokens) AS total,
+                   sum(pow(n_tokens, {_MIX_ALPHA})) AS denom
+            FROM t
+        )
+        SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(n_tokens / total, 6) AS p_raw,
+               round(pow(n_tokens, {_MIX_ALPHA}) / denom, 6) AS w_temp
+        FROM t, tot
+    """,
+    description=f"multi-source mixture weights at sampling temperature "
+    f"alpha={_MIX_ALPHA}: w_i ∝ p_i^alpha normalized (note w_i depends "
+    f"only on token counts: (tok_i/T)^a / Σ(tok_j/T)^a = tok_i^a / Σtok_j^a)",
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One grouped aggregate (per-source token totals — 20 rows here,
+    thousands at worst in production) + a 1-row scalar aggregate broadcast
+    back over it. The per-source table is dimension-sized by construction,
+    so every step after the first aggregate is driver-trivial."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    t = (
+        docs.select("source", F.size(tokens(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    tot = t.agg(
+        F.sum("n_tokens").alias("total"),
+        F.sum(F.pow("n_tokens", F.lit(_MIX_ALPHA))).alias("denom"),
+    )
+    return t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("n_tokens") / F.col("total"), 6).alias("p_raw"),
+        F.round(F.pow("n_tokens", F.lit(_MIX_ALPHA)) / F.col("denom"), 6).alias(
+            "w_temp"
+        ),
+    )

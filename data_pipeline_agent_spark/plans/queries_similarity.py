@@ -208,6 +208,42 @@ def sim_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_quantized_topk",
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                     CAST(floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5) AS BIGINT)) AS qv
+          FROM (SELECT vec_id, embedding,
+                       list_aggregate(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+                FROM embeddings)
+        ),
+        a AS (SELECT vec_id AS query_id, qv AS qa FROM q WHERE vec_id < 10),
+        scored AS (
+          SELECT a.query_id, e.vec_id AS neighbor_id,
+                 round({_sql_cos('a.qa', 'e.qv')}, 6) AS qcos_sim
+          FROM q e, a WHERE e.vec_id != a.query_id
+        )
+        SELECT query_id, neighbor_id, qcos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY qcos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+        FROM scored
+        QUALIFY rk <= 5
+    """,
+    description="int8-quantized cosine top-5 per anchor: 4x smaller corpus "
+    "representation (the bandwidth-bound scale path), quantization error "
+    "observable against sim_bruteforce_topk",
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 10)
+    return S.quantized_topk(emb, anchors, k=5)
+
+
+@register(
     "dedup_semantic_clusters",
     description="SemDeDup-style semantic duplicate clusters: KMeans-cell "
     "pair search closed transitively into keep-first groups (rows-only: "

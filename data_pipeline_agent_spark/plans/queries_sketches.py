@@ -25,7 +25,10 @@ from data_pipeline_agent_spark.session import fan_out
     description="HLL++ distinct vs exact: single-pass mergeable sketch (rsd 2%)",
 )
 def approx_distinct_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = fan_out(table(spark, sf_dir, "lineitem"))
+    # no fan_out: the agg partial-aggregates map-side and per-row work is a
+    # hash update — repartitioning the full-width fact first costs 3-5x the
+    # whole query (measured at sf0.1); at real scale the scan has splits
+    li = table(spark, sf_dir, "lineitem")
     return li.agg(
         F.countDistinct("l_partkey").cast("long").alias("n_exact"),
         F.approx_count_distinct("l_partkey", rsd=0.02).cast("long").alias("n_approx"),
@@ -43,7 +46,10 @@ def approx_distinct_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="percentile_approx (GK sketch) vs exact percentile, p50/p99",
 )
 def approx_percentiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = fan_out(table(spark, sf_dir, "lineitem"))
+    # project to the one needed column before widening: exact percentile's
+    # partial state is the value list, so parallel partials still help, but
+    # shuffling 1 double instead of 16 columns makes the exchange ~free
+    li = fan_out(table(spark, sf_dir, "lineitem").select("l_extendedprice"))
     exact = F.expr("percentile(l_extendedprice, array(0.5, 0.99))")
     approx = F.expr("percentile_approx(l_extendedprice, array(0.5, 0.99), 10000)")
     return li.agg(exact.alias("e"), approx.alias("a")).select(
@@ -96,7 +102,9 @@ def cms_heavy_hitters_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     CMS guarantees est >= exact and est <= exact + eps*N w.h.p. — both
     asserted in tests/test_sketches.py.
     """
-    li = fan_out(table(spark, sf_dir, "lineitem"))
+    # no fan_out: both consumers are light-weight aggregates (count, CMS
+    # update) that partial-aggregate map-side; see approx_distinct_partkeys
+    li = table(spark, sf_dir, "lineitem")
     top = (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_exact"))
