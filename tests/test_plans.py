@@ -155,3 +155,55 @@ def test_gapfill_window_sits_above_daily_aggregate(spark):
     # below the Window, and the window input must not be the raw scan
     opt = _optimized(REGISTRY["resample_daily_revenue_gapfill"].spark(spark, SF_DIR))
     assert opt.index("Window") < opt.index("Aggregate"), opt
+
+
+def test_shuffle_shards_window_is_shard_partitioned(spark):
+    # the whole point vs a global row_number: the window must partition by
+    # shard (parallel) — a SinglePartition exchange would be the
+    # one-reducer global sort this query exists to avoid
+    txt = _formatted(REGISTRY["corpus_shuffle_shards"].spark(spark, SF_DIR))
+    assert "SinglePartition" not in txt, "shuffle degenerated to a global sort"
+    assert "hashpartitioning(shard" in txt, txt
+
+
+def test_quality_gate_window_partitioned_by_source(spark):
+    txt = _formatted(REGISTRY["source_quality_gate"].spark(spark, SF_DIR))
+    assert "SinglePartition" not in txt, "per-source gate became a global window"
+
+
+def test_unigram_surprisal_no_forced_broadcast(spark):
+    # vocabulary size is corpus-dependent (Heaps' law; URL/typo-heavy
+    # corpora explode it) — the vocab join must be left to AQE, not hinted
+    plan = _analyzed(REGISTRY["text_unigram_surprisal"].spark(spark, SF_DIR))
+    chunks = plan.split("ResolvedHint")[1:]
+    for chunk in chunks:
+        head = "\n".join(chunk.splitlines()[:4])
+        assert "Aggregate" not in head or "total" in head, (
+            f"vocab table under a forced broadcast hint:\n{head}"
+        )
+
+
+def test_quantized_topk_integer_quantization(spark):
+    # the quantized corpus representation must be integral (the 4x
+    # bandwidth claim) — schema of the quantized column is array<long>
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.similarity import int8_quantize
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.select(int8_quantize(F.col("embedding")).alias("q"))
+    assert q.schema["q"].dataType.simpleString() == "array<bigint>"
+    row = q.select(
+        F.array_max(F.transform("q", lambda x: F.abs(x))).alias("m")
+    ).agg(F.max("m")).first()
+    assert row[0] <= 127, "quantized magnitude exceeds int8 range"
+
+
+def test_islands_single_shuffle_key(spark):
+    import re
+
+    txt = _formatted(REGISTRY["events_activity_islands"].spark(spark, SF_DIR))
+    # distinct, window, and both aggregates all shuffle on user_id-rooted
+    # keys; nothing may shuffle on a non-user key
+    for args in re.findall(r"Arguments: hashpartitioning\(([^)]+)\)", txt):
+        assert "user_id" in args, txt
