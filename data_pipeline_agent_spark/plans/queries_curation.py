@@ -322,3 +322,56 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_temp"
         ),
     )
+
+
+_CHUNK_TOKENS = 32  # context-window budget per chunk
+_CHUNK_STRIDE = 24  # overlap = _CHUNK_TOKENS - _CHUNK_STRIDE tokens
+
+
+@register(
+    "doc_chunks_fixed_stride",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {sql_tokens('text')} AS w FROM documents
+        ),
+        s AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, len(w), {_CHUNK_STRIDE})) AS start
+            FROM t
+        )
+        SELECT doc_id,
+               CAST((start - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(w, start, start + {_CHUNK_TOKENS} - 1)) AS BIGINT)
+                   AS n_chunk_tokens,
+               array_to_string(list_slice(w, start, start + {_CHUNK_TOKENS} - 1), ' ')
+                   AS chunk_text
+        FROM s
+    """,
+    description=f"context-window chunking: overlapping {_CHUNK_TOKENS}-token "
+    f"chunks at stride {_CHUNK_STRIDE} (the pretraining/RAG document "
+    f"splitter), chunk index and text per row",
+)
+def doc_chunks_fixed_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking as a pure column plan: stage the token array once, explode
+    the stride-spaced start offsets (sequence + explode is the lateral
+    generate_series), slice per start. Map-side only — no shuffle at all;
+    at 100 TB this runs entirely inside the scan stage and the output
+    (×~expansion_factor rows) streams straight to the sink. The chunk
+    count per doc is ceil(n/stride), matching the oracle's inclusive
+    generate_series."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    s = t.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(1), F.size("w"), F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    sl = F.slice(F.col("w"), F.col("start"), F.lit(_CHUNK_TOKENS))
+    return s.select(
+        "doc_id",
+        ((F.col("start") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.size(sl).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", sl).alias("chunk_text"),
+    )
