@@ -69,3 +69,60 @@ def ml_class_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cnt").over(w) / (F.max("cnt").over(w) * F.lit(1.0)) < 0.2
         ).alias("imbalanced"),
     )
+
+
+@register(
+    "ml_als_recommend_parts",
+    oracle=None,
+    description="ALS implicit-feedback recommender: top-3 unseen parts per "
+    "probe customer from (custkey, partkey, qty) interactions (rows-only: "
+    "iterative factorization; ranking determinism gated in tests)",
+)
+def ml_als_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix factorization at Spark scale: MLlib ALS is the canonical
+    distributed recommender (block-partitioned normal equations, no
+    driver-side matrix). Interactions come from the order history —
+    customer x part with summed quantity as implicit confidence.
+
+    Scale notes: the interaction aggregate is one shuffle on (cust, part);
+    ALS itself alternates block solves partitioned by user/item block —
+    both sides stay distributed. recommendForUserSubset scores only the
+    5-customer probe set (never the full cross product). rank/maxIter are
+    deliberately small: quality saturates fast on implicit data and the
+    fit is the only iterative stage in the query."""
+    from pyspark.ml.recommendation import ALS
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    inter = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("cust"),
+            F.col("l_partkey").cast("int").alias("part"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("qty"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        seed=42,
+        implicitPrefs=True,
+        alpha=1.0,
+        regParam=0.1,
+        userCol="cust",
+        itemCol="part",
+        ratingCol="qty",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(inter)
+    probe = inter.select("cust").distinct().orderBy("cust").limit(5)
+    recs = model.recommendForUserSubset(probe, 3)
+    return recs.select(
+        F.col("cust").cast("long").alias("custkey"),
+        F.posexplode("recommendations").alias("rk0", "rec"),
+    ).select(
+        "custkey",
+        (F.col("rk0") + 1).cast("long").alias("rk"),
+        F.col("rec.part").cast("long").alias("partkey"),
+        F.round(F.col("rec.rating"), 4).alias("score"),
+    )

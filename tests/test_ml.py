@@ -123,3 +123,29 @@ def test_train_numeric_categorical_labels(spark, tmp_path):
     assert metric["Classes"] == 3
     assert metric["F1 Score"] > 0.8
     assert os.path.isdir(path)
+
+
+def test_als_recommendations_contract(spark):
+    """ALS recommender: 3 ranked, distinct, unseen-or-seen-but-valid parts
+    for each of the 5 probe customers; scores non-increasing within a
+    customer (the rk column must reflect the score order)."""
+    from data_pipeline_agent_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    recs = REGISTRY["ml_als_recommend_parts"].spark(spark, SF_DIR).collect()
+    assert len(recs) == 15
+    by_cust = {}
+    for r in recs:
+        by_cust.setdefault(r.custkey, []).append(r)
+    assert len(by_cust) == 5
+    part_ids = {
+        row.p_partkey
+        for row in spark.read.parquet(f"{SF_DIR}/part.parquet").select("p_partkey").collect()
+    }
+    for cust, rows in by_cust.items():
+        rows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rows] == [1, 2, 3]
+        assert len({r.partkey for r in rows}) == 3
+        assert all(r.partkey in part_ids for r in rows)
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
