@@ -70,3 +70,36 @@ def test_semantic_duplicate_groups_contract(spark):
         assert min(ids) == gid
         assert all(m["group_size"] == len(members) for m in members)
         assert sum(m["is_kept"] for m in members) == 1
+
+
+def test_quantized_cosine_error_bound(spark):
+    """int8 symmetric quantization: per-pair cosine drift is bounded (the
+    4x-bandwidth trade is quantified, not assumed) and top-1 neighbors
+    substantially survive quantization."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    anchors = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, anchors, k=5)
+    quant = quantized_topk(emb, anchors, k=5)
+    j = exact.alias("e").join(
+        quant.alias("q"),
+        (F.col("e.query_id") == F.col("q.query_id"))
+        & (F.col("e.neighbor_id") == F.col("q.neighbor_id")),
+    )
+    drift = j.select(
+        F.max(F.abs(F.col("e.cos_sim") - F.col("q.qcos_sim"))).alias("m")
+    ).first()["m"]
+    # 64-dim int8: worst-case elementwise error 0.5/127 per component; the
+    # observed cosine drift stays well under 2e-2 on real vectors
+    assert drift < 0.02, f"quantized cosine drifted {drift}"
+    top1_exact = {r.query_id: r.neighbor_id for r in exact.where("rk = 1").collect()}
+    top1_quant = {r.query_id: r.neighbor_id for r in quant.where("rk = 1").collect()}
+    overlap = sum(top1_exact[q] == top1_quant.get(q) for q in top1_exact)
+    assert overlap >= 7, f"only {overlap}/10 top-1 neighbors survive quantization"
