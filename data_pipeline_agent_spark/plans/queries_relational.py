@@ -498,3 +498,38 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# One SQL text, two engines: the Spark plan IS the oracle string, executed
+# via spark.sql over the registered temp views. Demonstrates the engine's
+# SQL frontend surface (Catalyst parses/optimizes the same declarative
+# text DuckDB verifies) — dialect-shared ANSI subset only.
+_SQL_NATION_REVENUE = """
+    SELECT n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 6) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@register(
+    "sql_nation_revenue",
+    oracle=_SQL_NATION_REVENUE,
+    description="SQL-frontend demo: the identical ANSI text runs as the "
+    "Spark plan (spark.sql over temp views) and as its own DuckDB oracle — "
+    "star join + aggregate through Catalyst's parser instead of the "
+    "DataFrame API",
+)
+def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst treats parsed SQL and DataFrame lineage identically (same
+    logical plan space, same optimizer rules), so this query inherits the
+    broadcast-dim/AQE behavior of its DataFrame siblings for free. The
+    view registration delegates to load_tables — one implementation of
+    the events timestamp normalization, shared with every consumer."""
+    from data_pipeline_agent_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_SQL_NATION_REVENUE)

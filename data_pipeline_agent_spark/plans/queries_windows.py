@@ -298,3 +298,68 @@ def decile_customer_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("c_acctbal"), 6).alias("mean_bal"),
         )
     )
+
+
+_SES_ALPHA = 0.3  # smoothing factor
+
+
+@register(
+    "forecast_ses_monthly_revenue",
+    oracle=f"""
+        WITH m AS (
+            SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month,
+                   round(sum(o_totalprice), 6) AS revenue
+            FROM orders GROUP BY 1
+        ),
+        idx AS (
+            SELECT month, revenue,
+                   row_number() OVER (ORDER BY month) AS t,
+                   count(*) OVER () AS n
+            FROM m
+        )
+        SELECT month, revenue,
+               round(sum({_SES_ALPHA} * revenue * pow(1 - {_SES_ALPHA}, -t))
+                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)
+                     * pow(1 - {_SES_ALPHA}, t)
+                     + first_value(revenue) OVER (ORDER BY t)
+                       * pow(1 - {_SES_ALPHA}, t) * (1 - {_SES_ALPHA}), 6)
+                   AS ses
+        FROM idx
+    """,
+    description=f"simple exponential smoothing (alpha={_SES_ALPHA}) of monthly "
+    "revenue in closed form: s_t = a*sum (1-a)^(t-i) y_i + (1-a)^t s_0 with "
+    "s_0 = y_1 — a running window sum, no recursion",
+)
+def forecast_ses_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SES without sequential state: expand the recurrence
+    s_t = a*y_t + (1-a)*s_{t-1} into its closed form and compute it as a
+    cumulative window sum of a*y_i*(1-a)^(-i), rescaled by (1-a)^t — the
+    standard trick for turning a linear recurrence into a prefix scan.
+    The window input is the months-sized aggregate (the fact table is
+    reduced first), so the unpartitioned ordering is bounded — the same
+    justification as moving_avg_daily_revenue. Numerics note: (1-a)^(-t)
+    grows geometrically; for month counts this stays far inside double
+    range (here t<=85, (1/0.7)^85 ~ 1e13), and both engines compute the
+    identical expression."""
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"))
+    w = Window.orderBy("month")
+    idx = monthly.select(
+        "month", "revenue", F.row_number().over(w).alias("t")
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    a = _SES_ALPHA
+    term = F.lit(a) * F.col("revenue") * F.pow(F.lit(1 - a), -F.col("t"))
+    s0 = F.first("revenue").over(Window.orderBy("t"))
+    return idx.select(
+        "month",
+        "revenue",
+        F.round(
+            F.sum(term).over(wcum) * F.pow(F.lit(1 - a), F.col("t"))
+            + s0 * F.pow(F.lit(1 - a), F.col("t")) * F.lit(1 - a),
+            6,
+        ).alias("ses"),
+    )
