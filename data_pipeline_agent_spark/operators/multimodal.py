@@ -135,3 +135,63 @@ def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFr
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_windows", LongType()),
+        StructField("feature", ArrayType(FloatType())),  # pooled 16-dim
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, window_bytes: int = 256, fake: bool = False
+) -> DataFrame:
+    """Audio decode + windowed feature extraction via Arrow-batched
+    mapInPandas — the audio member of the modality set (image_features /
+    frame_sample siblings).
+
+    Real path requires soundfile (absent here); ``fake=True`` swaps in the
+    deterministic featureizer over fixed-size byte windows, mean-pooled to
+    one vector — same shape a log-mel/MFCC pooling would produce. The
+    scale-relevant parts are real either way: blobs stay on executors,
+    windows are computed per row inside the batch iterator, output is a
+    narrow feature row per clip."""
+    featurize = _fake_feature_src()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        if not fake:
+            try:
+                import soundfile  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "audio decode requires soundfile; pass fake=True for "
+                    f"the deterministic dev featureizer ({e})"
+                ) from e
+        for pdf in it:
+            ids, nb, nw, feats = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = content or b""
+                wins = [
+                    buf[i : i + window_bytes]
+                    for i in range(0, max(len(buf), 1), window_bytes)
+                ]
+                per_win = [featurize(w) for w in wins]
+                pooled = [
+                    float(round(sum(col) / len(per_win), 6))
+                    for col in zip(*per_win)
+                ]
+                ids.append(mid)
+                nb.append(len(buf))
+                nw.append(len(wins))
+                feats.append(pooled)
+            yield pd.DataFrame(
+                {"media_id": ids, "n_bytes": nb, "n_windows": nw, "feature": feats}
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)

@@ -297,3 +297,24 @@ def test_streaming_funnel_equals_batch_funnel(spark, tmp_path):
         assert got == expected, (k, got, expected)
     # every user with at least one event is represented in state output
     assert len(stages) == ev.select("user_id").distinct().count()
+
+
+def test_multimodal_audio_features(spark):
+    from data_pipeline_agent_spark.operators.multimodal import audio_features
+
+    rows = [(i, "audio", bytes([i % 7]) * (300 * (i + 1)), "wav", 0, 0) for i in range(6)]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, content binary, meta_format string, meta_width long, meta_height long",
+    )
+    out = audio_features(df, window_bytes=256, fake=True).collect()
+    assert len(out) == 6
+    for r in out:
+        assert len(r.feature) == 16
+        assert r.n_windows == -(-r.n_bytes // 256)  # ceil
+    # determinism across runs
+    again = {r.media_id: r.feature for r in audio_features(df, fake=True).collect()}
+    assert all(again[r.media_id] == r.feature for r in out)
+    # gated real path signals the missing decoder
+    with pytest.raises(Exception, match="soundfile|NotImplemented"):
+        audio_features(df, fake=False).collect()
