@@ -533,3 +533,54 @@ def sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir)
     return spark.sql(_SQL_NATION_REVENUE)
+
+
+# "history cutoff": orders strictly before this date play the precomputed
+# snapshot rollup; the rest arrive as the new batch
+_ROLLUP_CUTOFF = "1997-01-01"
+
+
+@register(
+    "incremental_daily_rollup",
+    oracle="""
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 6) AS revenue
+        FROM orders
+        GROUP BY 1
+    """,
+    description="incremental rollup maintenance: merge the history "
+    "snapshot's partial aggregates with the new batch's partials by "
+    "re-aggregation (sum-of-sums/sum-of-counts) instead of rescanning "
+    "history; result equals the full recompute (the oracle)",
+)
+def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-aggregate pattern: sums and counts are commutative
+    monoids, so yesterday's per-day partials plus today's batch partials
+    re-aggregate to the exact full answer — at 100 TB the daily job scans
+    ONLY the new partition, never the history. The snapshot side here is
+    simulated by aggregating the pre-cutoff slice; in production it is a
+    stored table. AVG-style metrics must be carried as (sum, count) pairs
+    — exactly what this plan stores."""
+    orders = table(spark, sf_dir, "orders")
+
+    def partials(df):
+        # d formatted to string on both engines (date vs timestamp repr
+        # drift was the round-1 cumulative_monthly_revenue lesson)
+        return df.groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("d")
+        ).agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("o_totalprice").alias("prev"),
+        )
+
+    snap = partials(orders.where(F.col("o_orderdate") < _ROLLUP_CUTOFF))
+    delta = partials(orders.where(F.col("o_orderdate") >= _ROLLUP_CUTOFF))
+    return (
+        snap.unionByName(delta)
+        .groupBy("d")
+        .agg(
+            F.sum("pn").cast("long").alias("n_orders"),
+            F.round(F.sum("prev"), 6).alias("revenue"),
+        )
+    )
