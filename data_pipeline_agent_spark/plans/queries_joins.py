@@ -401,3 +401,83 @@ def skew_profile_order_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(F.col("cnt"), F.lit(0.99)), 6).alias("p99_cnt"),
         F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_ratio"),
     )
+
+
+@register(
+    "unpivot_priority_counts",
+    oracle="""
+        WITH p AS (
+            SELECT o_orderstatus,
+                   count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_urgent,
+                   count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2_high,
+                   count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3_medium,
+                   count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+                   count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_low
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, priority, CAST(cnt AS BIGINT) AS cnt
+        FROM p
+        UNPIVOT (cnt FOR priority IN (p1_urgent, p2_high, p3_medium,
+                                      p4_not_specified, p5_low))
+    """,
+    description="unpivot/melt: the wide pivoted priority counts back to "
+    "long form via stack() — the inverse surface of pivot_status_by_priority",
+)
+def unpivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt with ``stack()``: each wide row expands to 5 narrow rows
+    map-side (a generator projection, no shuffle beyond the pivot
+    aggregate that feeds it). DuckDB's UNPIVOT keeps non-null rows only —
+    stack output matches because the explicit-value pivot coalesces
+    counts to 0 (never null)."""
+    wide = pivot_status_by_priority(spark, sf_dir)
+    pairs = ", ".join(f"'{a}', {a}" for a in PRIORITY_ALIASES)
+    return wide.select(
+        "o_orderstatus",
+        F.expr(
+            f"stack({len(PRIORITY_ALIASES)}, {pairs}) AS (priority, cnt)"
+        ),
+    ).select("o_orderstatus", "priority", F.col("cnt").cast("long").alias("cnt"))
+
+
+@register(
+    "status_priority_profile",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        )
+        SELECT o_orderstatus,
+               array_to_string(
+                   list(o_orderpriority || ':' || CAST(n AS VARCHAR)
+                        ORDER BY o_orderpriority), ',') AS profile,
+               CAST(count(*) AS BIGINT) AS n_priorities
+        FROM c GROUP BY o_orderstatus
+    """,
+    description="collect_list/array_agg surface: per-status sorted "
+    "'priority:count' profile string (deterministic via array_sort — "
+    "collected lists are otherwise partition-order-dependent)",
+)
+def status_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation done deterministically: collect_list order is
+    partition-dependent, so the collected pairs are array_sort'ed before
+    serialization (the only way an array-valued result can be
+    hash-compared across engines — and the only way a production job's
+    output is stable across reruns). The collect runs on the grouped
+    aggregate (25 rows), never on raw orders."""
+    df = table(spark, sf_dir, "orders")
+    c = df.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        c.select(
+            "o_orderstatus",
+            F.concat_ws(":", "o_orderpriority", F.col("n").cast("string")).alias(
+                "pair"
+            ),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("pair"))).alias("profile"),
+            F.count(F.lit(1)).cast("long").alias("n_priorities"),
+        )
+    )
