@@ -207,3 +207,49 @@ def test_islands_single_shuffle_key(spark):
     # keys; nothing may shuffle on a non-user key
     for args in re.findall(r"Arguments: hashpartitioning\(([^)]+)\)", txt):
         assert "user_id" in args, txt
+
+
+# Queries where a nested-loop/cartesian is the DELIBERATE plan: the range
+# join probes 6 broadcast bands, and the scalar-aggregate cross joins
+# broadcast a 1-row frame (bounds, totals, cutoffs, thresholds).
+_NESTED_LOOP_OK = {
+    "range_join_price_bands",  # 6-band broadcast interval probe
+    "q6_revenue_forecast",  # 1-row scalar forecast frame
+    "q11_important_parts",  # 1-row threshold frame
+    "q15_top_supplier",  # 1-row max-revenue frame
+    "q22_idle_customers",  # 1-row avg-balance frame
+    "median_quantiles",
+    "iqr_clip_quantity",
+    "corr_matrix",
+    "resample_daily_revenue_gapfill",  # 1-row date-bounds frame
+    "decile_customer_acctbal",  # 1-row cutoffs frame
+    "sample_stratified_deterministic",
+    "text_unigram_surprisal",  # 1-row total-tokens frame
+    "mixture_temperature_weights",  # 1-row normalizer frame
+    "sim_bruteforce_topk",  # anchors joined on != (broadcast NL by design)
+    "sim_quantized_topk",  # same anchor-broadcast shape
+    "sim_ivf_topk",  # per-anchor centroid ranking cross
+    "sim_ivf_exact_topk",
+    "ml_class_balance_report",  # 1-row total frame
+    "class_weights_orderstatus",  # 1-row (n, k) totals frame
+    "histogram_extendedprice",  # 1-row min/max bounds frame
+    "ml_als_recommend_parts",  # MLlib subset scoring: 5 probe users x item blocks
+    "skew_profile_order_custkey",  # 1-row profile frame
+    "validate_orders_expectations",  # 1-row rule frame
+    "q1_pricing_summary",
+    "q6_revenue_forecast",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_accidental_cartesian(spark, name):
+    """Registry-wide sweep: any CartesianProduct or BroadcastNestedLoopJoin
+    outside the whitelist is an accidental O(n*m) plan — the single worst
+    failure mode at 100 TB. Whitelisted occurrences are 1-row scalar
+    broadcasts or deliberate bounded-band probes."""
+    df = REGISTRY[name].spark(spark, SF_DIR)
+    txt = _formatted(df)
+    has_nl = "CartesianProduct" in txt or "BroadcastNestedLoopJoin" in txt
+    if name in _NESTED_LOOP_OK:
+        return  # deliberate; nothing to assert either way (AQE may elide)
+    assert not has_nl, f"{name}: unexpected nested-loop/cartesian:\n{txt[:3000]}"
