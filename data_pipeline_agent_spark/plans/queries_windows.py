@@ -363,3 +363,40 @@ def forecast_ses_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ses"),
     )
+
+
+@register(
+    "customer_trailing_7d_revenue",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+                   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+               ), 6) AS trailing_7d
+        FROM orders
+    """,
+    description="RANGE-frame window: per customer, trailing-7-day order "
+    "revenue (time-valued frame bounds, not row counts) — the frame "
+    "variety ROWS windows cannot express when events are irregular",
+)
+def customer_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames bound by VALUE distance (here 7 days of epoch
+    seconds), so ties and gaps behave correctly where a ROWS frame would
+    not: all orders on the same day share one frame, sparse customers
+    are not over-weighted. One shuffle partitioned by customer; the sort
+    key is the numeric epoch because both engines define RANGE offsets
+    over numerics identically (interval-typed RANGE bounds differ in
+    dialect)."""
+    orders = table(spark, sf_dir, "orders")
+    ep = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(ep.alias("ep"))
+        .rangeBetween(-604800, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("trailing_7d"),
+    )

@@ -318,3 +318,52 @@ def test_multimodal_audio_features(spark):
     # gated real path signals the missing decoder
     with pytest.raises(Exception, match="soundfile|NotImplemented"):
         audio_features(df, fake=False).collect()
+
+
+def test_foreachbatch_sink_exactly_once(spark, events_batch, tmp_path):
+    """foreachBatch + per-batch dynamic partition overwrite: (1) all input
+    rows land exactly once across micro-batches; (2) re-delivering a
+    batch (the crash-recovery case) REPLACES its partition instead of
+    duplicating it — the idempotence that upgrades at-least-once delivery
+    to exactly-once output."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.streaming.sinks import write_stream_exactly_once
+
+    batch_df, outdir = events_batch
+    out = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(outdir)
+    )
+    q = write_stream_exactly_once(stream, out, chk)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == batch_df.count()
+    assert got.select("event_id").distinct().count() == batch_df.count()
+    n_batches = got.select("batch_id").distinct().count()
+    assert n_batches >= 2  # maxFilesPerTrigger=1 over two files
+
+    # simulate re-delivery of batch 0 with identical data: overwrite must
+    # replace, not append
+    redelivered = got.where("batch_id = 0").drop("batch_id")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        redelivered.withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(out)
+    )
+    again = spark.read.parquet(out)
+    assert again.count() == batch_df.count(), "re-delivered batch duplicated rows"
+
+    # restart from the same checkpoint with no new input: nothing changes
+    q2 = write_stream_exactly_once(
+        spark.readStream.schema(batch_df.schema).option("maxFilesPerTrigger", "1").parquet(outdir),
+        out,
+        chk,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == batch_df.count()
