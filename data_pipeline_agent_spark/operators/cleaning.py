@@ -101,15 +101,26 @@ def parse_datetime_columns(df: DataFrame, prof: Profile) -> DataFrame:
     return df.select(*exprs)
 
 
-def frequency_encode(df: DataFrame, col: str) -> DataFrame:
+def frequency_encode(
+    df: DataFrame, col: str, stats_from: DataFrame | None = None
+) -> DataFrame:
     """E4 — replace each value by its occurrence count (main.py:97-101).
 
     groupBy + equi-join rather than a window count: the count table has
     one row per distinct value, so Catalyst/AQE broadcasts it when small;
     a window over the raw rows would always shuffle the full table and
     concentrate skewed keys on one partition.
+
+    ``stats_from`` lets a multi-column encode pass build the count table
+    from the PRE-encode base frame: prior encodes only replace *other*
+    columns, so the counts are identical, but deriving them from the
+    running join chain would re-embed the whole prior plan under every
+    new join (plan size ~2^k for k encoded columns — measured as a
+    Catalyst hang at 20 columns).
     """
-    freq = df.groupBy(col).agg(F.count(F.lit(1)).alias("__freq"))
+    freq = (stats_from if stats_from is not None else df).groupBy(col).agg(
+        F.count(F.lit(1)).alias("__freq")
+    )
     out = (
         df.join(freq, on=col, how="left")
         .withColumn(col, F.col("__freq").cast("long"))
@@ -163,7 +174,12 @@ def _rank_distincts_distributed(vals: DataFrame) -> DataFrame:
     )
 
 
-def label_encode(df: DataFrame, col: str, n_distinct: int | None = None) -> DataFrame:
+def label_encode(
+    df: DataFrame,
+    col: str,
+    n_distinct: int | None = None,
+    stats_from: DataFrame | None = None,
+) -> DataFrame:
     """E5 — integer codes by alphabetical order of the stringified value
     (sklearn LabelEncoder, main.py:102-105).
 
@@ -174,8 +190,14 @@ def label_encode(df: DataFrame, col: str, n_distinct: int | None = None) -> Data
     nunique <= n/2, which at 100 TB can be billions of distincts — codes
     come from a distributed range-partitioned rank and the join is left
     to AQE (shuffle join of fact vs code table on the value).
+
+    ``stats_from``: same plan-growth rationale as frequency_encode.
     """
-    vals = df.select(F.col(col).cast("string").alias("__v")).distinct()
+    vals = (
+        (stats_from if stats_from is not None else df)
+        .select(F.col(col).cast("string").alias("__v"))
+        .distinct()
+    )
     if n_distinct is not None and n_distinct > LABEL_ENCODE_BROADCAST_CUTOFF:
         codes = _rank_distincts_distributed(vals)
         codes_joinable = codes  # no hint: AQE picks the strategy
@@ -199,12 +221,90 @@ def label_encode(df: DataFrame, col: str, n_distinct: int | None = None) -> Data
 
 def encode_strings(df: DataFrame, n_rows: int, n_distinct: dict[str, int]) -> DataFrame:
     """E4/E5 dispatch — nunique > n_rows/2 -> frequency, else label
-    (main.py:96-105). Distinct counts are post-imputation (same set)."""
-    for c in string_columns(df):
+    (main.py:96-105). Distinct counts are post-imputation (same set).
+
+    Scale structure (the reference loops one pandas pass per column):
+
+    - ONE melted pass over the base frame builds every column's
+      (value, count) table: explode of (col, value) structs, one grouped
+      aggregate keyed (col, value). Fact-table passes are constant in
+      column count.
+    - Label codes come from a per-column window over that SMALL table
+      (partitioned by column — parallel across columns).
+    - Each column then joins its cached slice; build sides never rescan
+      the fact table, and every build derives from the shared PRE-encode
+      frame (deriving from the running chain would re-embed the whole
+      prior plan under each join — plan tree ~2^k, measured as a
+      Catalyst hang at 20 columns).
+    - High-cardinality label columns (> LABEL_ENCODE_BROADCAST_CUTOFF)
+      keep the per-column distributed range-rank path: one window
+      partition holding billions of distincts is the exact hazard that
+      path exists to avoid.
+    """
+    base = df
+    cols = string_columns(df)
+    if not cols:
+        return df
+    high_card_label = {
+        c
+        for c in cols
+        if n_distinct.get(c, 0) <= n_rows / 2
+        and n_distinct.get(c, 0) > LABEL_ENCODE_BROADCAST_CUTOFF
+    }
+    fused_cols = [c for c in cols if c not in high_card_label]
+    counts = None
+    if fused_cols:
+        melted = base.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("__c"),
+                            F.col(c).cast("string").alias("__v"),
+                        )
+                        for c in fused_cols
+                    ]
+                )
+            ).alias("s")
+        ).select("s.__c", "s.__v")
+        wcode = Window.partitionBy("__c").orderBy(F.asc_nulls_last("__v"))
+        counts = (
+            melted.groupBy("__c", "__v")
+            .agg(F.count(F.lit(1)).alias("__freq"))
+            .withColumn("__code", (F.row_number().over(wcode) - F.lit(1)).cast("long"))
+            .persist()
+        )
+    for c in cols:
+        if c in high_card_label:
+            df = label_encode(df, c, n_distinct=n_distinct.get(c), stats_from=base)
+            continue
+        slice_ = counts.where(F.col("__c") == c).drop("__c")
         if n_distinct.get(c, 0) > n_rows / 2:
-            df = frequency_encode(df, c)
+            # E4 frequency: plain equality join (null keys stay null,
+            # matching pandas .map of a value_counts dict)
+            df = (
+                df.join(
+                    F.broadcast(slice_.select("__v", "__freq")),
+                    df[c] == F.col("__v"),
+                    "left",
+                )
+                .withColumn(c, F.col("__freq").cast("long"))
+                .drop("__v", "__freq")
+                .select(*df.columns)
+            )
         else:
-            df = label_encode(df, c, n_distinct=n_distinct.get(c))
+            # E5 label: null-safe join so null gets its (last) code,
+            # matching LabelEncoder over stringified values
+            df = (
+                df.join(
+                    F.broadcast(slice_.select("__v", "__code")),
+                    df[c].cast("string").eqNullSafe(F.col("__v")),
+                    "left",
+                )
+                .withColumn(c, F.col("__code"))
+                .drop("__v", "__code")
+                .select(*df.columns)
+            )
     return df
 
 
