@@ -375,3 +375,50 @@ def doc_chunks_fixed_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sl).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", sl).alias("chunk_text"),
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, {sql_tokens('lower(text)')} AS w FROM documents
+        ),
+        g AS (
+            SELECT DISTINCT source, unnest({sql_ngrams('w', _BOILER_N)}) AS gram
+            FROM toks
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared_grams
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY a.source, b.source
+    """,
+    description="cross-source leakage matrix: distinct 4-gram shingles "
+    "shared by each source pair — the audit for content duplication "
+    "across supposedly-independent corpus sources",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level overlap as a gram-keyed self-join: explode (map-side),
+    distinct on (source, gram) — ONE shuffle — then the self-join fans
+    out only within a gram's source set (bounded by n_sources per gram,
+    never corpus-sized). The output is n_sources^2/2 rows regardless of
+    corpus size. The staged distinct table is persisted because both join
+    sides consume it."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    g = (
+        docs.select(
+            "source",
+            F.explode(
+                word_ngrams(tokens(F.lower(F.col("text"))), _BOILER_N)
+            ).alias("gram"),
+        )
+        .distinct()
+        .persist()
+    )
+    a = g.select(F.col("source").alias("source_a"), "gram")
+    b = g.select(F.col("source").alias("source_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
