@@ -126,3 +126,58 @@ def test_asof_join_null_value_column_same_row(spark):
     row = asof_join(left, right, "k", "k", "ts", "rts", ["v1", "v2"]).collect()[0]
     assert row["v2"] == 333.0
     assert row["v1"] is None  # from the SAME (newest) row, not 1.0 from the older one
+
+
+def test_asof_join_property_random(spark):
+    """Property test: asof_join over random (key, ts, tiebreak, value)
+    tables matches a straightforward per-row Python reference (latest
+    right row at-or-before the left ts; greatest tiebreak among ties).
+    Exercises duplicate timestamps, keys missing on either side, and
+    tiebreak collisions that the hand-written cases cannot enumerate."""
+    from hypothesis import given, settings, strategies as st
+
+    row = st.tuples(
+        st.integers(0, 3),  # key: few keys -> dense collisions
+        st.integers(0, 6),  # ts
+        st.integers(0, 2),  # tiebreak
+        st.integers(0, 100),  # value
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        left=st.lists(row, min_size=1, max_size=12),
+        right=st.lists(row, min_size=1, max_size=12),
+    )
+    def run(left, right):
+        ldf = spark.createDataFrame(
+            [(i, k, t) for i, (k, t, _, _) in enumerate(left)],
+            "lid long, k long, t long",
+        )
+        rdf = spark.createDataFrame(
+            [(k, t, tb, float(v)) for (k, t, tb, v) in right],
+            "k long, t long, tb long, v double",
+        )
+        got = {
+            r["lid"]: (r["v"], r["tb"])
+            for r in asof_join(
+                ldf, rdf, left_key="k", right_key="k", left_ts="t",
+                right_ts="t", value_cols=["v", "tb"], tiebreak="tb",
+            ).collect()
+        }
+        for i, (k, t, _, _) in enumerate(left):
+            cands = [(rt, tb, v) for (rk, rt, tb, v) in right if rk == k and rt <= t]
+            if not cands:
+                assert got[i] == (None, None), f"lid={i}: expected null, got {got[i]}"
+            else:
+                best_t = max(c[0] for c in cands)
+                best_tb = max(c[1] for c in cands if c[0] == best_t)
+                best_v = max(float(c[2]) for c in cands if c[0] == best_t and c[1] == best_tb)
+                # value for the (best_t, best_tb) row; if several rows share
+                # both, the operator may return any of them -> compare the
+                # (t, tb) choice, and the value only when it is unique
+                vals = {float(c[2]) for c in cands if c[0] == best_t and c[1] == best_tb}
+                assert got[i][1] == best_tb, f"lid={i}: tiebreak {got[i]} != {best_tb}"
+                if len(vals) == 1:
+                    assert got[i][0] == best_v, f"lid={i}: value {got[i]} != {best_v}"
+
+    run()
