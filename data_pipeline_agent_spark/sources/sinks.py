@@ -197,3 +197,47 @@ def align_schemas(dfs: list[DataFrame]) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "shuffle42:",
+    compression: str = "gzip",
+) -> DataFrame:
+    """Export a curated corpus as deterministically-shuffled JSONL training
+    shards + a manifest.
+
+    The layout counterpart of the corpus_shuffle_shards query: shard
+    assignment is a salted md5 hash of the stable id (identical across
+    reruns/engines/partitionings — no RNG), rows are ordered by the md5
+    key within each shard (uniform pseudo-random training order), and the
+    write is ONE repartition + sortWithinPartitions + partitioned write.
+    Returns the manifest DataFrame (shard -> n_rows, n_chars), computed
+    from the same frame in the same pass structure; at 100 TB a trainer
+    consumes the manifest to plan epoch schedules without listing files.
+    """
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.functions.text_hash import h32
+
+    salted = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    keyed = df.withColumn("__key", F.md5(salted)).withColumn(
+        "shard", F.pmod(h32(salted), F.lit(n_shards)).cast("long")
+    )
+    (
+        keyed.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__key")
+        .drop("__key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", compression)
+        .json(out_dir)
+    )
+    manifest = keyed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.length(F.col("text").cast("string"))).cast("long").alias("n_chars"),
+    )
+    return manifest

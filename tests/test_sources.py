@@ -232,3 +232,27 @@ def test_zorder_key_matches_python_interleave(spark):
     )
     for r in got:
         assert r["z"] == interleave(r["a"], r["b"]), (r["a"], r["b"], r["z"])
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    """Training-shard export: every input row lands in exactly one JSONL
+    shard, shard assignment is identical across two runs (no RNG), and
+    the manifest row counts match the files on disk."""
+    from data_pipeline_agent_spark.sources.sinks import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = write_training_shards(docs, out1, n_shards=4).collect()
+    m2 = write_training_shards(docs, out2, n_shards=4).collect()
+    assert sorted((r.shard, r.n_rows) for r in m1) == sorted(
+        (r.shard, r.n_rows) for r in m2
+    )
+    total = docs.count()
+    assert sum(r.n_rows for r in m1) == total
+    back = spark.read.json(out1)
+    assert back.count() == total
+    assert back.select("doc_id").distinct().count() == total
+    # shard membership identical across runs
+    a = {(r.doc_id, r.shard) for r in spark.read.json(out1).select("doc_id", "shard").collect()}
+    b = {(r.doc_id, r.shard) for r in spark.read.json(out2).select("doc_id", "shard").collect()}
+    assert a == b
