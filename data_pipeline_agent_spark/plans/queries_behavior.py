@@ -233,3 +233,55 @@ def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("long").alias("longest_streak"),
         F.sum("len").cast("long").alias("n_active_days"),
     )
+
+
+@register(
+    "events_daily_anomaly_zscore",
+    oracle="""
+        WITH d AS (
+            SELECT event_type,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT event_type, day, n,
+                   avg(n) OVER (PARTITION BY event_type) AS mu,
+                   stddev_samp(n) OVER (PARTITION BY event_type) AS sd
+            FROM d
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+               CAST(n AS BIGINT) AS n,
+               round((n - mu) / sd, 6) AS z
+        FROM s WHERE abs((n - mu) / sd) > 2
+    """,
+    description="volume anomaly detection: days whose event count sits "
+    "more than 2 sample-stddevs from that event type's mean (the daily "
+    "data-quality canary for ingest pipelines)",
+)
+def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalies computed entirely on the aggregated (type, day) grain:
+    the fact table reduces first (one shuffle), then the per-type
+    mean/stddev window runs over the days-sized frame — the bounded-
+    window-input pattern shared with moving_avg/gapfill. Both engines
+    evaluate identical double expressions over identical small inputs,
+    so the rounded z-scores hash-match."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    s = d.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return s.where(F.abs(z) > 2).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.round(z, 6).alias("z"),
+    )
