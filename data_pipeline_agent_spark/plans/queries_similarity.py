@@ -259,3 +259,23 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return semantic_duplicate_groups(emb, n_clusters=16, threshold=0.4)
+
+
+@register(
+    "sim_pq_topk",
+    description="product-quantization ANN top-5: per-subspace codebooks "
+    "(8x4-bit codes, 8x compression), asymmetric-distance scoring via "
+    "literal table lookups (rows-only: codebooks are a model fit; "
+    "candidate recall vs brute force gated in tests)",
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ is the candidate-generation stage of a production ANN stack
+    (recall note: on these UNstructured random testdata vectors 4-bit
+    codes recover only part of the exact top-5 — PQ's compression
+    assumes cluster structure; the production pattern re-ranks PQ
+    candidates against full-precision vectors, cf. quantized_topk)."""
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 10)
+    return S.pq_topk(emb, anchors, k=5)

@@ -103,3 +103,33 @@ def test_quantized_cosine_error_bound(spark):
     top1_quant = {r.query_id: r.neighbor_id for r in quant.where("rk = 1").collect()}
     overlap = sum(top1_exact[q] == top1_quant.get(q) for q in top1_exact)
     assert overlap >= 7, f"only {overlap}/10 top-1 neighbors survive quantization"
+
+
+def test_pq_candidates_recall_floor(spark):
+    """PQ top-20 candidates must recover a meaningful share of the exact
+    top-5 (deterministic: seeded numpy codebooks over a deterministic
+    sample), and the codes must be within the 4-bit range."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    anchors = emb.where(F.col("vec_id") < 10)
+    pq = pq_topk(emb, anchors, k=20).collect()
+    ex = brute_force_topk(emb, anchors, k=5).collect()
+    top5, cand = {}, {}
+    for r in ex:
+        top5.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in pq:
+        cand.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(top5[q] & cand.get(q, set())) for q in top5)
+    assert hits >= 12, f"PQ candidates recovered only {hits}/50 exact top-5 slots"
+    # determinism across invocations (same codebooks, same sample)
+    pq2 = pq_topk(emb, anchors, k=20).collect()
+    assert sorted((r.query_id, r.neighbor_id, r.rk) for r in pq) == sorted(
+        (r.query_id, r.neighbor_id, r.rk) for r in pq2
+    )
