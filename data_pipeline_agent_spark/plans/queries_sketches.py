@@ -171,3 +171,42 @@ def bloom_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 6).alias("total"),
         )
     )
+
+
+@register(
+    "hll_trailing_7d_users",
+    description="trailing-window distinct via sketch merge: per-day HLL "
+    "sketches unioned over each trailing 7-day window — the incremental "
+    "rollup pattern that answers ANY trailing window without rescanning "
+    "events (rows-only: sketch estimates are engine-specific; error "
+    "bound vs exact gated in tests)",
+)
+def hll_trailing_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily HLL sketches are built once (one shuffle on the day grain);
+    each trailing window is then a SELF-JOIN of the days-sized sketch
+    table (each day joins <= 7 rows) + hll_union_agg — events are never
+    rescanned. At 100 TB the daily sketch table is a few KB per day and
+    the trailing-window family (7d, 28d, 90d...) all derive from the
+    same precomputed sketches; recomputing exact distincts per window
+    would rescan the fact table once PER WINDOW SIZE."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    a = daily.select(F.col("day").alias("d"))
+    b = daily.select(F.col("day").alias("d2"), "sk")
+    return (
+        a.join(b, (F.col("d2") >= F.date_sub(F.col("d"), 6)) & (F.col("d2") <= F.col("d")))
+        .groupBy("d")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(
+                "n_users_7d_approx"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_days_merged"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_users_7d_approx",
+            "n_days_merged",
+        )
+    )

@@ -400,3 +400,74 @@ def customer_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(F.sum("o_totalprice").over(w), 6).alias("trailing_7d"),
     )
+
+
+@register(
+    "scd2_customer_priority_intervals",
+    oracle="""
+        WITH ordered AS (
+            SELECT o_custkey, o_orderpriority,
+                   strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+                   row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS rn,
+                   lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS prev_p
+            FROM orders
+        ),
+        changes AS (
+            SELECT o_custkey, o_orderpriority, d,
+                   sum(CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY o_custkey ORDER BY rn) AS version
+            FROM ordered
+        )
+        SELECT o_custkey AS custkey, o_orderpriority AS priority,
+               CAST(version AS BIGINT) AS version,
+               min(d) AS valid_from, max(d) AS last_seen,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM changes
+        GROUP BY o_custkey, o_orderpriority, version
+    """,
+    description="SCD2 interval build: collapse each customer's order-"
+    "priority history into versioned validity intervals (change detection "
+    "via lag + cumulative version counter, the slowly-changing-dimension "
+    "snapshot transform)",
+)
+def scd2_customer_priority_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse SCD2 build as two windows + one aggregate, all
+    partitioned on the same customer key (one shuffle end to end):
+    lag detects value changes, a running sum of change flags assigns
+    version numbers, and the group-by collapses consecutive runs into
+    intervals. No self-join, no per-entity collect — the standard
+    change-point pattern at any scale."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("d"),
+        F.row_number().over(w).alias("rn"),
+        F.lag("o_orderpriority").over(w).alias("prev_p"),
+    )
+    chg = F.when(
+        F.col("prev_p").isNull() | (F.col("prev_p") != F.col("o_orderpriority")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    wv = Window.partitionBy("o_custkey").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    changes = ordered.select(
+        "o_custkey", "o_orderpriority", "d", F.sum(chg).over(wv).alias("version")
+    )
+    return changes.groupBy("o_custkey", "o_orderpriority", "version").agg(
+        F.min("d").alias("valid_from"),
+        F.max("d").alias("last_seen"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("version").cast("long").alias("version"),
+        "valid_from",
+        "last_seen",
+        "n_orders",
+    )

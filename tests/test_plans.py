@@ -235,6 +235,7 @@ _NESTED_LOOP_OK = {
     "histogram_extendedprice",  # 1-row min/max bounds frame
     "ml_als_recommend_parts",  # MLlib subset scoring: 5 probe users x item blocks
     "skew_profile_order_custkey",  # 1-row profile frame
+    "hll_trailing_7d_users",  # days-sized sketch self-join, fanout <= 7
     "validate_orders_expectations",  # 1-row rule frame
     "q1_pricing_summary",
     "q6_revenue_forecast",

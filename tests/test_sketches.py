@@ -53,3 +53,35 @@ def test_cms_overestimate_bound(spark):
         assert r["n_cms"] <= r["n_exact"] + 0.001 * n_total * 10, (
             f"CMS overcount beyond 10x eps*N bound: {r}"
         )
+
+
+def test_hll_trailing_window_error_bound(spark):
+    """The merged trailing-7d sketch estimate must sit within HLL error
+    of the exact trailing distinct (computed directly for the test)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.plans import REGISTRY
+    from data_pipeline_agent_spark.plans.registry import events_table
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.day: r.n_users_7d_approx
+        for r in REGISTRY["hll_trailing_7d_users"].spark(spark, SF_DIR).collect()
+    }
+    ev = events_table(spark, SF_DIR).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    a = ev.select(F.col("day").alias("d")).distinct()
+    exact = {
+        r.d: r.n
+        for r in a.join(
+            ev, (ev.day >= F.date_sub(F.col("d"), 6)) & (ev.day <= F.col("d"))
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == {d.strftime("%Y-%m-%d") for d in exact}
+    for d, n in exact.items():
+        est = got[d.strftime("%Y-%m-%d")]
+        assert abs(est - n) <= max(3, 0.1 * n), f"{d}: est {est} vs exact {n}"
