@@ -422,3 +422,81 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
     )
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {sql_tokens('lower(text)')} AS w FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+            FROM (
+                SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+                FROM toks WHERE len(w) >= 2
+            )
+        ),
+        c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, sum(c) AS cp FROM c12 GROUP BY w1),
+        v AS (
+            SELECT count(DISTINCT tok) AS vocab
+            FROM (SELECT unnest(w) AS tok FROM toks)
+        )
+        SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(-ln((c + 1.0) / (cp + vocab))), 6) AS bigram_surprisal
+        FROM bg
+        JOIN c12 USING (w1, w2)
+        JOIN c1 USING (w1), v
+        GROUP BY bg.doc_id
+    """,
+    description="bigram-LM quality signal with add-one smoothing: per-doc "
+    "mean -ln P(w2|w1) under the corpus's own bigram distribution — the "
+    "sharper sibling of text_unigram_surprisal (catches unnatural word "
+    "ORDER, not just rare words)",
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigrams are built map-side by zipping the token array with its
+    own 1-shifted slice (no positional self-join of an exploded table —
+    that would shuffle on (doc, pos) for data that is adjacent by
+    construction). Conditional counts reuse the bigram table: the prefix
+    total is the per-w1 sum of bigram counts, so only ONE count
+    aggregate touches corpus-sized data; vocab is a 1-row broadcast.
+    Join strategy for the count tables is AQE's call (same Heaps'-law
+    rationale as the unigram query)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("w"))
+    pairs = F.arrays_zip(
+        F.slice(F.col("w"), 1, F.size("w") - 1).alias("w1"),
+        F.slice(F.col("w"), 2, F.size("w") - 1).alias("w2"),
+    )
+    bg = (
+        t.where(F.size("w") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .persist()
+    )
+    try:
+        c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+        c1 = c12.groupBy("w1").agg(F.sum("c").alias("cp"))
+        v = (
+            t.select(F.explode("w").alias("tok"))
+            .agg(F.countDistinct("tok").alias("vocab"))
+        )
+        out = (
+            bg.join(c12, ["w1", "w2"])
+            .join(c1, "w1")
+            .crossJoin(F.broadcast(v))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                F.round(
+                    F.avg(-F.log((F.col("c") + F.lit(1.0)) / (F.col("cp") + F.col("vocab")))),
+                    6,
+                ).alias("bigram_surprisal"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        bg.unpersist()
+    return out
