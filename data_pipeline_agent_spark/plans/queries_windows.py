@@ -471,3 +471,43 @@ def scd2_customer_priority_intervals(spark: SparkSession, sf_dir: str) -> DataFr
         "last_seen",
         "n_orders",
     )
+
+
+@register(
+    "latest_order_per_customer",
+    oracle="""
+        SELECT o_custkey AS custkey,
+               strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS latest_date,
+               arg_max(o_totalprice,
+                       CAST(o_orderdate AS TIMESTAMP) + to_microseconds(o_orderkey))
+                   AS latest_totalprice,
+               CAST(arg_max(o_orderkey,
+                       CAST(o_orderdate AS TIMESTAMP) + to_microseconds(o_orderkey))
+                   AS BIGINT) AS latest_orderkey
+        FROM orders GROUP BY o_custkey
+    """,
+    description="top-1-per-group WITHOUT a window: max_by/arg_max keeps "
+    "each customer's latest order via a plain aggregate — partial "
+    "aggregation runs map-side, so no per-group sort and no window "
+    "shuffle of raw rows (tiebreak folded into the ordering key)",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The agg-based alternative to row_number()-over-window for top-1:
+    max_by partial-aggregates on the map side (each task keeps one row
+    per customer before the exchange), where a window must shuffle and
+    sort EVERY raw row. The ordering key folds the orderkey in as a
+    deterministic tiebreak at MICROsecond scale (keys stay far below one
+    day's 86.4e9 us, so the date always dominates) — the same monotone
+    key in both engines, exact in a double to 2^53."""
+    orders = table(spark, sf_dir, "orders")
+    ordkey = (
+        F.col("o_orderdate").cast("timestamp").cast("double") * F.lit(1_000_000.0)
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.date_format(F.max(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias(
+            "latest_date"
+        ),
+        F.max_by("o_totalprice", ordkey).alias("latest_totalprice"),
+        F.max_by("o_orderkey", ordkey).cast("long").alias("latest_orderkey"),
+    )
