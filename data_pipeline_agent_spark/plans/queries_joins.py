@@ -10,7 +10,7 @@ dimension, and the pivots/cubes are single-shuffle hash aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_agent_spark.operators.joins import (
@@ -480,4 +480,98 @@ def status_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.array_sort(F.collect_list("pair"))).alias("profile"),
             F.count(F.lit(1)).cast("long").alias("n_priorities"),
         )
+    )
+
+
+@register(
+    "basket_brand_pairs",
+    oracle="""
+        WITH b AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        )
+        SELECT a.p_brand AS brand_a, c.p_brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS support
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.p_brand < c.p_brand
+        GROUP BY a.p_brand, c.p_brand
+    """,
+    description="market-basket co-occurrence: support count for every "
+    "brand pair appearing in the same order (the candidate-generation "
+    "step of association-rule mining)",
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair generation fans out only WITHIN a basket (the self-join key
+    is the orderkey, so cost is sum of basket_size^2 — bounded by the
+    ~7-line TPC-H order, never corpus^2). The distinct (order, brand)
+    projection runs first so multi-line same-brand orders count once.
+    The staged distinct table is persisted for its two join sides; at
+    100 TB the alternative layout is bucketing by orderkey so the
+    self-join is exchange-free."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    b = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .persist()
+    )
+    a = b.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
+    c = b.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(c, "k")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+
+
+@register(
+    "supplier_pareto_revenue",
+    oracle="""
+        WITH r AS (
+            SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        ranked AS (
+            SELECT l_suppkey, rev,
+                   sum(rev) OVER (ORDER BY rev DESC, l_suppkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(rev) OVER () AS total,
+                   row_number() OVER (ORDER BY rev DESC, l_suppkey) AS rk,
+                   count(*) OVER () AS n
+            FROM r
+        )
+        SELECT CAST(min(rk) AS BIGINT) AS suppliers_to_80pct,
+               CAST(max(n) AS BIGINT) AS n_suppliers,
+               round(min(rk) * 1.0 / max(n), 6) AS pareto_share
+        FROM ranked WHERE cum >= 0.8 * total
+    """,
+    description="Pareto concentration: how many top suppliers cover 80% "
+    "of revenue (cumulative-share window over the supplier-grain "
+    "aggregate, never the fact table)",
+)
+def supplier_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 analysis done on the aggregated grain: the fact table
+    reduces to one row per supplier first, so the unpartitioned ordering
+    windows see a dimension-sized input (the bounded-window-input
+    pattern; at extreme supplier counts the cumulative share would come
+    from the sort-free decile machinery instead)."""
+    li = table(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("l_suppkey"))
+    ranked = r.select(
+        "l_suppkey",
+        "rev",
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.where(F.col("cum") >= 0.8 * F.col("total")).agg(
+        F.min("rk").cast("long").alias("suppliers_to_80pct"),
+        F.max("n").cast("long").alias("n_suppliers"),
+        F.round(F.min("rk") * 1.0 / F.max("n"), 6).alias("pareto_share"),
     )
