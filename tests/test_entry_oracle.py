@@ -75,3 +75,16 @@ def test_all_queries_have_unique_lowercase_aliases(spark):
     for name, spec in REGISTRY.items():
         df = spec.spark(spark, SF_DIR)
         assert len(set(df.columns)) == len(df.columns), f"{name}: duplicate columns"
+
+
+def test_driver_contract_shape():
+    """The adapter the driver consumes: every oracle key names a query,
+    every oracle is non-empty SQL text, every query is callable."""
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert all(isinstance(s, str) and s.strip() for s in os_.values())
+    assert all(callable(f) for f in qs.values())
+    # rows-only queries are the documented minority
+    assert len(qs) - len(os_) <= 12, "rows-only share crept up"
