@@ -18,6 +18,7 @@ from data_pipeline_agent_spark.operators.joins import (
     range_join,
     skew_safe_distinct_count,
 )
+from data_pipeline_agent_spark.operators.ranking import ordered_prefix
 from data_pipeline_agent_spark.plans.registry import register, table
 from data_pipeline_agent_spark.session import fan_out
 
@@ -552,26 +553,30 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate, never the fact table)",
 )
 def supplier_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 80/20 analysis done on the aggregated grain: the fact table
-    reduces to one row per supplier first, so the unpartitioned ordering
-    windows see a dimension-sized input (the bounded-window-input
-    pattern; at extreme supplier counts the cumulative share would come
-    from the sort-free decile machinery instead)."""
+    """The 80/20 analysis with NO unpartitioned window anywhere: the fact
+    table reduces to one row per supplier first, then the global rank and
+    cumulative revenue come from ``ordered_prefix`` — range-repartition
+    on (rev desc, suppkey), per-partition offsets prefix-summed on the
+    driver, partition-local windows only. Suppliers scale with SF (10k×SF
+    — ~10⁹ rows at 100 TB), so unlike the calendar-bounded day/month
+    grains elsewhere this grain must never hit a single-reducer sort.
+    The corpus total and supplier count fall out of the offset collect
+    for free, replacing both ``sum() OVER ()`` scans."""
     li = table(spark, sf_dir, "lineitem")
     r = li.groupBy("l_suppkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("l_suppkey"))
-    ranked = r.select(
-        "l_suppkey",
-        "rev",
-        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("rev").over(Window.partitionBy()).alias("total"),
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ranked, n_suppliers, total = ordered_prefix(
+        r, [F.desc("rev"), F.asc("l_suppkey")], "rev"
     )
-    return ranked.where(F.col("cum") >= 0.8 * F.col("total")).agg(
-        F.min("rk").cast("long").alias("suppliers_to_80pct"),
-        F.max("n").cast("long").alias("n_suppliers"),
-        F.round(F.min("rk") * 1.0 / F.max("n"), 6).alias("pareto_share"),
+    return (
+        ranked.where(F.col("cum") >= F.lit(0.8 * total))
+        .agg(F.min("rk").cast("long").alias("suppliers_to_80pct"))
+        .select(
+            "suppliers_to_80pct",
+            F.lit(n_suppliers).cast("long").alias("n_suppliers"),
+            F.round(
+                F.col("suppliers_to_80pct") * 1.0 / F.lit(n_suppliers), 6
+            ).alias("pareto_share"),
+        )
     )

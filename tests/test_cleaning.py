@@ -191,3 +191,35 @@ def test_clean_data_bounded_job_count(spark):
     n_base_refs = plan.count("LocalRelation") + plan.count("LocalTableScan")
     assert n_base_refs <= 4, f"base frame appears {n_base_refs}x in the plan"
     assert "Data cleaned" in msg
+
+
+def test_ordered_prefix_matches_single_reducer_window(spark):
+    """ordered_prefix (range-partitioned rank + driver prefix-summed running
+    sum) must agree exactly with the textbook unpartitioned window it
+    replaces — including duplicate order keys and a null value."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.ranking import ordered_prefix
+
+    rng = random.Random(7)
+    rows = [(i, float(rng.randrange(20))) for i in range(500)]
+    rows[13] = (13, None)
+    df = spark.createDataFrame(rows, "id long, v double")
+
+    got, n, total = ordered_prefix(df, [F.desc_nulls_last("v"), F.asc("id")], "v")
+    assert n == 500
+    w = Window.orderBy(F.desc_nulls_last("v"), F.asc("id"))
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("rk"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    got_m = {r["id"]: (r["rk"], r["cum"]) for r in got.collect()}
+    want_m = {r["id"]: (r["rk"], r["cum"]) for r in want.collect()}
+    assert abs(total - sum(v for _, v in rows if v is not None)) < 1e-9
+    for k in want_m:
+        assert got_m[k][0] == want_m[k][0], f"rank mismatch at id={k}"
+        assert abs(got_m[k][1] - want_m[k][1]) < 1e-6, f"cum mismatch at id={k}"

@@ -138,6 +138,18 @@ def test_decile_has_no_global_sort_window(spark):
     assert "Window" not in txt, "decile fell back to a window"
 
 
+def test_supplier_pareto_windows_partitioned(spark):
+    # suppliers scale with SF (10k×SF), so the cumulative/rank windows must
+    # be partition-local (__pid from ordered_prefix's range repartition) —
+    # an unpartitioned Window over this grain is a single-reducer sort at
+    # 100 TB (the round-3 `weak`)
+    opt = _optimized(REGISTRY["supplier_pareto_revenue"].spark(spark, SF_DIR))
+    win_lines = [l for l in opt.splitlines() if "Window" in l]
+    assert win_lines, "expected the partition-local ranking windows"
+    for l in win_lines:
+        assert "__pid" in l, f"unpartitioned window over supplier grain:\n{l}"
+
+
 def test_funnel_shuffles_only_on_user_id(spark):
     import re
 
