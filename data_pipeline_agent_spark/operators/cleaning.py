@@ -268,11 +268,16 @@ def encode_strings(df: DataFrame, n_rows: int, n_distinct: dict[str, int]) -> Da
             ).alias("s")
         ).select("s.__c", "s.__v")
         wcode = Window.partitionBy("__c").orderBy(F.asc_nulls_last("__v"))
+        # Eagerly materialized (not a dangling persist): every fused column
+        # slices this table, so the one fact-table pass runs NOW and the
+        # checkpoint blocks are dropped with the frame when the cleaned
+        # plan is garbage-collected — nothing accumulates across repeated
+        # clean_data calls.
         counts = (
             melted.groupBy("__c", "__v")
             .agg(F.count(F.lit(1)).alias("__freq"))
             .withColumn("__code", (F.row_number().over(wcode) - F.lit(1)).cast("long"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
     for c in cols:
         if c in high_card_label:
@@ -281,10 +286,13 @@ def encode_strings(df: DataFrame, n_rows: int, n_distinct: dict[str, int]) -> Da
         slice_ = counts.where(F.col("__c") == c).drop("__c")
         if n_distinct.get(c, 0) > n_rows / 2:
             # E4 frequency: plain equality join (null keys stay null,
-            # matching pandas .map of a value_counts dict)
+            # matching pandas .map of a value_counts dict). NO broadcast
+            # hint: E4 fires when nunique > n/2, so this build side is
+            # corpus-sized by definition — AQE picks the strategy (same
+            # rule as frequency_encode / the high-card label path).
             df = (
                 df.join(
-                    F.broadcast(slice_.select("__v", "__freq")),
+                    slice_.select("__v", "__freq"),
                     df[c] == F.col("__v"),
                     "left",
                 )

@@ -73,12 +73,14 @@ def asof_join(
     u = l_tagged.unionByName(r_tagged)
     # Sort (ts, side, tiebreak): right rows (side 0) precede left rows at
     # equal ts (inclusive at-or-before); among right rows tied on ts the
-    # greatest tiebreak sorts last, so last(ignorenulls) selects it.  The
-    # left side's NULL __tb never participates in a comparison that
-    # matters (side already differs).
+    # greatest tiebreak sorts last, so last(ignorenulls) selects it.
+    # Plain asc = NULLS FIRST, so a NULL tiebreak loses to any non-null
+    # value (the row_number-over-desc dedup semantics this fused form
+    # replaced).  The left side's NULL __tb never participates in a
+    # comparison that matters (side already differs).
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.asc("__t"), F.asc("__side"), F.asc_nulls_last("__tb"))
+        .orderBy(F.asc("__t"), F.asc("__side"), F.asc("__tb"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # Pack all value columns into ONE struct that is NULL for left-side

@@ -357,14 +357,19 @@ def pq_fit(
     seed: int = 42,
     vec_col: str = "embedding",
     sample_rows: int = 10_000,
+    id_col: str = "vec_id",
 ) -> list[list[list[float]]]:
     """Fit per-subspace codebooks (the PQ training step) on a bounded,
-    deterministic sample (first ``sample_rows`` by id — a few MB on the
+    deterministic sample: the first ``sample_rows`` ORDERED BY ``id_col``
+    — a plain ``limit`` without a sort is not stable across file layouts,
+    so codebooks (and every downstream code) would silently change when
+    the corpus is rewritten. TakeOrdered on a bounded k: a few MB on the
     driver at any corpus scale; production PQ always trains codebooks on
-    a sample). Returns codebooks[s][c] = centroid (dim/m floats)."""
+    a sample. Returns codebooks[s][c] = centroid (dim/m floats)."""
     import numpy as np
 
-    rows = emb.select(vec_col).limit(sample_rows).collect()
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    rows = [(r[1],) for r in rows]
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     dim = X.shape[1]
     sub = dim // m
@@ -420,7 +425,7 @@ def pq_topk(
     element_at chain, no vector math in the scan. Encode + score are
     shuffle-free; only the per-anchor top-k window shuffles (rows
     already pre-filtered to k per partition by the window's rank)."""
-    books = pq_fit(emb, m, kc, seed, vec_col)
+    books = pq_fit(emb, m, kc, seed, vec_col, id_col=id_col)
     coded = fan_out(emb).select(
         F.col(id_col),
         *[_pq_code_expr(vec_col, books, s).alias(f"__c{s}") for s in range(m)],

@@ -206,6 +206,7 @@ def write_training_shards(
     id_col: str = "doc_id",
     salt: str = "shuffle42:",
     compression: str = "gzip",
+    text_col: str = "text",
 ) -> DataFrame:
     """Export a curated corpus as deterministically-shuffled JSONL training
     shards + a manifest.
@@ -236,8 +237,15 @@ def write_training_shards(
         .option("compression", compression)
         .json(out_dir)
     )
+    # n_chars only when the frame HAS a text column (the sink is generic
+    # over id_col; a feature frame without text must not fail at manifest
+    # time, after the shard write already ran)
+    size_aggs = (
+        [F.sum(F.length(F.col(text_col).cast("string"))).cast("long").alias("n_chars")]
+        if text_col in df.columns
+        else []
+    )
     manifest = keyed.groupBy("shard").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(F.length(F.col("text").cast("string"))).cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"), *size_aggs
     )
     return manifest

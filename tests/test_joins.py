@@ -52,6 +52,21 @@ def test_asof_join_tiebreak_deterministic(spark):
     assert rows[0]["v"] == 9.0  # greatest tiebreak wins among same-ts rows
 
 
+def test_asof_join_null_tiebreak_loses(spark):
+    # A NULL tiebreak must lose to ANY non-null value among same-ts right
+    # rows (the row_number-over-desc dedup semantics: desc = nulls last,
+    # rn=1 picks a non-null first) — NULLS FIRST in the fused sort.
+    left = spark.createDataFrame([(1, 5, _ts("2024-02-01"))], "eid long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(5, _ts("2024-01-01"), None, "null-tb"), (5, _ts("2024-01-01"), 1.0, "real-tb")],
+        "k long, rts timestamp, tb double, label string",
+    )
+    rows = asof_join(
+        left, right, "k", "k", "ts", "rts", ["label"], tiebreak="tb"
+    ).collect()
+    assert rows[0]["label"] == "real-tb"
+
+
 def test_range_join_broadcast_plan(spark):
     fact = spark.range(100).select((F.col("id") * 10.0).alias("x"))
     bands = spark.createDataFrame(

@@ -256,3 +256,19 @@ def test_write_training_shards_deterministic(spark, tmp_path):
     a = {(r.doc_id, r.shard) for r in spark.read.json(out1).select("doc_id", "shard").collect()}
     b = {(r.doc_id, r.shard) for r in spark.read.json(out2).select("doc_id", "shard").collect()}
     assert a == b
+
+
+def test_write_training_shards_no_text_column(spark, tmp_path):
+    """The sink is generic over id_col: a frame WITHOUT a text column must
+    still export + produce a manifest (n_rows only, no n_chars)."""
+    from data_pipeline_agent_spark.sources.sinks import write_training_shards
+
+    feats = spark.range(100).select(
+        F.col("id").alias("row_id"), (F.col("id") * 2.5).alias("score")
+    )
+    m = write_training_shards(
+        feats, str(tmp_path / "f"), n_shards=4, id_col="row_id"
+    )
+    assert "n_chars" not in m.columns
+    rows = m.collect()
+    assert sum(r.n_rows for r in rows) == 100
