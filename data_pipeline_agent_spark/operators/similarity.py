@@ -384,25 +384,34 @@ def pq_fit(
 
 def _pq_code_expr(vec_col: str, books: list[list[list[float]]], s: int) -> Column:
     """argmin over the subspace's codebook as a pure column expression:
-    squared distance to each centroid is a static codegen'd polynomial,
-    materialized as ONE array column; the argmin is array_position of the
-    array_min (first occurrence -> deterministic lowest-index tie-break).
-    No UDF, no shuffle — and crucially LINEAR expression size: a
-    when/otherwise argmin fold would embed the running best under every
-    comparison, doubling the tree per centroid (~2^k nodes — measured as
-    a driver OOM at k=16 before this form)."""
+    the codebook ships as ONE array<array<double>> literal and distances
+    come from a transform over it — each centroid's squared distance is a
+    zip_with/aggregate fold, so the expression tree is O(1) nodes per
+    centroid instead of the O(subdim) unrolled polynomial the first
+    version codegen'd (the unrolled form compiled ~m*kc*subdim element_at
+    chains and dominated the query at 16 s of pure plan-compile time).
+    The argmin is array_position of the array_min (first occurrence ->
+    deterministic lowest-index tie-break); the fold adds terms in index
+    order, matching the old left-fold bit-for-bit. No UDF, no shuffle —
+    and still LINEAR in kc: a when/otherwise argmin fold would embed the
+    running best under every comparison (~2^k nodes — measured as a
+    driver OOM at k=16 before this form)."""
     sub = len(books[s][0])
     sl = F.slice(F.col(vec_col), s * sub + 1, sub)
-
-    def dist2(c: list[float]) -> Column:
-        d = F.lit(0.0)
-        for j, cj in enumerate(c):
-            diff = F.element_at(sl, j + 1).cast("double") - F.lit(cj)
-            d = d + diff * diff
-        return d
-
-    arr = F.array(*[dist2(c) for c in books[s]])
-    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+    cents = F.lit([[float(x) for x in c] for c in books[s]])
+    darr = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(
+                sl,
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
 def pq_topk(
@@ -437,19 +446,32 @@ def pq_topk(
     # per-anchor constants, so the whole scoring pass is a single scan of
     # the coded corpus followed by one per-anchor top-k window. (A
     # DataFrame-per-anchor loop costs a full plan+scan per anchor.)
+    codes = F.array(*[F.col(f"__c{s}") for s in range(m)])
     structs = []
     for ar in a_rows:
         qv = list(ar[vec_col])
-        dist = F.lit(0.0)
-        for s in range(m):
-            qs = qv[s * sub : (s + 1) * sub]
-            table = [
-                float(sum((qs[j] - c[j]) ** 2 for j in range(sub)))
+        # The anchor's full ADC table as ONE 2-D literal (m x kc): the
+        # distance is a zip_with of table rows against the row's code
+        # array + an aggregate sum — O(m) expression nodes per anchor
+        # instead of the m unrolled element_at(array(16 lits)) chains
+        # that made plan compile the dominant cost. Terms add in subspace
+        # order, matching the old left-fold bit-for-bit.
+        table2d = [
+            [
+                float(
+                    sum((qv[s * sub + j] - c[j]) ** 2 for j in range(sub))
+                )
                 for c in books[s]
             ]
-            dist = dist + F.element_at(
-                F.array(*[F.lit(v) for v in table]), F.col(f"__c{s}") + 1
-            )
+            for s in range(m)
+        ]
+        dist = F.aggregate(
+            F.zip_with(
+                F.lit(table2d), codes, lambda t, c: F.element_at(t, c + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         structs.append(
             F.struct(
                 F.lit(ar[id_col]).cast("long").alias("query_id"),
