@@ -80,6 +80,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
+    # ERROR, not WARN: the r3 bench log was 90% WindowExec "no partition
+    # defined" warnings from deliberately bounded-grain windows; the
+    # driver's capture window must spend its bytes on the JSON line below
+    # (the r1 truncation failure in a new guise).
+    spark.sparkContext.setLogLevel("ERROR")
 
     headline = [n for n in HEADLINE if n in REGISTRY]
     names = headline + [n for n in sorted(REGISTRY) if n not in headline]
