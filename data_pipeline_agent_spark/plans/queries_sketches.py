@@ -4,11 +4,14 @@ O1/median exact percentiles; SURVEY.md §2.7a).
 
 At 100 TB exact countDistinct is a full shuffle of the key universe and
 exact percentile keeps whole groups in memory; HLL++ and GK-sketch
-aggregates are single-pass, mergeable, and bounded-memory. These queries
-emit BOTH the exact and the approximate value so the error is visible in
-the result itself (and asserted in tests/test_sketches.py); they are
-rows-only for the driver because DuckDB's sketch implementations don't
-bit-match Spark's.
+aggregates are single-pass, mergeable, and bounded-memory. Sketch BITS
+are engine-specific (DuckDB's implementations don't match Spark's), so
+the raw estimates can't be hash-compared — instead the HLL/CMS queries
+emit the EXACT value plus a boolean asserting the estimate sits inside
+its published error bound, which IS oracle-comparable: the oracle emits
+the same exact values with the bools TRUE, so a bound violation turns
+the driver's hash-match red. The error magnitudes themselves are
+additionally asserted in tests/test_sketches.py.
 """
 
 from __future__ import annotations
@@ -62,45 +65,75 @@ def approx_percentiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "hll_users_by_type_union",
-    description="datasketches HLL per event_type + lossless sketch-union total: "
-    "the mergeable-sketch pattern for multi-level rollups at scale",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+               TRUE AS hll_within_2pct
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '__ALL__', CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+        FROM events
+    """,
+    description="datasketches HLL per event_type + lossless sketch-union "
+    "total: the mergeable-sketch pattern for multi-level rollups at scale "
+    "(oracle-checked: exact distincts + a ±2% bound boolean on every "
+    "estimate, so an out-of-bound sketch turns the hash red)",
 )
 def hll_users_by_type_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type distinct users via HLL sketches, then a grand total computed
     by UNIONING THE SKETCHES (not re-scanning): the pattern that lets a
-    100 TB pipeline maintain distinct-count rollups incrementally. Exact
-    countDistinct emitted alongside so the error is visible/testable."""
+    100 TB pipeline maintain distinct-count rollups incrementally.
+
+    lgConfigK=14 (16k buckets, ~0.8% standard error; cardinalities below
+    ~16k sit in the near-exact sparse regime) keeps the ±2% contract
+    comfortably deterministic at every test SF for a 64 KB-per-sketch
+    cost. The exact countDistinct columns are the correctness instrument;
+    a 100 TB deployment would drop them and keep only the sketches."""
     ev = table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
         F.countDistinct("user_id").cast("long").alias("n_exact"),
     )
-    per_type_est = per_type.select(
-        "event_type",
-        "n_exact",
-        F.hll_sketch_estimate("sk").cast("long").alias("n_approx"),
+    within = (
+        F.abs(F.hll_sketch_estimate(F.col("sk")) - F.col("n_exact"))
+        <= F.greatest(F.lit(2.0), 0.02 * F.col("n_exact"))
+    ).alias("hll_within_2pct")
+    per_type_out = per_type.select("event_type", "n_exact", within)
+    # 1-row x 1-row cross: the union-of-sketches estimate meets the
+    # one-pass overall exact for its bound check
+    total = (
+        per_type.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(
+            ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+        )
+        .select(F.lit("__ALL__").alias("event_type"), "n_exact", within)
     )
-    total = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("__ALL__").alias("event_type"),
-        F.lit(None).cast("long").alias("n_exact"),
-        F.hll_sketch_estimate("sk").cast("long").alias("n_approx"),
-    )
-    return per_type_est.unionByName(total)
+    return per_type_out.unionByName(total)
 
 
 @register(
     "cms_heavy_hitters_partkey",
-    description="count_min_sketch heavy hitters: CMS estimates vs exact "
-    "counts for the top-10 part keys (single-pass mergeable sketch; "
-    "over-estimate-only error bounded in tests)",
+    oracle="""
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_exact,
+               TRUE AS cms_ge_exact, TRUE AS cms_within_eps
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY n_exact DESC, l_partkey LIMIT 10
+    """,
+    description="count_min_sketch heavy hitters: exact top-10 part keys + "
+    "oracle-checked bound booleans (est >= exact always; est <= exact + "
+    "2*eps*N w.h.p.) — a bound violation turns the driver's hash red",
 )
 def cms_heavy_hitters_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over l_partkey, probed at the exact top-10 keys.
 
     The CMS aggregate is one pass and mergeable (the 100 TB path for
     frequency rollups); probing uses the driver-side sketch (a few KB).
-    CMS guarantees est >= exact and est <= exact + eps*N w.h.p. — both
-    asserted in tests/test_sketches.py.
+    CMS guarantees est >= exact deterministically and est <= exact +
+    eps*N with confidence 1-delta; the oracle bool uses 2*eps*N so the
+    per-probe failure odds are ~(2e)^-depth, negligible even across
+    regenerated test data (the tighter 1x magnitude is asserted in
+    tests/test_sketches.py). Raw estimates are engine-specific and so
+    stay out of the hash-compared output.
     """
     # no fan_out: both consumers are light-weight aggregates (count, CMS
     # update) that partial-aggregate map-side; see approx_distinct_partkeys
@@ -112,22 +145,26 @@ def cms_heavy_hitters_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     sk_row = li.agg(
-        F.expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").alias("sk")
+        F.expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").alias("sk"),
+        F.count(F.lit(1)).alias("n_total"),
     ).first()
     sketch = spark.sparkContext._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         bytes(sk_row["sk"])
     )
-    rows = [
-        (r["l_partkey"], r["n_exact"], int(sketch.estimateCount(r["l_partkey"])))
-        for r in top.collect()
-    ]
+    bound = 2 * 0.001 * sk_row["n_total"]
+    rows = []
+    for r in top.collect():
+        est = int(sketch.estimateCount(r["l_partkey"]))
+        rows.append(
+            (
+                r["l_partkey"],
+                r["n_exact"],
+                est >= r["n_exact"],
+                est <= r["n_exact"] + bound,
+            )
+        )
     return spark.createDataFrame(
-        rows, "l_partkey long, n_exact long, n_cms long"
-    ).select(
-        "l_partkey",
-        "n_exact",
-        "n_cms",
-        (F.col("n_cms") - F.col("n_exact")).cast("long").alias("overcount"),
+        rows, "l_partkey long, n_exact long, cms_ge_exact boolean, cms_within_eps boolean"
     )
 
 
@@ -175,11 +212,21 @@ def bloom_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hll_trailing_7d_users",
+    oracle="""
+        WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        days AS (SELECT DISTINCT day AS d FROM ev)
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_7d_exact,
+               CAST(count(DISTINCT e.day) AS BIGINT) AS n_days_merged,
+               TRUE AS hll_within_2pct
+        FROM days JOIN ev e ON e.day BETWEEN d - 6 AND d
+        GROUP BY d
+    """,
     description="trailing-window distinct via sketch merge: per-day HLL "
     "sketches unioned over each trailing 7-day window — the incremental "
     "rollup pattern that answers ANY trailing window without rescanning "
-    "events (rows-only: sketch estimates are engine-specific; error "
-    "bound vs exact gated in tests)",
+    "events (oracle-checked: exact trailing distincts + a ±2% bound "
+    "boolean on every merged estimate)",
 )
 def hll_trailing_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily HLL sketches are built once (one shuffle on the day grain);
@@ -188,25 +235,38 @@ def hll_trailing_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescanned. At 100 TB the daily sketch table is a few KB per day and
     the trailing-window family (7d, 28d, 90d...) all derive from the
     same precomputed sketches; recomputing exact distincts per window
-    would rescan the fact table once PER WINDOW SIZE."""
-    ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+    would rescan the fact table once PER WINDOW SIZE — which is exactly
+    what the n_users_7d_exact correctness column does here (days x events
+    range join, fan-out <= 7), and why a 100 TB deployment would drop it.
+    lgConfigK=14: see hll_users_by_type_union."""
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
     )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
     a = daily.select(F.col("day").alias("d"))
     b = daily.select(F.col("day").alias("d2"), "sk")
-    return (
+    merged = (
         a.join(b, (F.col("d2") >= F.date_sub(F.col("d"), 6)) & (F.col("d2") <= F.col("d")))
         .groupBy("d")
         .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(
-                "n_users_7d_approx"
-            ),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("n_approx"),
             F.count(F.lit(1)).cast("long").alias("n_days_merged"),
         )
-        .select(
-            F.date_format("d", "yyyy-MM-dd").alias("day"),
-            "n_users_7d_approx",
-            "n_days_merged",
+    )
+    exact = (
+        a.join(
+            ev,
+            (F.col("day") >= F.date_sub(F.col("d"), 6)) & (F.col("day") <= F.col("d")),
         )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users_7d_exact"))
+    )
+    return merged.join(exact, "d").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_users_7d_exact",
+        "n_days_merged",
+        (
+            F.abs(F.col("n_approx") - F.col("n_users_7d_exact"))
+            <= F.greatest(F.lit(2.0), 0.02 * F.col("n_users_7d_exact"))
+        ).alias("hll_within_2pct"),
     )

@@ -1,0 +1,241 @@
+"""Scale-ramp harness: does each headline query's runtime stay ~linear in
+data size? The brief's real question is 100x, so this measures the 10x
+step directly: it synthesizes an sf1-equivalent dataset by tiling sf0.1
+ten times (no network, so no DuckDB tpch generator), runs the headline
+suite at sf0.01 / sf0.1 / sf1, and reports per-query runtime ratios
+against the 10x data ratio.
+
+Tiling details (what makes the tiled data a fair scaling proxy):
+
+- Every SF-scaling key domain (custkey, orderkey, partkey, suppkey,
+  event/user/doc/vec ids) is offset per replica by a stride larger than
+  the base domain, so join fan-outs and group cardinalities scale the
+  way TPC-H SF does (10x keys, not 10x duplicates of the same key).
+- region/nation are copied, not tiled — they are fixed dimensions at
+  every SF, and tiling them would *shrink* relative selectivity.
+- Dates/timestamps keep the base range: TPC-H's calendar spans a fixed
+  7 years at every SF, so day/month-grain windows stay bounded — tiling
+  must not turn a calendar-bounded grain into a scaling one.
+- documents.text gets a per-replica vowel rotation (F.translate): plain
+  copies would be EXACT near-dups of each other, inflating the LSH
+  candidate-pair count ~reps^2 instead of the ~reps x a real corpus
+  grows — the dedup queries would be falsely flagged super-linear.
+- embeddings get a deterministic per-replica, per-dimension nudge so
+  ANN bucket occupancy scales instead of collapsing 10 replicas into
+  identical vectors.
+
+Usage:
+    python scripts/scale_ramp.py                 # full ramp -> SCALE.md
+    python scripts/scale_ramp.py --skip-gen      # reuse generated sf1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import HEADLINE, _materialize  # noqa: E402
+from data_pipeline_agent_spark.plans import REGISTRY  # noqa: E402
+from data_pipeline_agent_spark.session import get_spark  # noqa: E402
+
+SCALED_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale/sf1")
+
+# Per-table SF-scaling key columns; each is offset by rep * stride where
+# stride = (max over the table's own domain) + 1, so cross-table joins
+# stay consistent (lineitem.l_partkey strides by PART's domain, etc.).
+_KEY_DOMAINS = {
+    "customer": {"c_custkey": "customer"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "events": {"event_id": "events", "user_id": "events_user"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+_DOMAIN_KEY = {
+    "customer": ("customer", "c_custkey"),
+    "orders": ("orders", "o_orderkey"),
+    "part": ("part", "p_partkey"),
+    "supplier": ("supplier", "s_suppkey"),
+    "events": ("events", "event_id"),
+    "events_user": ("events", "user_id"),
+    "documents": ("documents", "doc_id"),
+    "embeddings": ("embeddings", "vec_id"),
+}
+_COPY_TABLES = ("region", "nation")
+
+_VOWELS = "aeiou"
+
+
+def _rotated_vowels(rep: int) -> str:
+    r = rep % len(_VOWELS)
+    return _VOWELS[r:] + _VOWELS[:r]
+
+
+def _tile(df: DataFrame, keys: dict[str, int], reps: int, table: str) -> DataFrame:
+    """reps copies in ONE pass: explode a replica index, offset every
+    scaling key by rep * its domain stride."""
+    out = df.withColumn("__rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+    for col, stride in keys.items():
+        out = out.withColumn(
+            col, (F.col(col) + F.col("__rep") * F.lit(stride)).cast(df.schema[col].dataType)
+        )
+    if table == "documents":
+        # per-replica vowel rotation: replicas are no longer near-dups of
+        # each other, so LSH candidate pairs scale ~linearly like a real
+        # corpus (replica 0 keeps the original text verbatim)
+        txt = F.col("text")
+        for r in range(1, reps):
+            txt = F.when(
+                F.col("__rep") == r,
+                F.translate(F.col("text"), _VOWELS, _rotated_vowels(r)),
+            ).otherwise(txt)
+        out = out.withColumn("text", txt).withColumn("n_chars", F.length("text"))
+    if table == "embeddings":
+        # deterministic per-replica nudge, different per dimension: keeps
+        # vectors on roughly the same manifold without replica collisions
+        out = out.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x
+                    + F.sin(i.cast("double") * (F.col("__rep") + F.lit(1.0)))
+                    * F.lit(0.05)
+                    * F.col("__rep").cast("double")
+                ).cast("float"),
+            ),
+        )
+    return out.drop("__rep")
+
+
+def generate_scaled(spark: SparkSession, base_dir: str, out_dir: str, reps: int) -> None:
+    strides = {}
+    for dom, (tbl, key) in _DOMAIN_KEY.items():
+        mx = (
+            spark.read.parquet(f"{base_dir}/{tbl}.parquet")
+            .agg(F.max(key).alias("m"))
+            .first()["m"]
+        )
+        strides[dom] = int(mx) + 1
+    os.makedirs(out_dir, exist_ok=True)
+    for tbl in _COPY_TABLES:
+        spark.read.parquet(f"{base_dir}/{tbl}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{tbl}.parquet"
+        )
+    for tbl, keys in _KEY_DOMAINS.items():
+        df = spark.read.parquet(f"{base_dir}/{tbl}.parquet")
+        tiled = _tile(df, {c: strides[d] for c, d in keys.items()}, reps, tbl)
+        tiled.write.mode("overwrite").parquet(f"{out_dir}/{tbl}.parquet")
+
+
+def time_suite(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, float]:
+    out = {}
+    for n in names:
+        t0 = time.perf_counter()
+        _materialize(REGISTRY[n].spark(spark, sf_dir))
+        out[n] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("scale_ramp")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = "/root/testdata/sf0.1"
+    if not args.skip_gen or not os.path.isdir(SCALED_DIR):
+        t0 = time.time()
+        generate_scaled(spark, base, SCALED_DIR, args.reps)
+        print(f"generated {SCALED_DIR} in {round(time.time() - t0, 1)}s", file=sys.stderr)
+
+    names = args.queries or [n for n in HEADLINE if n in REGISTRY]
+    # warm-up outside the timed region
+    for n in names[:3]:
+        _materialize(REGISTRY[n].spark(spark, "/root/testdata/sf0.001"))
+
+    tiers = {
+        "sf0.01": "/root/testdata/sf0.01",
+        "sf0.1": base,
+        "sf1": SCALED_DIR,
+    }
+    results = {tier: time_suite(spark, d, names) for tier, d in tiers.items()}
+
+    data_ratio = float(args.reps)
+    rows, flagged = [], []
+    for n in names:
+        t_small, t_big = results["sf0.1"][n], results["sf1"][n]
+        ratio = round(t_big / t_small, 2) if t_small > 0 else float("inf")
+        # constant plan/compile overhead dominates sub-second queries;
+        # only flag when the big tier is materially data-bound
+        is_flagged = ratio > 1.5 * data_ratio and t_big > 2.0
+        if is_flagged:
+            flagged.append(n)
+        rows.append((n, results["sf0.01"][n], t_small, t_big, ratio, is_flagged))
+
+    md = [
+        "# SCALE — headline-suite runtime vs data size",
+        "",
+        f"sf1 tier = sf0.1 tiled x{args.reps} with per-replica key-domain",
+        "offsets (see `scripts/scale_ramp.py` for why tiling is a fair",
+        "scaling proxy). Ratio = t(sf1)/t(sf0.1) against a "
+        f"{data_ratio:.0f}x data ratio;",
+        f"flagged when ratio > {1.5 * data_ratio:.0f} and t(sf1) > 2 s",
+        "(sub-second queries are plan-compile-bound, ratio ~1 expected).",
+        "",
+        "| query | sf0.01 s | sf0.1 s | sf1 s | ratio | flag |",
+        "|---|---|---|---|---|---|",
+    ]
+    for n, t001, t01, t1, ratio, fl in rows:
+        md.append(
+            f"| {n} | {t001} | {t01} | {t1} | {ratio} | "
+            f"{'**SUPER-LINEAR**' if fl else ''} |"
+        )
+    tot = {t: round(sum(r.values()), 1) for t, r in results.items()}
+    md += [
+        "",
+        f"Totals: sf0.01 {tot['sf0.01']} s, sf0.1 {tot['sf0.1']} s, "
+        f"sf1 {tot['sf1']} s "
+        f"(suite ratio {round(tot['sf1'] / tot['sf0.1'], 2)}x on "
+        f"{data_ratio:.0f}x data).",
+        f"Flagged super-linear: {flagged or 'none'}.",
+        "",
+    ]
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(repo, "SCALE.md"), "w") as f:
+        f.write("\n".join(md))
+    with open(os.path.join(repo, "scale_ramp.json"), "w") as f:
+        json.dump(
+            {
+                "reps": args.reps,
+                "tiers": results,
+                "flagged": flagged,
+                "totals": tot,
+            },
+            f,
+            indent=1,
+        )
+    print(json.dumps({"flagged": flagged, "totals": tot}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -149,3 +149,24 @@ def test_als_recommendations_contract(spark):
         assert all(r.partkey in part_ids for r in rows)
         scores = [r.score for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_als_fixed_seed_stability(spark):
+    """Two independent fits with the same seed must recommend the same
+    ranked part list per probe customer (seeded block init makes MLlib
+    ALS deterministic under a fixed session/partitioning) — the stability
+    property that stands in for a value-hash oracle on this rows-only
+    query."""
+    from data_pipeline_agent_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    def ranked(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["custkey"], []).append((r["rk"], r["partkey"]))
+        return {k: sorted(v) for k, v in out.items()}
+
+    a = ranked(REGISTRY["ml_als_recommend_parts"].spark(spark, SF_DIR).collect())
+    b = ranked(REGISTRY["ml_als_recommend_parts"].spark(spark, SF_DIR).collect())
+    assert a == b, "same-seed ALS fits diverged"
+    assert len(a) == 5 and all(len(v) == 3 for v in a.values())

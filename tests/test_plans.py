@@ -248,6 +248,7 @@ _NESTED_LOOP_OK = {
     "ml_als_recommend_parts",  # MLlib subset scoring: 5 probe users x item blocks
     "skew_profile_order_custkey",  # 1-row profile frame
     "hll_trailing_7d_users",  # days-sized sketch self-join, fanout <= 7
+    "hll_users_by_type_union",  # 1-row sketch-union x 1-row exact-total cross
     "validate_orders_expectations",  # 1-row rule frame
     "q1_pricing_summary",
     "q6_revenue_forecast",
