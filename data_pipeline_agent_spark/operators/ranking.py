@@ -16,6 +16,9 @@ this module is the 100 TB replacement.
 
 from __future__ import annotations
 
+import math
+from collections import defaultdict
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -82,3 +85,289 @@ def ordered_prefix(
         ).alias(cum_col),
     )
     return out, acc_n, acc_s
+
+
+class _OrderStat:
+    """Driver-side state for one wanted order statistic (key, global rank)."""
+
+    __slots__ = (
+        "key", "grank", "prob", "pred", "lo", "hi", "offset", "n_range", "value", "stuck",
+    )
+
+    def __init__(
+        self, key: object, grank: int, prob: float, pred: Column, lo: float, hi: float, n: int
+    ):
+        self.key, self.grank, self.prob, self.pred = key, grank, prob, pred
+        self.lo, self.hi = lo, hi
+        self.offset, self.n_range = 0, n
+        self.value: float | None = lo if lo == hi else None
+        self.stuck = False
+
+
+def exact_percentiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    specs: list[tuple[object, float, str]],
+    n_buckets: int = 4096,
+    max_collect: int = 65536,
+    max_iters: int = 12,
+) -> DataFrame:
+    """Exact linear-interpolated percentiles WITHOUT ``F.percentile``'s
+    single-reducer value-list merge.
+
+    ``F.percentile`` (Spark's exact ``Percentile``) keeps every value in
+    the aggregation buffer and merges all partials on one reducer — the
+    column itself must fit in one JVM, an OOM at the 100 TB target. This
+    computes the same number (``lower + (higher - lower) * frac``, the
+    formula shared by Spark, pandas, and DuckDB ``quantile_cont``) by
+    distributed selection — the corpus is scanned, never shuffled,
+    never collected:
+
+    1. one aggregate for per-key ``(count, min, max)`` fixes each wanted
+       order statistic ``floor/ceil((n-1) * p)``, and piggybacks a GK
+       sketch (``percentile_approx`` at ``p -/+ 3/accuracy``) whose
+       published rank-error bound (``n/accuracy``) brackets each order
+       statistic inside a band of at most ``~8n/accuracy`` ranks;
+    2. when that band is provably ``<= max_collect`` distinct values
+       (every key up to ``n ~ accuracy * max_collect / 8`` rows, ~10^8
+       at the defaults), ONE probe scan resolves everything: each row
+       maps to its key's boundary interval (count rows prove the exact
+       rank offset below each band) or, inside a band, to its exact
+       value — a single ``(key, interval, value)`` aggregate, collect
+       bounded by the rank-error bound;
+    3. keys too large for the GK band — or a (never observed) GK bound
+       violation, detected exactly from the probe counts — fall back to
+       iterative histogram refinement: each round histograms the
+       surviving range into ``n_buckets`` equal-width buckets (scan +
+       map-side partial agg), the driver walks prefix sums, and the
+       candidate set shrinks ~``n_buckets``-fold per round, so even
+       10^12 rows resolve in 2-3 extra rounds; a final exact
+       ``(value, count)`` aggregate over the sliver finishes selection.
+
+    Bucket/interval membership is always re-expressed from the SAME
+    literals the counts used, so float rounding at edges cannot shift a
+    row between counting and probing; the histogram clamp to
+    ``[0, n_buckets)`` keeps the map total and monotone, which is all
+    the prefix walk needs.
+
+    ``specs`` is ``[(key, prob, alias)]``; rows with NULL ``value_col``
+    are ignored (SQL percentile semantics). A key with no rows yields
+    NULL, as ``F.percentile`` does. Returns a one-row DataFrame with one
+    double column per alias.
+    """
+    spark = df.sparkSession
+    accuracy = 10000
+    margin = 3.0 / accuracy
+    base = (
+        df.select(F.col(key_col).alias("__k"), F.col(value_col).cast("double").alias("__v"))
+        .where(F.col("__v").isNotNull())
+    )
+    kc, vc = F.col("__k"), F.col("__v")
+
+    # GK probe probs: for each requested percentile, values at p -/+ margin
+    # bracket both of its order statistics within the sketch's rank bound
+    def _clamp(p: float) -> float:
+        return min(1.0, max(0.0, p))
+
+    all_probs = sorted({q for _k, p, _a in specs for q in (_clamp(p - margin), _clamp(p + margin))})
+    prob_idx = {p: i for i, p in enumerate(all_probs)}
+    stats0 = (
+        base.groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__v").alias("mn"),
+            F.max("__v").alias("mx"),
+            F.percentile_approx(
+                "__v", F.array(*[F.lit(p) for p in all_probs]), F.lit(accuracy)
+            ).alias("gk"),
+        )
+        .collect()
+    )
+    info = {
+        r["__k"]: (int(r["n"]), float(r["mn"]), float(r["mx"]), list(r["gk"]))
+        for r in stats0
+    }
+
+    targets: dict[tuple[object, int], _OrderStat] = {}
+    brackets: list[tuple[str, _OrderStat | None, _OrderStat | None, float]] = []
+    for key, prob, alias in specs:
+        if key not in info:
+            brackets.append((alias, None, None, 0.0))
+            continue
+        n, mn, mx, _gk = info[key]
+        rank = prob * (n - 1)  # Spark/pandas/DuckDB shared definition
+        lo_i, hi_i = int(math.floor(rank)) + 1, int(math.ceil(rank)) + 1
+        for g in (lo_i, hi_i):
+            if (key, g) not in targets:
+                targets[(key, g)] = _OrderStat(key, g, prob, kc == F.lit(key), mn, mx, n)
+        brackets.append(
+            (alias, targets[(key, lo_i)], targets[(key, hi_i)], rank - math.floor(rank))
+        )
+
+    # --- GK-banded probe: one scan resolves every target whose band is
+    # provably collectible (n small enough that 8n/accuracy + margins fit)
+    banded: dict[object, list[_OrderStat]] = defaultdict(list)
+    for t in targets.values():
+        if t.value is not None:
+            continue
+        n, _mn, _mx, gk = info[t.key]
+        if n <= max_collect or 8 * n // accuracy + 2 > max_collect:
+            continue  # tiny keys go straight to the final exact agg;
+            # huge keys to histogram refinement — both bounded
+        a = gk[prob_idx[_clamp(t.prob - margin)]]
+        b = gk[prob_idx[_clamp(t.prob + margin)]]
+        t.lo, t.hi = float(a), float(b)
+        banded[t.key].append(t)
+    if banded:
+        kidx: Column = F.lit(None).cast("int")
+        bandv: Column = F.lit(None).cast("double")
+        pred_any: Column = F.lit(False)
+        key_bounds: dict[object, list[float]] = {}
+        for key, ts in banded.items():
+            bounds = sorted({x for t in ts for x in (t.lo, t.hi)})
+            key_bounds[key] = bounds
+            cond = kc == F.lit(key)
+            idx_e: Column = F.lit(0)
+            for bd in bounds:
+                idx_e = idx_e + (vc >= F.lit(bd)).cast("int")
+            inband: Column = F.lit(False)
+            for t in ts:
+                inband = inband | ((vc >= F.lit(t.lo)) & (vc <= F.lit(t.hi)))
+            kidx = F.when(cond, idx_e).otherwise(kidx)
+            bandv = F.when(cond & inband, vc).otherwise(bandv)
+            pred_any = pred_any | cond
+        probe = (
+            base.where(pred_any)
+            .groupBy(kc.alias("k"), kidx.alias("i"), bandv.alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        per_key_rows: dict[object, list] = defaultdict(list)
+        for r in probe:
+            per_key_rows[r["k"]].append((r["i"], r["v"], r["c"]))
+        for key, ts in banded.items():
+            bounds = key_bounds[key]
+            rows = per_key_rows.get(key, [])
+            for t in ts:
+                j = bounds.index(t.lo)  # v < t.lo  <=>  interval idx <= j
+                offset = sum(
+                    c for i, v, c in rows if (v < t.lo if v is not None else i <= j)
+                )
+                band = sorted(
+                    (v, c) for _i, v, c in rows if v is not None and t.lo <= v <= t.hi
+                )
+                local = t.grank - offset
+                if 1 <= local <= sum(c for _v, c in band):
+                    t.offset = offset
+                    acc = 0
+                    for val, c in band:
+                        if local <= acc + c:
+                            t.value = val
+                            break
+                        acc += c
+                else:  # GK bound violated (never observed): full-range fallback
+                    n, mn, mx, _gk = info[t.key]
+                    t.lo, t.hi, t.offset, t.n_range = mn, mx, 0, n
+
+    def _bucket(lo: float, width: float) -> Column:
+        raw = F.floor((vc - F.lit(lo)) / F.lit(width))
+        return F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw)).cast("int")
+
+    def _grouped(ts: list[_OrderStat]) -> list[tuple[tuple, list[_OrderStat]]]:
+        # ranges of two targets are always identical or disjoint (same
+        # lineage or different buckets of one grid), so (key, lo, hi)
+        # identifies a shared predicate
+        groups: dict[tuple, list[_OrderStat]] = {}
+        for t in ts:
+            groups.setdefault((t.key, t.lo, t.hi), []).append(t)
+        return list(groups.items())
+
+    for _ in range(max_iters):
+        active = [
+            t for t in targets.values()
+            if t.value is None and not t.stuck and t.n_range > max_collect
+        ]
+        if not active:
+            break
+        glist = _grouped(active)
+        gid_expr: Column = F.lit(None).cast("int")
+        bexpr: Column = F.lit(None).cast("int")
+        pred_any: Column = F.lit(False)
+        widths = []
+        for gi, ((_key, lo, hi), ts) in enumerate(glist):
+            width = (hi - lo) / n_buckets
+            widths.append(width)
+            if width <= 0 or lo + width == lo:  # sub-ulp: equal-width can't refine
+                for t in ts:
+                    t.stuck = True
+                continue
+            p = ts[0].pred
+            gid_expr = F.when(p, F.lit(gi)).otherwise(gid_expr)
+            bexpr = F.when(p, _bucket(lo, width)).otherwise(bexpr)
+            pred_any = pred_any | p
+        if all(t.stuck for t in active):
+            break
+        cnts = (
+            base.where(pred_any)
+            .select(gid_expr.alias("g"), bexpr.alias("b"))
+            .groupBy("g", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        bycell: dict[tuple[int, int], int] = {(r["g"], r["b"]): r["c"] for r in cnts}
+        for gi, ((_key, lo, _hi), ts) in enumerate(glist):
+            width = widths[gi]
+            if width <= 0 or lo + width == lo:
+                continue
+            buckets = sorted(b for (g, b) in bycell if g == gi)
+            for t in ts:
+                local = t.grank - t.offset
+                acc = 0
+                for bi in buckets:
+                    c = bycell[(gi, bi)]
+                    if local <= acc + c:
+                        t.offset += acc
+                        t.n_range = c
+                        t.pred = t.pred & (_bucket(lo, width) == F.lit(bi))
+                        t.lo, t.hi = lo + bi * width, lo + (bi + 1) * width
+                        break
+                    acc += c
+
+    unresolved = [t for t in targets.values() if t.value is None]
+    if unresolved:
+        glist = _grouped(unresolved)
+        gid_expr = F.lit(None).cast("int")
+        pred_any = F.lit(False)
+        for gi, (_sig, ts) in enumerate(glist):
+            gid_expr = F.when(ts[0].pred, F.lit(gi)).otherwise(gid_expr)
+            pred_any = pred_any | ts[0].pred
+        rows = (
+            base.where(pred_any)
+            .select(gid_expr.alias("g"), vc.alias("v"))
+            .groupBy("g", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        per_g: dict[int, list[tuple[float, int]]] = defaultdict(list)
+        for r in rows:
+            per_g[r["g"]].append((r["v"], r["c"]))
+        for gi, (_sig, ts) in enumerate(glist):
+            vals = sorted(per_g.get(gi, []))
+            for t in ts:
+                local = t.grank - t.offset
+                acc = 0
+                for val, c in vals:
+                    if local <= acc + c:
+                        t.value = val
+                        break
+                    acc += c
+
+    out = []
+    for _alias, tl, th, frac in brackets:
+        if tl is None or tl.value is None or th.value is None:
+            out.append(None)
+        else:
+            out.append(tl.value + (th.value - tl.value) * frac)
+    schema = ", ".join(f"`{alias}` double" for alias, _, _, _ in brackets)
+    return spark.createDataFrame([tuple(out)], schema)

@@ -11,8 +11,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_agent_spark.operators.cleaning import iqr_bounds
+from data_pipeline_agent_spark.operators.ranking import exact_percentiles
 from data_pipeline_agent_spark.plans.registry import register, table
-from data_pipeline_agent_spark.session import fan_out
 
 # --- P1/P2: null-count profile (main.py:72,76) -------------------------------
 
@@ -62,23 +62,39 @@ def profile_nullcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="E1/O1 exact percentiles with pandas-style linear interpolation",
 )
 def median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact percentile's partial state is the value list itself — widen the
-    # single-row-group local scan so partials build on every core, but only
-    # after projecting to the three needed columns (the exchange then moves
-    # 3 doubles/row, not the full fact width)
-    df = fan_out(
-        table(spark, sf_dir, "lineitem").select(
-            "l_quantity", "l_extendedprice", "l_discount"
+    # NOT F.percentile: exact Percentile's aggregation state is the value
+    # list itself, merged on one reducer — the column must fit in a single
+    # JVM, which dies at the 100 TB target (and was 24% of the sf1 ramp).
+    # exact_percentiles selects the two bracketing order statistics per
+    # requested percentile via a range-partitioned sort + driver-located
+    # partition probes, then interpolates with the same
+    # lower + (higher-lower)*frac formula — identical values, distributed.
+    # no fan_out here: exact_percentiles runs two separate jobs over this
+    # lineage, and a round-robin exchange would be re-executed per job
+    # (actions don't share exchange reuse) — the melted scan-side agg is
+    # already partial-combined per task
+    melted = (
+        table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "stack(3, 'q', CAST(l_quantity AS DOUBLE),"
+            " 'p', CAST(l_extendedprice AS DOUBLE),"
+            " 'd', CAST(l_discount AS DOUBLE)) AS (k, v)"
         )
+        .where(F.col("v").isNotNull())
     )
-    q = lambda c, p: F.round(F.percentile(F.col(c), F.lit(p)), 6)  # noqa: E731
-    return df.agg(
-        q("l_quantity", 0.25).alias("qty_p25"),
-        q("l_quantity", 0.5).alias("qty_p50"),
-        q("l_quantity", 0.75).alias("qty_p75"),
-        q("l_extendedprice", 0.5).alias("price_p50"),
-        q("l_discount", 0.5).alias("disc_p50"),
+    out = exact_percentiles(
+        melted,
+        "k",
+        "v",
+        [
+            ("q", 0.25, "qty_p25"),
+            ("q", 0.5, "qty_p50"),
+            ("q", 0.75, "qty_p75"),
+            ("p", 0.5, "price_p50"),
+            ("d", 0.5, "disc_p50"),
+        ],
     )
+    return out.select(*[F.round(F.col(c), 6).alias(c) for c in out.columns])
 
 
 # --- E2: deterministic mode (main.py:81-84, smallest value on ties) ----------

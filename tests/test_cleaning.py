@@ -223,3 +223,51 @@ def test_ordered_prefix_matches_single_reducer_window(spark):
     for k in want_m:
         assert got_m[k][0] == want_m[k][0], f"rank mismatch at id={k}"
         assert abs(got_m[k][1] - want_m[k][1]) < 1e-6, f"cum mismatch at id={k}"
+
+
+def test_exact_percentiles_matches_spark_percentile(spark):
+    """exact_percentiles (range-partitioned order-statistic selection) must
+    reproduce F.percentile's linear-interpolated values exactly — including
+    heavy duplicates, boundary probs 0/1, interpolated ranks, and a key
+    with no rows (NULL, like F.percentile over an empty set)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.ranking import exact_percentiles
+
+    rng = random.Random(11)
+    rows = [("a", float(rng.randrange(7))) for _ in range(997)]  # heavy dups
+    rows += [("b", rng.gauss(0, 100.0)) for _ in range(313)]  # odd n, continuous
+    df = spark.createDataFrame(rows, "k string, v double")
+
+    specs = [
+        ("a", 0.0, "a_min"),
+        ("a", 0.25, "a_p25"),
+        ("a", 0.5, "a_p50"),
+        ("a", 0.999, "a_p999"),
+        ("a", 1.0, "a_max"),
+        ("b", 0.37, "b_p37"),
+        ("b", 0.5, "b_p50"),
+        ("missing", 0.5, "m_p50"),
+    ]
+    got = exact_percentiles(df, "k", "v", specs).collect()[0].asDict()
+
+    want = {}
+    for key, prob, alias in specs:
+        r = (
+            df.where(F.col("k") == key)
+            .agg(F.percentile(F.col("v"), F.lit(prob)))
+            .first()[0]
+        )
+        want[alias] = r
+    assert got["m_p50"] is None
+    for alias, w in want.items():
+        if w is None:
+            assert got[alias] is None, alias
+        else:
+            assert abs(got[alias] - w) < 1e-9 * max(1.0, abs(w)), (
+                alias,
+                got[alias],
+                w,
+            )
