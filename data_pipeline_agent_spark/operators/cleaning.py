@@ -338,7 +338,11 @@ def expand_datetimes(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
 def iqr_bounds(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float]]:
     """O1 — exact Q1/Q3 per numeric column in ONE aggregate
-    (main.py:121-123). F.percentile matches pandas' linear interpolation."""
+    (main.py:121-123). F.percentile matches pandas' linear interpolation.
+
+    Scale note: exact Percentile buffers the column on one reducer; at
+    corpus scale use `operators.ranking.exact_percentiles` (scan-only
+    distributed selection, same interpolation) for the quartiles."""
     if not cols:
         return {}
     aggs = [

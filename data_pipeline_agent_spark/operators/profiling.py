@@ -60,6 +60,14 @@ def profile(df: DataFrame) -> Profile:
     distinct counts (A2 — `approx_count_distinct` could flip the
     `nunique > n/2` encoding branch, so exact it is), dash probes and
     timestamp-parse counts (E3).
+
+    Scale note: F.percentile's exact buffer holds the column on one
+    reducer — fine at upload scale (the reference caps ingest at 50 MB),
+    but for corpus-scale profiling swap the median aggs for
+    `operators.ranking.exact_percentiles` (scan-only distributed
+    selection, 2 extra jobs) or `percentile_approx` (the GK sketch,
+    stays one fused pass) depending on whether exact pandas parity is
+    required.
     """
     num_cols = numeric_columns(df)
     str_cols = string_columns(df)

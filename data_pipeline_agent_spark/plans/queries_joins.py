@@ -388,7 +388,10 @@ def skew_profile_order_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The diagnostic that decides between a plain shuffle, AQE skew-join,
     and manual salting: per-key counts (one shuffle on the key), then a
     scalar aggregate over the keys-sized frame. Run it on any prospective
-    join/agg key before committing to a partitioning strategy at scale."""
+    join/agg key before committing to a partitioning strategy at scale.
+    (p99 uses exact F.percentile over the keys-sized frame; for a key
+    domain in the billions use operators.ranking.exact_percentiles or
+    percentile_approx — the skew verdict doesn't need an exact p99.)"""
     c = (
         table(spark, sf_dir, "orders")
         .groupBy("o_custkey")

@@ -271,7 +271,9 @@ def decile_customer_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression. Bucket populations differ from exact ntile only at
     duplicate boundary values, which quantile bucketing resolves by value
     (all ties land in one bucket) rather than by arbitrary row order —
-    the better semantics for analytics anyway."""
+    the better semantics for analytics anyway. (The cutoff aggregate uses
+    exact F.percentile — one-reducer value buffer; at corpus scale feed
+    the cutoffs from operators.ranking.exact_percentiles instead.)"""
     cust = table(spark, sf_dir, "customer")
     cuts = cust.agg(
         F.percentile(
