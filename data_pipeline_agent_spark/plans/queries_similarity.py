@@ -254,11 +254,18 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold note: the synthetic embeddings have NO true near-dups
     (max pairwise cosine ~0.5), so the demo threshold sits at 0.4 where
     clusters actually form; production SemDeDup runs at ~0.95+ on real
-    embeddings — the plan is identical, only the constant changes."""
+    embeddings — the plan is identical, only the constant changes.
+
+    Cluster count scales with the corpus (target ~750 vectors/cell,
+    floor 16): within-cell pair cost is sum(cell²), so a FIXED k would
+    turn SemDeDup quadratic as N grows — bounded cells keep it ~linear,
+    exactly the paper's k ~ n/1000 regime. The count comes from parquet
+    metadata (no data scan)."""
     from data_pipeline_agent_spark.operators.similarity import semantic_duplicate_groups
 
     emb = table(spark, sf_dir, "embeddings")
-    return semantic_duplicate_groups(emb, n_clusters=16, threshold=0.4)
+    n_clusters = max(16, emb.count() // 750)
+    return semantic_duplicate_groups(emb, n_clusters=n_clusters, threshold=0.4)
 
 
 @register(
