@@ -271,3 +271,43 @@ def test_exact_percentiles_matches_spark_percentile(spark):
                 got[alias],
                 w,
             )
+
+
+def test_exact_percentiles_histogram_refinement_path(spark):
+    """Force the non-GK code paths: max_collect tiny so every key takes
+    iterative histogram refinement (and the final exact sliver agg), plus
+    an all-equal key that hits the span==0 short-circuit and a two-value
+    key that exercises the sub-ulp 'stuck' fallback. Values must still
+    match F.percentile exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.ranking import exact_percentiles
+
+    rng = random.Random(5)
+    rows = [("u", rng.uniform(-50, 50)) for _ in range(2000)]  # continuous
+    rows += [("c", 7.25)] * 500  # constant key: lo == mx short-circuit
+    rows += [("t", 1.0)] * 300 + [("t", 1.0 + 2**-50)] * 300  # near-ulp pair
+    df = spark.createDataFrame(rows, "k string, v double")
+
+    specs = [
+        ("u", 0.1, "u_p10"),
+        ("u", 0.5, "u_p50"),
+        ("u", 0.9, "u_p90"),
+        ("c", 0.5, "c_p50"),
+        ("t", 0.25, "t_p25"),
+        ("t", 0.75, "t_p75"),
+    ]
+    got = exact_percentiles(
+        df, "k", "v", specs, n_buckets=16, max_collect=50, max_iters=30
+    ).collect()[0].asDict()
+    for key, prob, alias in specs:
+        want = (
+            df.where(F.col("k") == key)
+            .agg(F.percentile(F.col("v"), F.lit(prob)))
+            .first()[0]
+        )
+        assert abs(got[alias] - want) <= 1e-12 * max(1.0, abs(want)), (
+            alias, got[alias], want,
+        )

@@ -196,3 +196,45 @@ def test_asof_join_property_random(spark):
                     assert got[i][0] == best_v, f"lid={i}: value {got[i]} != {best_v}"
 
     run()
+
+
+def test_fuzzy_pairs_by_deletion_complete_vs_bruteforce(spark):
+    """Completeness of the deletion-neighborhood join: on random short
+    strings (alphabet small enough to force near-collisions, lengths 0-6
+    to hit the empty/short-string guards), the candidate pairs at
+    levenshtein <= 2 must EXACTLY equal the brute-force all-pairs answer
+    — the pigeonhole argument is the whole basis of the rewrite, so it
+    gets an independent check against Spark's own levenshtein."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.joins import fuzzy_pairs_by_deletion
+
+    rng = random.Random(23)
+    names = list({  # distinct names across 2 blocks
+        (rng.randrange(2), "".join(rng.choice("ab1") for _ in range(rng.randrange(0, 7))))
+        for _ in range(160)
+    })
+    df = spark.createDataFrame(
+        [(b, n, 1 + (i % 3)) for i, (b, n) in enumerate(names)], "blk int, nm string, cnt int"
+    )
+    got = {
+        (r["blk"], r["name_a"], r["name_b"]): r["distance"]
+        for r in fuzzy_pairs_by_deletion(df, ["blk"], "nm").collect()
+    }
+    brute = df.alias("a").join(df.alias("b"), "blk").where(F.col("a.nm") < F.col("b.nm"))
+    want = {
+        (r["blk"], r["na"], r["nb"]): r["d"]
+        for r in brute.select(
+            "blk",
+            F.col("a.nm").alias("na"),
+            F.col("b.nm").alias("nb"),
+            F.levenshtein("a.nm", "b.nm").cast("long").alias("d"),
+        )
+        .where(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == want, (
+        f"missing={set(want) - set(got)} extra={set(got) - set(want)}"
+    )
