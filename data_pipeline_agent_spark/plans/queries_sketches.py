@@ -25,7 +25,14 @@ from data_pipeline_agent_spark.session import fan_out
 
 @register(
     "approx_distinct_partkeys",
-    description="HLL++ distinct vs exact: single-pass mergeable sketch (rsd 2%)",
+    oracle="""
+        SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+               TRUE AS hll_within_6pct
+        FROM lineitem
+    """,
+    description="HLL++ distinct vs exact: single-pass mergeable sketch "
+    "(rsd 2%), oracle-checked — exact distinct + a 3-sigma bound boolean "
+    "on the estimate, so an out-of-bound sketch turns the hash red",
 )
 def approx_distinct_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no fan_out: the agg partial-aggregates map-side and per-row work is a
@@ -37,29 +44,69 @@ def approx_distinct_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).cast("long").alias("n_approx"),
     ).select(
         "n_exact",
-        "n_approx",
-        F.round(F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact"), 6).alias(
-            "rel_err"
-        ),
+        # rsd=0.02 -> 3-sigma bound 6%; the raw estimate magnitude is
+        # additionally asserted in tests/test_sketches.py
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact") <= 0.06
+        ).alias("hll_within_6pct"),
     )
 
 
 @register(
     "approx_percentiles_extendedprice",
-    description="percentile_approx (GK sketch) vs exact percentile, p50/p99",
+    oracle="""
+        SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+               round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_exact,
+               TRUE AS p50_rank_ok, TRUE AS p99_rank_ok
+        FROM lineitem
+    """,
+    description="percentile_approx (GK sketch) vs exact percentile, p50/p99 "
+    "— oracle-checked: exact values + rank-error bound booleans (the GK "
+    "guarantee is |rank(v) - q*N| <= N/accuracy), so a bound violation "
+    "turns the driver's hash red",
 )
 def approx_percentiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch percentiles with the oracle-comparable contract.
+
+    The sketch VALUE is engine-specific (any value whose rank sits within
+    eps*N of the target qualifies), so the query emits the exact
+    percentiles (hash-comparable) plus booleans asserting the approx
+    value's true rank honors the published bound. Rank is measured with
+    a second conditional-aggregate pass over the single projected column
+    against the 1-row broadcast of the sketch output — both passes are
+    single-column scans with map-side partials, the 100 TB-safe shape."""
     # project to the one needed column before widening: exact percentile's
     # partial state is the value list, so parallel partials still help, but
     # shuffling 1 double instead of 16 columns makes the exchange ~free
     li = fan_out(table(spark, sf_dir, "lineitem").select("l_extendedprice"))
     exact = F.expr("percentile(l_extendedprice, array(0.5, 0.99))")
     approx = F.expr("percentile_approx(l_extendedprice, array(0.5, 0.99), 10000)")
-    return li.agg(exact.alias("e"), approx.alias("a")).select(
+    scal = li.agg(
+        exact.alias("e"), approx.alias("a"), F.count(F.lit(1)).alias("n")
+    )
+    x = F.col("l_extendedprice")
+    ranked = li.crossJoin(F.broadcast(scal)).agg(
+        F.first("e").alias("e"),
+        F.first("n").alias("n"),
+        # lower/upper rank of each approx value (ties straddle the two)
+        F.sum((x < F.col("a").getItem(0)).cast("long")).alias("lt50"),
+        F.sum((x <= F.col("a").getItem(0)).cast("long")).alias("le50"),
+        F.sum((x < F.col("a").getItem(1)).cast("long")).alias("lt99"),
+        F.sum((x <= F.col("a").getItem(1)).cast("long")).alias("le99"),
+    )
+
+    def _rank_ok(q: float, lt: str, le: str):
+        # GK bound: some rank in [lt, le] lies within eps*N of q*N
+        # (eps = 1/accuracy); +1 absorbs floor/ceil edge rounding
+        tol = F.col("n") / 10000 + 1
+        target = q * F.col("n")
+        return (F.col(le) >= target - tol) & (F.col(lt) <= target + tol)
+
+    return ranked.select(
         F.round(F.col("e").getItem(0), 6).alias("p50_exact"),
-        F.round(F.col("a").getItem(0), 6).alias("p50_approx"),
         F.round(F.col("e").getItem(1), 6).alias("p99_exact"),
-        F.round(F.col("a").getItem(1), 6).alias("p99_approx"),
+        _rank_ok(0.5, "lt50", "le50").alias("p50_rank_ok"),
+        _rank_ok(0.99, "lt99", "le99").alias("p99_rank_ok"),
     )
 
 

@@ -247,6 +247,7 @@ _NESTED_LOOP_OK = {
     "histogram_extendedprice",  # 1-row min/max bounds frame
     "ml_als_recommend_parts",  # MLlib subset scoring: 5 probe users x item blocks
     "skew_profile_order_custkey",  # 1-row profile frame
+    "approx_percentiles_extendedprice",  # 1-row sketch-output frame for the rank check
     "hll_trailing_7d_users",  # days-sized sketch self-join, fanout <= 7
     "hll_users_by_type_union",  # 1-row sketch-union x 1-row exact-total cross
     "validate_orders_expectations",  # 1-row rule frame

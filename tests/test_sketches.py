@@ -1,5 +1,7 @@
-"""Error-bound tests for the approximate-sketch queries (no DuckDB oracle:
-sketches are engine-specific; the contract is the bound, not the bits)."""
+"""Error-bound tests for the approximate-sketch queries. The registry
+queries are oracle-checked via exact values + bound booleans (sketch bits
+are engine-specific; the contract is the bound, not the bits); these tests
+additionally gate the raw estimate magnitudes the queries don't expose."""
 
 from __future__ import annotations
 
@@ -8,15 +10,37 @@ from tests.conftest import SF_DIR
 
 
 def test_hll_within_rsd(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.plans.registry import table as _table
+
     row = REGISTRY["approx_distinct_partkeys"].spark(spark, SF_DIR).first()
-    # rsd=0.02 → 3-sigma bound 6%; generous but a real regression gate
-    assert row["rel_err"] <= 0.06, row
+    # the oracle-checked 3-sigma bound boolean (rsd=0.02 → 6%)
+    assert row["hll_within_6pct"], row
+    # magnitude gate on the raw estimate the query no longer exposes
+    r = _table(spark, str(SF_DIR), "lineitem").agg(
+        F.countDistinct("l_partkey").alias("e"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a"),
+    ).first()
+    assert abs(r["a"] - r["e"]) / r["e"] <= 0.06, r
 
 
 def test_percentile_approx_close(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.plans.registry import table as _table
+
     row = REGISTRY["approx_percentiles_extendedprice"].spark(spark, SF_DIR).first()
-    for p in ("p50", "p99"):
-        exact, approx = row[f"{p}_exact"], row[f"{p}_approx"]
+    # oracle-checked rank-bound booleans
+    assert row["p50_rank_ok"] and row["p99_rank_ok"], row
+    # value-closeness gate on the raw approx values the query no longer
+    # exposes (1% on this distribution; the formal contract is rank error)
+    r = _table(spark, str(SF_DIR), "lineitem").agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.99))").alias("e"),
+        F.expr("percentile_approx(l_extendedprice, array(0.5, 0.99), 10000)").alias("a"),
+    ).first()
+    for i, p in enumerate(("p50", "p99")):
+        exact, approx = r["e"][i], r["a"][i]
         assert abs(approx - exact) / exact <= 0.01, (p, exact, approx)
 
 
