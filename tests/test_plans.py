@@ -256,15 +256,50 @@ _NESTED_LOOP_OK = {
 }
 
 
+# Queries where an UNPARTITIONED window is legal because its input is a
+# bounded grain — calendar days/months or a distinct-value aggregate whose
+# cardinality does not scale with data size. Anything else ordering a
+# full-frame window with no partition is a single-reducer sort at 100 TB
+# (the round-3 supplier_pareto `weak`).
+_UNPARTITIONED_WINDOW_OK = {
+    "cumulative_monthly_revenue",  # months grain (calendar-bounded)
+    "forecast_ses_monthly_revenue",  # months grain
+    "moving_avg_daily_revenue",  # days grain
+    "resample_daily_revenue_gapfill",  # days grain (+ dedicated shape test above)
+    "label_encode_orderstatus",  # distinct o_orderstatus values (3); the
+    # high-cardinality path routes through _rank_distincts_distributed
+    "ml_class_balance_report",  # class-label grain (bounded by construction)
+}
+
+
+def _walk_jvm_plan(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _walk_jvm_plan(node.children().apply(i))
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_accidental_cartesian(spark, name):
-    """Registry-wide sweep: any CartesianProduct or BroadcastNestedLoopJoin
-    outside the whitelist is an accidental O(n*m) plan — the single worst
-    failure mode at 100 TB. Whitelisted occurrences are 1-row scalar
-    broadcasts or deliberate bounded-band probes."""
+    """Registry-wide sweep for the two worst 100 TB failure modes, checked
+    on each query's one plan build:
+
+    1. any CartesianProduct / BroadcastNestedLoopJoin outside the
+       whitelist is an accidental O(n*m) plan (whitelisted occurrences
+       are 1-row scalar broadcasts or deliberate bounded-band probes);
+    2. any Window with an EMPTY partition spec outside the bounded-grain
+       allowlist is a single-reducer global sort waiting to happen.
+    """
     df = REGISTRY[name].spark(spark, SF_DIR)
-    txt = _formatted(df)
-    has_nl = "CartesianProduct" in txt or "BroadcastNestedLoopJoin" in txt
+    if name not in _UNPARTITIONED_WINDOW_OK:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for n in _walk_jvm_plan(plan):
+            if n.nodeName() == "Window" and n.partitionSpec().isEmpty():
+                raise AssertionError(
+                    f"{name}: unpartitioned Window over a potentially "
+                    f"unbounded grain:\n{str(n)[:500]}"
+                )
     if name in _NESTED_LOOP_OK:
         return  # deliberate; nothing to assert either way (AQE may elide)
+    txt = _formatted(df)
+    has_nl = "CartesianProduct" in txt or "BroadcastNestedLoopJoin" in txt
     assert not has_nl, f"{name}: unexpected nested-loop/cartesian:\n{txt[:3000]}"
