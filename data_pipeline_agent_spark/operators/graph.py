@@ -19,6 +19,15 @@ Each round ends with an eager ``localCheckpoint``: it truncates the plan
 lineage (otherwise the DAG doubles every round and Catalyst analysis cost
 explodes) and stores only the (node, comp) table, which is one row per
 distinct node in the pair table — tiny relative to the corpus.
+
+Fault-tolerance trade-off (applies to every eager localCheckpoint in this
+package): truncated lineage means a lost executor's blocks cannot be
+recomputed — the job fails and must be rerun, where a persist would
+recover transparently. Accepted because every checkpointed frame here is
+a small derived table (labels, code tables, variant explosions) whose
+whole-job rerun costs far less than the corpus scan; deployments on
+preemptible nodes should configure ``setCheckpointDir`` and use reliable
+``checkpoint()`` instead.
 """
 
 from __future__ import annotations

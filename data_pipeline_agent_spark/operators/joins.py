@@ -246,6 +246,7 @@ def fuzzy_pairs_by_deletion(
     if persist:
         # both join sides consume the exploded variant frame; an eager
         # localCheckpoint computes the substr-splice explosion ONCE (the
+        # fault-tolerance trade-off is documented in operators/graph.py);
         # dominant CPU cost) and its blocks drop with the returned plan —
         # no persist/unpersist lifetime to manage across the lazy return
         v = v.localCheckpoint(eager=True)

@@ -43,11 +43,22 @@ def ordered_prefix(
     The repartitioned frame is localCheckpointed (eagerly) so the offset
     collect and the final windows observe the SAME range boundaries
     (range partitioning samples its splits) — the blocks are dropped
-    with the returned plan, no persist left dangling.
+    with the returned plan, no persist left dangling. Trade-off: local
+    checkpoints truncate lineage, so losing an executor loses its blocks
+    unrecoverably (a persist would recompute). Acceptable here because
+    the checkpointed frame is the POST-aggregation grain (callers reduce
+    the fact table first) and re-running the whole query on a lost-block
+    failure is cheap relative to the corpus scan; a deployment with
+    preemptible executors should set a reliable ``setCheckpointDir`` and
+    swap ``checkpoint()`` in.
 
     Returns ``(frame with rank_col/cum_col appended, total rows,
     total sum)`` — the two totals are free by-products of step 2, saving
     callers an unpartitioned ``sum() OVER ()``.
+
+    NULL semantics match the single-reducer running sum exactly:
+    ``cum_col`` is the sum of non-null values in the global prefix, and
+    is NULL only when that prefix holds no non-null value at all.
 
     Running-sum caveat: the driver accumulates partition sums in float,
     so ``cum_col`` associates additions differently than a single-reducer
@@ -62,27 +73,44 @@ def ordered_prefix(
     )
     stats = (
         part.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("s"),
+            F.count(value_col).alias("nn"),  # non-null values only
+        )
         .collect()
     )
-    counts = {r["__pid"]: (r["n"], r["s"]) for r in stats}
-    off_n: Column = F.lit(0)
-    off_s: Column = F.lit(0.0)
-    acc_n, acc_s = 0, 0.0
-    for pid in sorted(counts):
-        off_n = F.when(F.col("__pid") == pid, F.lit(acc_n)).otherwise(off_n)
-        off_s = F.when(F.col("__pid") == pid, F.lit(acc_s)).otherwise(off_s)
-        n, s = counts[pid]
+    counts = {r["__pid"]: (r["n"], r["s"], r["nn"]) for r in stats}
+    # dense per-pid offset tables, looked up with element_at — O(1) per
+    # row and a fixed-size literal, where a chained CASE WHEN would grow
+    # O(n_partitions) deep and fall out of codegen at cluster-scale
+    # partition counts (the expression-size hazard documented at the PQ
+    # encoder)
+    offs_n, offs_s, offs_nn = [], [], []
+    acc_n, acc_s, acc_nn = 0, 0.0, 0
+    for pid in range(n_parts):
+        offs_n.append(acc_n)
+        offs_s.append(acc_s)
+        offs_nn.append(acc_nn)
+        n, s, nn = counts.get(pid, (0, None, 0))
         acc_n += n
         acc_s += float(s) if s is not None else 0.0
+        acc_nn += nn
+    idx = F.col("__pid") + 1
+    off_n = F.element_at(F.lit(offs_n), idx)
+    off_s = F.element_at(F.lit(offs_s), idx)
+    off_nn = F.element_at(F.lit(offs_nn), idx)
     wp = Window.partitionBy("__pid").orderBy(*order_by)
+    local_sum = F.sum(value_col).over(wp.rowsBetween(Window.unboundedPreceding, 0))
     out = part.select(
         *df.columns,
         (off_n + F.row_number().over(wp)).cast("long").alias(rank_col),
-        (
-            off_s
-            + F.sum(value_col).over(wp.rowsBetween(Window.unboundedPreceding, 0))
-        ).alias(cum_col),
+        # local_sum is NULL iff this partition's prefix is all-NULL; the
+        # carried offset still applies when any earlier partition had a
+        # non-null value (off_s + NULL would wrongly null the total)
+        F.when(local_sum.isNotNull(), off_s + local_sum)
+        .when(off_nn > 0, off_s)
+        .alias(cum_col),
     )
     return out, acc_n, acc_s
 
@@ -159,8 +187,19 @@ def exact_percentiles(
     spark = df.sparkSession
     accuracy = 10000
     margin = 3.0 / accuracy
+    # restrict every pass to the requested keys: the stats aggregate
+    # below collects one row per surviving key, so without this filter a
+    # high-cardinality key column (10^9 user_ids) would materialize the
+    # whole key domain on the driver — the exact failure class this
+    # module exists to avoid
+    spec_keys = {k for k, _p, _a in specs}
+    if None in spec_keys:
+        # the per-target probe predicates are equality comparisons, which
+        # never match NULL — reject rather than silently return garbage
+        raise ValueError("exact_percentiles: NULL spec keys are not supported")
     base = (
         df.select(F.col(key_col).alias("__k"), F.col(value_col).cast("double").alias("__v"))
+        .where(F.col("__k").isin(list(spec_keys)))
         .where(F.col("__v").isNotNull())
     )
     kc, vc = F.col("__k"), F.col("__v")

@@ -369,8 +369,7 @@ def pq_fit(
     import numpy as np
 
     rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
-    rows = [(r[1],) for r in rows]
-    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
     dim = X.shape[1]
     sub = dim // m
     return [

@@ -225,6 +225,40 @@ def test_ordered_prefix_matches_single_reducer_window(spark):
         assert abs(got_m[k][1] - want_m[k][1]) < 1e-6, f"cum mismatch at id={k}"
 
 
+def test_ordered_prefix_null_heavy_tail(spark):
+    """With nulls-last ordering and a large NULL tail, whole trailing range
+    partitions hold only NULL values; their running sum must still carry
+    the total from earlier partitions (off + NULL must not null it), and a
+    frame that is ALL null must yield all-NULL cums like the window does."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.ranking import ordered_prefix
+
+    rows = [(i, float(i % 10)) for i in range(100)] + [
+        (i, None) for i in range(100, 500)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got, n, total = ordered_prefix(df, [F.desc_nulls_last("v"), F.asc("id")], "v")
+    assert n == 500 and abs(total - sum(float(i % 10) for i in range(100))) < 1e-9
+    w = Window.orderBy(F.desc_nulls_last("v"), F.asc("id"))
+    want = df.select(
+        "id",
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    got_m = {r["id"]: r["cum"] for r in got.collect()}
+    for r in want.collect():
+        assert abs(got_m[r["id"]] - r["cum"]) < 1e-6, f"cum mismatch at id={r['id']}"
+
+    # all-NULL frame: every cum NULL (empty non-null prefix), totals zero
+    all_null = spark.createDataFrame(
+        [(i, None) for i in range(50)], "id long, v double"
+    )
+    got2, n2, total2 = ordered_prefix(all_null, [F.asc("id")], "v")
+    assert n2 == 50 and total2 == 0.0
+    assert all(r["cum"] is None for r in got2.collect())
+
+
 def test_exact_percentiles_matches_spark_percentile(spark):
     """exact_percentiles (range-partitioned order-statistic selection) must
     reproduce F.percentile's linear-interpolated values exactly — including
