@@ -5,15 +5,16 @@ transitive closure — {A,B,C} is ONE duplicate cluster with one survivor.
 (The reference has no dedup surface at all, SURVEY.md §2.6; this is
 north-star extension work on top of operators/dedup.py.)
 
-Algorithm: iterative min-label propagation over the symmetrized edge list.
-Each round every node takes the min of its own label and its neighbors'
-labels; a round is one equi-join + one groupBy-min — two shuffles keyed on
-node id, fully distributed, never materializing anything per-component.
-Convergence is reached in O(diameter) rounds; duplicate clusters in a real
-corpus are short chains (near-dup neighborhoods), so this converges in a
-handful of rounds. ``max_iter`` bounds the loop for adversarial graphs
-(a path graph of length > max_iter would need the small-star/large-star
-variant; the bound is asserted, not silently wrong — see ``strict``).
+Algorithm: iterative min-label propagation with pointer jumping over the
+symmetrized edge list. Each round every node takes the min of its own
+label and its neighbors' labels (one equi-join + one groupBy-min), then
+shortcuts its label to its label's label (one more join keyed on the
+label) — the classic hash-min + path-halving combination, so a component
+of diameter D converges in O(log D) rounds instead of O(D). Everything
+is joins and aggregates keyed on node/label ids, fully distributed,
+never materializing anything per-component. ``max_iter=25`` therefore
+bounds the reachable diameter at ~2^25 — far past any duplicate graph —
+and the bound is asserted, not silently wrong (see ``strict``).
 
 Each round ends with an eager ``localCheckpoint``: it truncates the plan
 lineage (otherwise the DAG doubles every round and Catalyst analysis cost
@@ -89,6 +90,19 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping (path halving): comp <- label(comp). Every comp
+        # value is itself a node id present in the label table (labels
+        # start as identity and only ever take mins over node ids), so
+        # the lookup join always hits; taking it each round doubles the
+        # shortcut depth and turns O(diameter) convergence into O(log).
+        l2 = new.select(F.col("node").alias("c_node"), F.col("comp").alias("c_comp"))
+        new = (
+            new.join(l2, new.comp == l2.c_node, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("c_comp", "comp")).alias("comp"),
+            )
             .localCheckpoint(eager=True)
         )
         new_sum = _label_sum(new)
@@ -101,8 +115,8 @@ def connected_components(
     if strict and not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds the bound; raise max_iter or use "
-            "a star-contraction variant)"
+            "(component diameter exceeds ~2^max_iter, or labels are still "
+            "moving; raise max_iter)"
         )
     return labels
 

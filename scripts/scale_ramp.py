@@ -78,11 +78,25 @@ _DOMAIN_KEY = {
 _COPY_TABLES = ("region", "nation")
 
 _VOWELS = "aeiou"
+_CONSONANTS = "bcdfg"
 
 
-def _rotated_vowels(rep: int) -> str:
-    r = rep % len(_VOWELS)
-    return _VOWELS[r:] + _VOWELS[:r]
+def _rep_translation(rep: int) -> tuple[str, str]:
+    """Injective per-replica character translation for rep < 25.
+
+    A bare vowel rotation collides at rep % 5 == 0 (rotation by 5 is the
+    identity), which would make replicas r and r+5 byte-identical — the
+    exact-duplicate inflation the rotation exists to prevent. Composing a
+    vowel rotation (5 states) with an independent consonant rotation
+    (5 states) gives 25 distinct translations; rep 0 is the identity, so
+    replica 0 keeps the original text verbatim."""
+    rv = rep % len(_VOWELS)
+    rc = (rep // len(_VOWELS)) % len(_CONSONANTS)
+    src = _VOWELS + _CONSONANTS
+    dst = (
+        _VOWELS[rv:] + _VOWELS[:rv] + _CONSONANTS[rc:] + _CONSONANTS[:rc]
+    )
+    return src, dst
 
 
 def _tile(df: DataFrame, keys: dict[str, int], reps: int, table: str) -> DataFrame:
@@ -97,28 +111,35 @@ def _tile(df: DataFrame, keys: dict[str, int], reps: int, table: str) -> DataFra
         # per-replica vowel rotation: replicas are no longer near-dups of
         # each other, so LSH candidate pairs scale ~linearly like a real
         # corpus (replica 0 keeps the original text verbatim)
+        if reps > 25:
+            raise ValueError("tiling supports at most 25 replicas (25 distinct translations)")
         txt = F.col("text")
         for r in range(1, reps):
+            src, dst = _rep_translation(r)
             txt = F.when(
                 F.col("__rep") == r,
-                F.translate(F.col("text"), _VOWELS, _rotated_vowels(r)),
+                F.translate(F.col("text"), src, dst),
             ).otherwise(txt)
         out = out.withColumn("text", txt).withColumn("n_chars", F.length("text"))
     if table == "embeddings":
-        # deterministic per-replica nudge, different per dimension: keeps
-        # vectors on roughly the same manifold without replica collisions
-        out = out.withColumn(
-            "embedding",
-            F.transform(
-                "embedding",
-                lambda x, i: (
-                    x
-                    + F.sin(i.cast("double") * (F.col("__rep") + F.lit(1.0)))
-                    * F.lit(0.05)
-                    * F.col("__rep").cast("double")
-                ).cast("float"),
-            ),
-        )
+        # per-replica circular dimension shift: a small additive nudge
+        # keeps replicas semantically near-identical (cosine ~1), which
+        # grows the true duplicate-pair graph ~reps^2 and falsely brands
+        # SemDeDup/cosine-dedup super-linear; rotating the dimensions
+        # makes replicas of the same base vector mutually near-orthogonal
+        # (like a real 10x corpus) while each replica keeps the base
+        # value distribution exactly. rep 0 is the identity.
+        dim_row = df.select(F.size("embedding").alias("d")).first()
+        dim = int(dim_row["d"])
+        emb = F.col("embedding")
+        shifted = emb
+        for r in range(1, reps):
+            k = (r * 13) % dim or 1
+            shifted = F.when(
+                F.col("__rep") == r,
+                F.concat(F.slice(emb, k + 1, dim - k), F.slice(emb, 1, k)),
+            ).otherwise(shifted)
+        out = out.withColumn("embedding", shifted)
     return out.drop("__rep")
 
 
@@ -142,13 +163,22 @@ def generate_scaled(spark: SparkSession, base_dir: str, out_dir: str, reps: int)
         tiled.write.mode("overwrite").parquet(f"{out_dir}/{tbl}.parquet")
 
 
-def time_suite(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, float]:
-    out = {}
-    for n in names:
-        t0 = time.perf_counter()
-        _materialize(REGISTRY[n].spark(spark, sf_dir))
-        out[n] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+def time_suite(
+    spark: SparkSession, sf_dir: str, names: list[str], sweeps: int = 2
+) -> dict[str, float]:
+    """Per-query best-of-``sweeps`` — the host shows intermittent
+    wall-clock-dilation episodes that can inflate a contiguous block of
+    queries 10x+ in a single sweep (observed and re-measured in
+    isolation); the min of two independent sweeps rejects any episode
+    shorter than a whole sweep."""
+    out: dict[str, float] = {}
+    for _ in range(sweeps):
+        for n in names:
+            t0 = time.perf_counter()
+            _materialize(REGISTRY[n].spark(spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            out[n] = min(out.get(n, float("inf")), dt)
+            spark.catalog.clearCache()
     return out
 
 

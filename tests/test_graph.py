@@ -41,8 +41,18 @@ def test_edge_direction_irrelevant(spark):
 
 
 def test_convergence_bound_strict_raises(spark):
+    # pointer jumping reaches ~2^r hops after r rounds, so a 100-hop path
+    # is provably unreachable in 2 rounds
     with pytest.raises(RuntimeError, match="did not converge"):
-        _cc(spark, [(i, i + 1) for i in range(10)], max_iter=2, strict=True)
+        _cc(spark, [(i, i + 1) for i in range(100)], max_iter=2, strict=True)
+
+
+def test_long_path_converges_logarithmically(spark):
+    """A 512-hop path graph — the adversarial diameter case that breaks
+    pure min-label propagation (O(diameter) rounds) — must converge well
+    inside the default bound thanks to pointer jumping (O(log D))."""
+    got = _cc(spark, [(i, i + 1) for i in range(512)], max_iter=15)
+    assert set(got.values()) == {0} and len(got) == 513
 
 
 def test_duplicate_groups_survivor_semantics(spark):

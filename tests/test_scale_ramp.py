@@ -47,3 +47,15 @@ def test_suite_ratio_roughly_linear(ramp):
     # overhead pushes this DOWN, so a pass is meaningful)
     tot = ramp["totals"]
     assert tot["sf1"] / tot["sf0.1"] <= 1.5 * ramp["reps"], tot
+
+
+def test_replica_translations_injective():
+    """Every replica's character translation must be distinct (a collision
+    makes two replicas byte-identical text, inflating dedup candidate
+    pairs at the big tier), and replica 0 must be the identity."""
+    from scripts.scale_ramp import _rep_translation
+
+    seen = {_rep_translation(r) for r in range(25)}
+    assert len(seen) == 25
+    src, dst = _rep_translation(0)
+    assert src == dst
