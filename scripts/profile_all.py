@@ -32,12 +32,16 @@ def main() -> None:
     for n in names[:3]:
         mat(REGISTRY[n].spark(spark, warm))
 
-    out = {}
-    for n in names:
-        t0 = time.perf_counter()
-        mat(REGISTRY[n].spark(spark, sf_dir))
-        out[n] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+    # per-query best-of-2 sweeps: the host's intermittent wall-clock
+    # dilation episodes can inflate a contiguous block 10x in one sweep
+    out: dict[str, float] = {}
+    for _ in range(2):
+        for n in names:
+            t0 = time.perf_counter()
+            mat(REGISTRY[n].spark(spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            out[n] = min(out.get(n, float("inf")), dt)
+            spark.catalog.clearCache()
 
     with open(os.path.join(os.path.dirname(__file__), "..", "profile.json"), "w") as f:
         json.dump(dict(sorted(out.items(), key=lambda kv: -kv[1])), f, indent=1)

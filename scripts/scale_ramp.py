@@ -183,11 +183,12 @@ def time_suite(
 
 
 AUDIT_APPENDIX = """
-## Full-registry audit at the 10x tier (round 4)
+## Full-registry audit at the 10x tier (rounds 3-4)
 
-All 130 registry queries were additionally run once at the sf1 tier: zero
-errors. Because the host shows intermittent wall-clock-dilation episodes,
-every suspicious ratio was re-measured in isolation before acting. Findings:
+All 130 registry queries were additionally run at the sf1 tier: zero
+errors. Because the host shows intermittent wall-clock-dilation episodes
+(a contiguous block of queries can read 10x+ slow in one sweep), every
+suspicious ratio was re-measured in isolation before acting. Findings:
 
 - `fuzzy_match_customer_names` was genuinely super-linear (~30x on 10x
   data: nation-only blocking = n^2/25 levenshtein pairs). Fixed with
@@ -197,11 +198,17 @@ every suspicious ratio was re-measured in isolation before acting. Findings:
 - `median_quantiles` was memory-unbounded (exact F.percentile buffers the
   column on one reducer). Replaced with scan-only distributed selection
   (`operators/ranking.py:exact_percentiles`).
-- `dedup_semantic_clusters` now scales its cluster count (~750
-  vectors/cell, floor 16) so the within-cell pair stage stays linear; its
-  residual 10x-tier growth is output-driven — the tiled replicas ARE
-  semantic duplicates of each other, so the true pair graph grows ~100x
-  by construction.
+- Round 4: the tiling proxy itself had two fidelity bugs — the vowel
+  rotation repeated every 5 replicas (byte-identical replica pairs
+  inflating exact-dup counts) and the embedding nudge left replicas at
+  cosine ~1 (inflating the true dup-pair graph ~reps^2). With both fixed
+  (injective 25-state translation; per-replica circular dimension shift,
+  replica cosine ~0), the dedup/text/similarity families re-measured at
+  the 10x tier: every ratio <= ~6x on 10x data except
+  `dedup_semantic_clusters`, whose sparse long-chain pair graph then
+  exposed min-label propagation's O(diameter) round bound. Fixed with
+  pointer jumping in `operators/graph.py` (O(log diameter) rounds):
+  321 s -> 21.6 s at the sf1 tier, ratio ~1.1x.
 - Remaining >5x-per-10x entries are model fits (MLlib RF/ALS iterations),
   exact multi-column distinct (the documented expand-based plan whose
   100 TB fallback is the HLL sketch queries), and sub-second
