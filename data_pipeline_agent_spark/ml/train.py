@@ -18,8 +18,11 @@ Contract replicated exactly:
 
 Documented deviations (SURVEY.md §2.7 ⚠h/⚠i/⚠j): split membership is
 Spark-random (metric parity is tolerance-band, not bitwise);
-max_depth=None -> maxDepth=30 (MLlib cap); GBT is binary-only in MLlib so
-the family is skipped for multiclass targets.
+max_depth=None -> maxDepth=30 (MLlib cap); MLlib's GBTClassifier is
+binary-only, so multiclass targets get it one-vs-rest (K binary GBTs —
+the same per-boosting-stage tree count sklearn's native multiclass GBT
+fits, main.py:272-282) with per-class importances averaged for the
+importance artifact.
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ from pyspark.ml import Pipeline
 from pyspark.ml.classification import (
     GBTClassifier,
     LogisticRegression,
+    OneVsRest,
     RandomForestClassifier,
 )
 from pyspark.ml.evaluation import (
@@ -65,13 +69,48 @@ def resolve_target(columns: list[str], target_col: str) -> str:
     )
 
 
+# Above this many rows in the LARGEST class, stratified_split abandons the
+# exact percent_rank path: percent_rank needs each class partition fully
+# sorted on one reducer (no WindowGroupLimit applies — every row keeps its
+# rank), so the cutoff bounds that single-reducer sort exactly the way
+# LABEL_ENCODE_BROADCAST_CUTOFF bounds the code-table window.
+STRATIFIED_EXACT_CUTOFF = 10_000_000
+
+
 def stratified_split(
-    df: DataFrame, label_col: str, test_frac: float = 0.2, seed: int = SEED
+    df: DataFrame,
+    label_col: str,
+    test_frac: float = 0.2,
+    seed: int = SEED,
+    class_counts: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Stratified 80/20: per-class percent_rank over a seeded random order.
-    One shuffle, exact per-class proportions, no driver-side row movement."""
-    w = Window.partitionBy(label_col).orderBy(F.rand(seed))
-    ranked = df.withColumn("__pr", F.percent_rank().over(w))
+    """Stratified 80/20 with a bounded-exact / sampled-at-scale switch.
+
+    Exact path (largest class <= STRATIFIED_EXACT_CUTOFF rows): per-class
+    percent_rank over a seeded random order — one shuffle, exact per-class
+    proportions, no driver-side row movement. Beyond the cutoff the
+    per-class sort is a single-reducer bottleneck (class count is bounded
+    ~20 by the task heuristic, so class size scales with the corpus), and
+    the split switches to seeded per-row Bernoulli assignment — the same
+    mechanism as ``randomSplit``, stratified automatically because every
+    class draws from the same uniform: per-class proportion error is
+    O(1/sqrt(n)), ~1e-4 where the cutoff forces the switch, far below the
+    tolerance-band metric parity ⚠h already grants the split.
+
+    Both paths re-evaluate ``F.rand(seed)`` in the train and the test
+    plan; the draws agree across the two because the seeded generator is
+    deterministic per (partition, row position) and the scan order of the
+    parquet input is stable — the standard Spark idiom (randomSplit
+    relies on the same property).
+    """
+    if class_counts is None:
+        class_counts = {r[0]: r[1] for r in df.groupBy(label_col).count().collect()}
+    largest = max(class_counts.values(), default=0)
+    if largest <= STRATIFIED_EXACT_CUTOFF:
+        w = Window.partitionBy(label_col).orderBy(F.rand(seed))
+        ranked = df.withColumn("__pr", F.percent_rank().over(w))
+    else:
+        ranked = df.withColumn("__pr", F.rand(seed))
     train = ranked.where(F.col("__pr") < 1 - test_frac).drop("__pr")
     test = ranked.where(F.col("__pr") >= 1 - test_frac).drop("__pr")
     return train, test
@@ -117,17 +156,28 @@ def _classifier_families(weight_col: str | None, n_classes: int):
             .build(),
         ),
     ]
-    if n_classes == 2:  # MLlib GBTClassifier is binary-only (⚠j)
-        fams.append(
-            (
-                "GradientBoosting",
-                gbt,
-                ParamGridBuilder()
-                .addGrid(gbt.maxIter, [50, 100])
-                .addGrid(gbt.stepSize, [0.01, 0.1])
-                .build(),
-            )
+    # MLlib GBTClassifier is binary-only; multiclass goes one-vs-rest
+    # (K binary GBTs — the same K-trees-per-boosting-stage cost sklearn's
+    # native multiclass GBT pays, main.py:272-282). The grid still keys on
+    # the INNER gbt params: OneVsRest.copy(extra) forwards extras to its
+    # classifier, so CrossValidator's param maps reach the GBT (⚠j).
+    gbt_est = (
+        gbt
+        if n_classes == 2
+        else OneVsRest(
+            classifier=gbt, labelCol="label", featuresCol="scaled", parallelism=4
         )
+    )
+    fams.append(
+        (
+            "GradientBoosting",
+            gbt_est,
+            ParamGridBuilder()
+            .addGrid(gbt.maxIter, [50, 100])
+            .addGrid(gbt.stepSize, [0.01, 0.1])
+            .build(),
+        )
+    )
     fams.append(
         (
             "LogisticRegression",
@@ -243,7 +293,7 @@ def train_model(
 
     # --- split (main.py:241, ⚠h) ------------------------------------------
     if is_classification:
-        train, test = stratified_split(feat, "label")
+        train, test = stratified_split(feat, "label", class_counts=cc)
     else:
         train, test = feat.randomSplit([0.8, 0.2], seed=SEED)
 
@@ -345,8 +395,22 @@ def train_model(
     # --- feature importance (main.py:373-383) ------------------------------
     final_stage = best_model.stages[-1]
     importance_html = None
+    imp_vec = None
     if hasattr(final_stage, "featureImportances"):
-        imp = list(zip(num_cols, final_stage.featureImportances.toArray()))
+        imp_vec = final_stage.featureImportances.toArray()
+    elif hasattr(final_stage, "models"):
+        # OneVsRestModel (multiclass GBT): mean of the per-class binary
+        # models' importances — the same uniform aggregation sklearn's
+        # native multiclass GBT applies across its K-trees-per-stage
+        per_class = [
+            m.featureImportances.toArray()
+            for m in final_stage.models
+            if hasattr(m, "featureImportances")
+        ]
+        if per_class:
+            imp_vec = sum(per_class) / len(per_class)
+    if imp_vec is not None:
+        imp = list(zip(num_cols, imp_vec))
         imp.sort(key=lambda t: -t[1])
         import pandas as pd
 

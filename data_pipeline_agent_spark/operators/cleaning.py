@@ -267,7 +267,6 @@ def encode_strings(df: DataFrame, n_rows: int, n_distinct: dict[str, int]) -> Da
                 )
             ).alias("s")
         ).select("s.__c", "s.__v")
-        wcode = Window.partitionBy("__c").orderBy(F.asc_nulls_last("__v"))
         # Eagerly materialized (not a dangling persist): every fused column
         # slices this table, so the one fact-table pass runs NOW and the
         # checkpoint blocks are dropped with the frame when the cleaned
@@ -276,20 +275,35 @@ def encode_strings(df: DataFrame, n_rows: int, n_distinct: dict[str, int]) -> Da
         counts = (
             melted.groupBy("__c", "__v")
             .agg(F.count(F.lit(1)).alias("__freq"))
-            .withColumn("__code", (F.row_number().over(wcode) - F.lit(1)).cast("long"))
             .localCheckpoint(eager=True)
+        )
+        # __code ranks are computed ONLY over the E5 label slice: a fused
+        # E4 frequency column has nunique > n/2 — corpus-sized — and a
+        # row_number over its (single, per-column) window partition would
+        # be a single-reducer sort at 100 TB. Label fused columns are all
+        # <= LABEL_ENCODE_BROADCAST_CUTOFF distincts (larger ones routed
+        # to label_encode's distributed rank above), so each window
+        # partition here is provably bounded.
+        label_fused = [c for c in fused_cols if n_distinct.get(c, 0) <= n_rows / 2]
+        wcode = Window.partitionBy("__c").orderBy(F.asc_nulls_last("__v"))
+        codes = (
+            counts.where(F.col("__c").isin(label_fused)).withColumn(
+                "__code", (F.row_number().over(wcode) - F.lit(1)).cast("long")
+            )
+            if label_fused
+            else None
         )
     for c in cols:
         if c in high_card_label:
             df = label_encode(df, c, n_distinct=n_distinct.get(c), stats_from=base)
             continue
-        slice_ = counts.where(F.col("__c") == c).drop("__c")
         if n_distinct.get(c, 0) > n_rows / 2:
             # E4 frequency: plain equality join (null keys stay null,
             # matching pandas .map of a value_counts dict). NO broadcast
             # hint: E4 fires when nunique > n/2, so this build side is
             # corpus-sized by definition — AQE picks the strategy (same
             # rule as frequency_encode / the high-card label path).
+            slice_ = counts.where(F.col("__c") == c).drop("__c")
             df = (
                 df.join(
                     slice_.select("__v", "__freq"),
@@ -303,6 +317,7 @@ def encode_strings(df: DataFrame, n_rows: int, n_distinct: dict[str, int]) -> Da
         else:
             # E5 label: null-safe join so null gets its (last) code,
             # matching LabelEncoder over stringified values
+            slice_ = codes.where(F.col("__c") == c).drop("__c")
             df = (
                 df.join(
                     F.broadcast(slice_.select("__v", "__code")),

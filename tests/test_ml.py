@@ -64,6 +64,22 @@ def test_stratified_split_proportions(spark, clf_df):
         assert 0.15 < frac < 0.25, f"class {cls} test fraction {frac}"
 
 
+def test_stratified_split_sampled_path(spark, clf_df):
+    """Above STRATIFIED_EXACT_CUTOFF the split switches to seeded Bernoulli
+    (the per-class percent_rank sort is a single-reducer bottleneck at
+    scale). Forced here via fake class_counts: rows must partition cleanly
+    (disjoint, covering) and the per-class test fraction must be binomial-
+    plausible — wide tolerance, 400 rows is small for a Bernoulli draw."""
+    labeled = clf_df.withColumn("label", F.col("churn").cast("double"))
+    big = {0.0: 20_000_001, 1.0: 20_000_001}  # force the sampled branch
+    train, test = stratified_split(labeled, "label", class_counts=big)
+    n_total = labeled.count()
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == n_total
+    assert train.intersect(test).count() == 0
+    assert 0.10 < n_test / n_total < 0.32
+
+
 def test_oversample_balances(spark, clf_df):
     labeled = clf_df.withColumn("label", F.col("churn").cast("double"))
     out = oversample_minority(labeled, "label")
@@ -170,3 +186,70 @@ def test_als_fixed_seed_stability(spark):
     b = ranked(REGISTRY["ml_als_recommend_parts"].spark(spark, SF_DIR).collect())
     assert a == b, "same-seed ALS fits diverged"
     assert len(a) == 5 and all(len(v) == 3 for v in a.values())
+
+
+def test_multiclass_gbt_family_is_ovr(spark):
+    """⚠j closure: binary targets get a bare GBTClassifier, multiclass an
+    OneVsRest wrapper; grids keyed on the inner GBT must survive copy()
+    (the mechanism CrossValidator uses to apply param maps). Takes the
+    spark fixture because constructing a JavaParams estimator needs an
+    active SparkContext."""
+    from pyspark.ml.classification import GBTClassifier, OneVsRest
+
+    from data_pipeline_agent_spark.ml.train import _classifier_families
+
+    fams2 = {n: e for n, e, _g in _classifier_families(None, 2)}
+    fams3 = {n: e for n, e, _g in _classifier_families(None, 3)}
+    assert [n for n, _e, _g in _classifier_families(None, 3)] == [
+        "RandomForest",
+        "GradientBoosting",
+        "LogisticRegression",
+    ], "reference family order (main.py:272-282) must hold for multiclass too"
+    assert isinstance(fams2["GradientBoosting"], GBTClassifier)
+    ovr = fams3["GradientBoosting"]
+    assert isinstance(ovr, OneVsRest)
+    inner = ovr.getClassifier()
+    copied = ovr.copy({inner.maxIter: 7, inner.stepSize: 0.05})
+    assert copied.getClassifier().getOrDefault(inner.maxIter) == 7
+    assert copied.getClassifier().getOrDefault(inner.stepSize) == 0.05
+
+
+def test_ovr_gbt_trains_multiclass(spark):
+    """End-to-end OvR-GBT mechanics on a tiny separable 3-class frame
+    (maxIter=5 so this stays seconds, not the tournament's full grid):
+    fits, predicts all 3 classes, and exposes per-class importances for
+    the mean-aggregated importance artifact."""
+    import random
+
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import GBTClassifier, OneVsRest
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    rng = random.Random(3)
+    rows = []
+    for _ in range(120):
+        cls = rng.randrange(3)
+        mu = [-4.0, 0.0, 4.0][cls]
+        rows.append((float(rng.gauss(mu, 0.5)), float(rng.gauss(mu, 0.5)), cls))
+    df = spark.createDataFrame(rows, "f1 double, f2 double, label int").withColumn(
+        "label", F.col("label").cast("double")
+    )
+    gbt = GBTClassifier(maxIter=5, seed=42, labelCol="label", featuresCol="scaled")
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["f1", "f2"], outputCol="features"),
+            StandardScaler(inputCol="features", outputCol="scaled", withMean=True, withStd=True),
+            OneVsRest(classifier=gbt, labelCol="label", featuresCol="scaled"),
+        ]
+    )
+    model = pipe.fit(df)
+    pred = model.transform(df)
+    assert {r["prediction"] for r in pred.select("prediction").distinct().collect()} == {
+        0.0,
+        1.0,
+        2.0,
+    }
+    per_class = [m.featureImportances.toArray() for m in model.stages[-1].models]
+    assert len(per_class) == 3
+    agg = sum(per_class) / 3
+    assert agg.shape == (2,) and abs(float(agg.sum()) - 1.0) < 1e-6
