@@ -410,3 +410,118 @@ def exact_percentiles(
             out.append(tl.value + (th.value - tl.value) * frac)
     schema = ", ".join(f"`{alias}` double" for alias, _, _, _ in brackets)
     return spark.createDataFrame([tuple(out)], schema)
+
+
+def grouped_ordered_prefix(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    value_col: str | None = None,
+    rank_col: str = "grk",
+    cum_col: str = "gcum",
+    n_col: str | None = None,
+    max_groups: int = 65536,
+) -> DataFrame:
+    """Per-group ``row_number`` (``rank_col``), optional per-group running
+    ``sum(value_col)`` (``cum_col``, inclusive) and group size (``n_col``)
+    — for the few-groups-over-huge-table shape where
+    ``Window.partitionBy(group)`` is a scale hazard.
+
+    ``Window.partitionBy(g)`` is the RIGHT plan when the group domain
+    scales with the data (custkey, orderkey, doc text: partitions stay
+    small). When the domain is BOUNDED (source, shard, status: k groups
+    over n rows), each window partition is n/k rows on one reducer — the
+    same single-reducer sort the unpartitioned-window sweep flags, hidden
+    behind a constant-cardinality key. This keeps identical semantics
+    with ONE pass over the data:
+
+    1. range-repartition on (group asc, ``order_by``) — groups are
+       contiguous runs of ordered partitions; eager localCheckpoint so
+       the stats pass and the final windows see the same boundaries
+       (same recipe + fault-tolerance trade-off as ``ordered_prefix``);
+    2. one per-(partition, group) (count, sum, non-null count) aggregate.
+       Contiguity bounds that table at ``n_partitions + k - 1`` rows, so
+       the collect is tiny at any corpus size;
+    3. the driver prefix-sums each group's per-partition stats in pid
+       order — groups never compare with each other, so no driver-side
+       re-implementation of Spark's sort order is needed;
+    4. partition-local windows partitioned by (pid, group) plus a
+       broadcast join on the offset table finish the job.
+
+    Project BEFORE calling: the checkpoint stores exactly ``df``'s
+    columns. ``max_groups`` guards the driver-side table — a scaling
+    group domain should use ``Window.partitionBy`` directly (its
+    partitions are small when the domain scales). NULL group keys and
+    NULL values follow the same semantics as ``ordered_prefix`` (NULL
+    cum only while a group prefix has no non-null value; distributed-sum
+    float association for ``cum_col``).
+    """
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    has_val = value_col is not None
+    val = value_col if has_val else "__zero"
+    base = df if has_val else df.withColumn("__zero", F.lit(0.0))
+    gcols_asc = [F.asc(c) for c in group_cols]
+    part = (
+        base.repartitionByRange(n_parts, *gcols_asc, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    stats = (
+        part.groupBy("__pid", *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(val).alias("s"),
+            F.count(val).alias("nn"),
+        )
+        .collect()
+    )
+    per_group: dict[tuple, list] = defaultdict(list)
+    for r in stats:
+        key = tuple(r[c] for c in group_cols)
+        per_group[key].append((r["__pid"], r["n"], r["s"], r["nn"]))
+    if len(per_group) > max_groups:
+        raise ValueError(
+            f"grouped_ordered_prefix: {len(per_group)} groups > "
+            f"max_groups={max_groups}; a scaling group domain should use "
+            "Window.partitionBy directly (its partitions are small when "
+            "the domain scales)"
+        )
+    off_rows = []
+    for key, plist in per_group.items():
+        plist.sort()
+        acc_n, acc_s, acc_nn = 0, 0.0, 0
+        grp_n = sum(n for _p, n, _s, _nn in plist)
+        for pid, n, sv, nn in plist:
+            off_rows.append((pid, *key, acc_n, acc_s, acc_nn, grp_n))
+            acc_n += n
+            acc_s += float(sv) if sv is not None else 0.0
+            acc_nn += nn
+    gschema = ", ".join(
+        f"`__g_{i}` {df.schema[c].dataType.simpleString()}"
+        for i, c in enumerate(group_cols)
+    )
+    offs = spark.createDataFrame(
+        off_rows,
+        f"`__o_pid` int, {gschema}, `__off_n` bigint, `__off_s` double, "
+        "`__off_nn` bigint, `__grp_n` bigint",
+    )
+    cond = F.col("__pid") == F.col("__o_pid")
+    for i, c in enumerate(group_cols):
+        cond = cond & part[c].eqNullSafe(F.col(f"__g_{i}"))
+    joined = part.join(F.broadcast(offs), cond)
+    wp = Window.partitionBy("__pid", *group_cols).orderBy(*order_by)
+    local_sum = F.sum(val).over(wp.rowsBetween(Window.unboundedPreceding, 0))
+    sel = [
+        *[part[c] for c in df.columns],
+        (F.col("__off_n") + F.row_number().over(wp)).cast("long").alias(rank_col),
+    ]
+    if n_col is not None:
+        sel.append(F.col("__grp_n").cast("long").alias(n_col))
+    if has_val:
+        sel.append(
+            F.when(local_sum.isNotNull(), F.col("__off_s") + local_sum)
+            .when(F.col("__off_nn") > 0, F.col("__off_s"))
+            .alias(cum_col)
+        )
+    return joined.select(*sel)

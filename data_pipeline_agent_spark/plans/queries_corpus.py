@@ -14,7 +14,7 @@ none of these — north-star extension surface per the build brief.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_agent_spark.functions.text_hash import tokens, word_ngrams
@@ -141,26 +141,29 @@ _PACK_BUDGET = 512  # tokens per packed sequence
 def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous-fill packing for training-sequence construction: within
     each source, documents in stable doc_id order are assigned to the bin
-    their preceding cumulative token count falls in. One window shuffle
-    partitioned by source (at 100 TB, source/shard is the natural packing
-    unit — the window never sees a global order), one aggregate on
-    (source, bin). Greedy first-fit would need sequential state; the
-    cumulative-quotient rule is order-parallel, deterministic, and within
-    one document of the same packing efficiency."""
+    their preceding cumulative token count falls in. Sources are a
+    bounded domain over a corpus-scaling table, so a per-source running-
+    sum window would put n/k rows on one reducer; instead
+    ``grouped_ordered_prefix`` range-partitions once on (source, doc_id)
+    and reconstructs each source's exclusive prefix sum (inclusive cum
+    minus own tokens) from per-source offsets. Greedy first-fit would
+    need sequential state; the cumulative-quotient rule is
+    order-parallel, deterministic, and within one document of the same
+    packing efficiency. Exactness note: the distributed cum is a double;
+    integer-exact below 2^53 total tokens per source (~9e15, far past a
+    100 TB corpus)."""
+    from data_pipeline_agent_spark.operators.ranking import grouped_ordered_prefix
+
     docs = fan_out(table(spark, sf_dir, "documents"))
     t = docs.select(
         "source", "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    pref = grouped_ordered_prefix(
+        t, ["source"], [F.asc("doc_id")], value_col="n_tokens", cum_col="__cum"
     )
-    binned = t.withColumn(
+    binned = pref.withColumn(
         "bin",
-        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET).cast(
-            "long"
-        ),
+        F.floor((F.col("__cum") - F.col("n_tokens")) / _PACK_BUDGET).cast("long"),
     )
     return binned.groupBy("source", "bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -24,7 +24,7 @@ north-star extension surface per the build brief.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_agent_spark.functions.text_hash import h32, tokens, word_ngrams
@@ -212,23 +212,35 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "instead of a global threshold that would drop whole sources",
 )
 def source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One window shuffle partitioned by source (every source ranks in
-    parallel; no global sort). The doc_id tiebreak makes the rank — and
-    hence the kept set — deterministic and engine-independent. At 100 TB
-    with a single giant source, the window-within-source becomes the
-    bottleneck; the documented fallback is an approx-quantile threshold
-    per source (2 passes, no window), trading exactness of the boundary
-    for a sort-free plan."""
-    docs = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    ranked = docs.select(
-        "doc_id",
-        "source",
-        F.col("n_chars").cast("long").alias("n_chars"),
-        F.percent_rank().over(w).alias("pr"),
+    """Sources are a BOUNDED domain over a corpus-scaling table, so
+    ``Window.partitionBy(source)`` would put n/k rows on one reducer —
+    the constant-cardinality variant of the unpartitioned-window hazard.
+    Instead: ``grouped_ordered_prefix`` range-partitions once on
+    (source, n_chars desc, doc_id) and reconstructs each source's exact
+    rank from per-source offsets; percent_rank = (rank-1)/(n-1) with the
+    same total order (doc_id tiebreak), identical to the window's output
+    row-for-row. The doc_id tiebreak makes the kept set deterministic
+    and engine-independent."""
+    from data_pipeline_agent_spark.operators.ranking import grouped_ordered_prefix
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
-    return ranked.where(F.col("pr") <= 0.5).select(
-        "doc_id", "source", "n_chars", F.round("pr", 6).alias("q_rank")
+    ranked = grouped_ordered_prefix(
+        docs,
+        ["source"],
+        [F.desc("n_chars"), F.asc("doc_id")],
+        rank_col="__rk",
+        n_col="__n",
+    )
+    pr = F.when(
+        F.col("__n") > 1,
+        (F.col("__rk") - 1).cast("double") / (F.col("__n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        ranked.withColumn("pr", pr)
+        .where(F.col("pr") <= 0.5)
+        .select("doc_id", "source", "n_chars", F.round("pr", 6).alias("q_rank"))
     )
 
 
@@ -257,11 +269,15 @@ _N_SHARDS = 8
 )
 def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The global-shuffle step that precedes training-shard writes. A true
-    global row_number would be a single-reducer sort; sharding first on a
-    hash of the salted key keeps every window partition-parallel, and the
-    md5 sort key within each shard gives a uniform pseudo-random order.
-    At 100 TB this is exactly the write-layout plan: repartition(shard) +
-    sortWithinPartitions(key) + partitioned write — one shuffle total."""
+    global row_number would be a single-reducer sort — and so would a
+    per-shard window: _N_SHARDS is a constant, so each shard's window
+    partition is n/shards rows on one reducer. ``grouped_ordered_prefix``
+    computes the identical within-shard position from one range shuffle
+    on (shard, md5 key, doc_id) plus per-shard offsets; the md5 sort key
+    gives a uniform pseudo-random order, reproducible across engines,
+    reruns, and repartitions (no RNG)."""
+    from data_pipeline_agent_spark.operators.ranking import grouped_ordered_prefix
+
     docs = table(spark, sf_dir, "documents")
     salted = F.concat(F.lit(_SHUFFLE_SALT), F.col("doc_id").cast("string"))
     keyed = docs.select(
@@ -269,10 +285,10 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(salted).alias("__key"),
         F.pmod(h32(salted), F.lit(_N_SHARDS)).cast("long").alias("shard"),
     )
-    w = Window.partitionBy("shard").orderBy(F.asc("__key"), F.asc("doc_id"))
-    return keyed.select(
-        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    pos = grouped_ordered_prefix(
+        keyed, ["shard"], [F.asc("__key"), F.asc("doc_id")], rank_col="pos"
     )
+    return pos.select("doc_id", "shard", F.col("pos").cast("long").alias("pos"))
 
 
 _MIX_ALPHA = 0.7  # sampling temperature: w_i ∝ p_i^alpha

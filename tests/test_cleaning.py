@@ -345,3 +345,65 @@ def test_exact_percentiles_histogram_refinement_path(spark):
         assert abs(got[alias] - want) <= 1e-12 * max(1.0, abs(want)), (
             alias, got[alias], want,
         )
+
+
+def test_grouped_ordered_prefix_matches_per_group_window(spark):
+    """grouped_ordered_prefix (range shuffle + per-group offsets) must be
+    row-identical to Window.partitionBy(group) row_number / running sum —
+    the plan it replaces for bounded group domains over scaling tables.
+    Includes a NULL group key, a 1-row group, and duplicate order values."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.ranking import grouped_ordered_prefix
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(500):
+        g = rng.choice(["a", "b", "c", None])
+        rows.append((i, g, float(rng.randrange(20))))
+    rows.append((9999, "solo", 5.0))  # 1-row group
+    df = spark.createDataFrame(rows, "id long, g string, v double").repartition(16)
+
+    got = grouped_ordered_prefix(
+        df,
+        ["g"],
+        [F.desc("v"), F.asc("id")],
+        value_col="v",
+        rank_col="rk",
+        cum_col="cum",
+        n_col="n",
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    want = df.select(
+        "id",
+        "g",
+        "v",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).cast("long").alias("n"),
+    )
+    gp = {r["id"]: (r["rk"], round(r["cum"], 6), r["n"]) for r in got.collect()}
+    wp = {r["id"]: (r["rk"], round(r["cum"], 6), r["n"]) for r in want.collect()}
+    assert gp == wp
+
+
+def test_grouped_ordered_prefix_rejects_scaling_group_domain(spark):
+    """The recipe exists for BOUNDED group domains; a scaling domain must
+    raise (Window.partitionBy is the right plan there) rather than
+    silently collect per-group offsets for millions of groups."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.ranking import grouped_ordered_prefix
+
+    df = spark.range(100).select(
+        F.col("id"), F.col("id").alias("g"), F.lit(1.0).alias("v")
+    )
+    with _pytest.raises(ValueError, match="max_groups"):
+        grouped_ordered_prefix(
+            df, ["g"], [F.asc("id")], value_col="v", max_groups=10
+        )

@@ -170,12 +170,14 @@ def test_gapfill_window_sits_above_daily_aggregate(spark):
 
 
 def test_shuffle_shards_window_is_shard_partitioned(spark):
-    # the whole point vs a global row_number: the window must partition by
-    # shard (parallel) — a SinglePartition exchange would be the
-    # one-reducer global sort this query exists to avoid
+    # round 4: _N_SHARDS is a constant, so even a shard-partitioned window
+    # is n/shards rows on one reducer. The grouped-prefix rewrite must
+    # show partition-local windows (__pid from grouped_ordered_prefix) and
+    # still no SinglePartition global sort.
     txt = _formatted(REGISTRY["corpus_shuffle_shards"].spark(spark, SF_DIR))
     assert "SinglePartition" not in txt, "shuffle degenerated to a global sort"
-    assert "hashpartitioning(shard" in txt, txt
+    assert "__pid" in txt, f"expected grouped_ordered_prefix plan shape:\n{txt[:800]}"
+    assert "hashpartitioning(shard" not in txt, "per-shard reducer window came back"
 
 
 def test_quality_gate_window_partitioned_by_source(spark):
