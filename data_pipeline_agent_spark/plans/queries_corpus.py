@@ -188,14 +188,39 @@ def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact p50/p90 token-length percentiles (one grouped aggregate)",
 )
 def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source inventory with EXACT percentiles but no grouped
+    ``F.percentile``: sources are bounded while groups scale, so the
+    exact aggregate would buffer n/k token counts per reducer. The
+    tokenized narrow frame (source, n_tokens — ~16 bytes/doc) is
+    localCheckpointed so tokenization runs ONCE; the count/sum aggregate
+    and ``exact_percentiles``'s scan-only selection passes all read the
+    checkpoint."""
+    from data_pipeline_agent_spark.operators.ranking import exact_percentiles
+
     docs = fan_out(table(spark, sf_dir, "documents"))
-    t = docs.select("source", F.size(tokens(F.col("text"))).alias("n_tokens"))
-    pct = F.expr("percentile(n_tokens, array(0.5, 0.9))")
-    return t.groupBy("source").agg(
+    t = (
+        docs.select("source", F.size(tokens(F.col("text"))).alias("n_tokens"))
+        .localCheckpoint(eager=True)
+    )
+    base = t.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.round(pct.getItem(0), 6).alias("p50_tokens"),
-        F.round(pct.getItem(1), 6).alias("p90_tokens"),
+    )
+    sources = sorted(r[0] for r in base.select("source").collect())
+    specs = []
+    for i, s in enumerate(sources):
+        specs += [(s, 0.5, f"m{i}"), (s, 0.9, f"h{i}")]
+    row = exact_percentiles(t, "source", "n_tokens", specs).first()
+    pct = spark.createDataFrame(
+        [(s, float(row[f"m{i}"]), float(row[f"h{i}"])) for i, s in enumerate(sources)],
+        "source string, p50 double, p90 double",
+    )
+    return base.join(F.broadcast(pct), "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round("p50", 6).alias("p50_tokens"),
+        F.round("p90", 6).alias("p90_tokens"),
     )
 
 

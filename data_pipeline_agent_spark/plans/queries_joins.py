@@ -402,20 +402,32 @@ def skew_profile_order_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     and manual salting: per-key counts (one shuffle on the key), then a
     scalar aggregate over the keys-sized frame. Run it on any prospective
     join/agg key before committing to a partitioning strategy at scale.
-    (p99 uses exact F.percentile over the keys-sized frame; for a key
-    domain in the billions use operators.ranking.exact_percentiles or
-    percentile_approx — the skew verdict doesn't need an exact p99.)"""
+    The key domain scales with the data (billions of custkeys at 100 TB),
+    so the exact p99 comes from ``operators.ranking.exact_percentiles``
+    (scan-only distributed selection) over the eagerly-materialized
+    counts frame — one reducer never buffers the key domain; the narrow
+    (cnt) checkpoint is 8 bytes/key and feeds both the percentile passes
+    and the scalar aggregate without recomputing the count shuffle."""
+    from data_pipeline_agent_spark.operators.ranking import exact_percentiles
+
     c = (
         table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("cnt")
+        .localCheckpoint(eager=True)
+    )
+    p99 = float(
+        exact_percentiles(
+            c.select(F.lit(1).alias("__g"), "cnt"), "__g", "cnt", [(1, 0.99, "p")]
+        ).first()["p"]
     )
     return c.agg(
         F.sum("cnt").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.max("cnt").cast("long").alias("max_cnt"),
         F.round(F.avg("cnt"), 6).alias("avg_cnt"),
-        F.round(F.percentile(F.col("cnt"), F.lit(0.99)), 6).alias("p99_cnt"),
+        F.round(F.lit(p99), 6).alias("p99_cnt"),
         F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_ratio"),
     )
 

@@ -57,11 +57,30 @@ def topn_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="exact grouped percentiles (linear interpolation, matches quantile_cont)",
 )
 def grouped_percentiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = table(spark, sf_dir, "orders")
-    pct = F.expr("percentile(o_totalprice, array(0.5, 0.9))")
-    return df.groupBy("o_orderpriority").agg(
-        F.round(pct.getItem(0), 6).alias("p50"),
-        F.round(pct.getItem(1), 6).alias("p90"),
+    """Grouped EXACT percentiles without grouped ``F.percentile``: the
+    priority domain is bounded (5 values) while each group scales with
+    the data, so the exact aggregate would buffer n/5 values per reducer.
+    ``operators.ranking.exact_percentiles`` resolves all 10 order
+    statistics (5 keys x p50/p90) with scan-only distributed selection;
+    the bounded key domain is collected first to build the spec list."""
+    from data_pipeline_agent_spark.operators.ranking import exact_percentiles
+
+    df = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    prios = sorted(
+        r[0] for r in df.select("o_orderpriority").distinct().collect()
+    )
+    specs = []
+    for i, p in enumerate(prios):
+        specs += [(p, 0.5, f"m{i}"), (p, 0.9, f"h{i}")]
+    row = exact_percentiles(df, "o_orderpriority", "o_totalprice", specs).first()
+    out = spark.createDataFrame(
+        [(p, float(row[f"m{i}"]), float(row[f"h{i}"])) for i, p in enumerate(prios)],
+        "o_orderpriority string, p50 double, p90 double",
+    )
+    return out.select(
+        "o_orderpriority",
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
     )
 
 
@@ -271,23 +290,25 @@ def decile_customer_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression. Bucket populations differ from exact ntile only at
     duplicate boundary values, which quantile bucketing resolves by value
     (all ties land in one bucket) rather than by arbitrary row order —
-    the better semantics for analytics anyway. (The cutoff aggregate uses
-    exact F.percentile — one-reducer value buffer; at corpus scale feed
-    the cutoffs from operators.ranking.exact_percentiles instead.)"""
+    the better semantics for analytics anyway. The 9 cutoffs come from
+    ``operators.ranking.exact_percentiles`` (scan-only distributed
+    selection, same linear interpolation as F.percentile/quantile_cont)
+    — no reducer ever buffers the column — and land in the scan
+    expression as a literal array."""
+    from data_pipeline_agent_spark.operators.ranking import exact_percentiles
+
     cust = table(spark, sf_dir, "customer")
-    cuts = cust.agg(
-        F.percentile(
-            F.col("c_acctbal"),
-            F.array(*[F.lit(p / 10.0) for p in range(1, 10)]),
-        ).alias("qs")
-    )
+    specs = [(1, p / 10.0, f"q{p}") for p in range(1, 10)]
+    row = exact_percentiles(
+        cust.select(F.lit(1).alias("__g"), "c_acctbal"), "__g", "c_acctbal", specs
+    ).first()
+    qs = F.array(*[F.lit(float(row[f"q{p}"])) for p in range(1, 10)])
     return (
-        cust.crossJoin(F.broadcast(cuts))
-        .select(
+        cust.select(
             "c_acctbal",
             (
                 F.lit(1)
-                + F.size(F.filter("qs", lambda q: F.col("c_acctbal") > q))
+                + F.size(F.filter(qs, lambda q: F.col("c_acctbal") > q))
             )
             .cast("long")
             .alias("decile"),
