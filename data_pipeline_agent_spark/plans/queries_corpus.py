@@ -206,7 +206,10 @@ def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
-    sources = sorted(r[0] for r in base.select("source").collect())
+    # NULL sources (none in this corpus) would be rejected by
+    # exact_percentiles' equality probes; keep their count/sum row with
+    # NULL percentiles via the left join rather than crashing
+    sources = sorted(r[0] for r in base.select("source").collect() if r[0] is not None)
     specs = []
     for i, s in enumerate(sources):
         specs += [(s, 0.5, f"m{i}"), (s, 0.9, f"h{i}")]
@@ -215,7 +218,7 @@ def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s, float(row[f"m{i}"]), float(row[f"h{i}"])) for i, s in enumerate(sources)],
         "source string, p50 double, p90 double",
     )
-    return base.join(F.broadcast(pct), "source").select(
+    return base.join(F.broadcast(pct), "source", "left").select(
         "source",
         "n_docs",
         "total_tokens",

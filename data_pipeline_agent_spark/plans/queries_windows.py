@@ -67,7 +67,9 @@ def grouped_percentiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
 
     df = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
     prios = sorted(
-        r[0] for r in df.select("o_orderpriority").distinct().collect()
+        r[0]
+        for r in df.select("o_orderpriority").distinct().collect()
+        if r[0] is not None  # NULL keys unsupported by the equality probes
     )
     specs = []
     for i, p in enumerate(prios):

@@ -86,12 +86,15 @@ def test_q6_filters_pushed_to_scan(spark):
 
 
 def test_source_token_stats_prunes_columns(spark):
+    # round 4: the tokenized frame is eagerly localCheckpointed (so the
+    # exact_percentiles passes re-scan 16 bytes/doc instead of
+    # re-tokenizing). Pruning now shows up as the checkpoint holding ONLY
+    # (source, n_tokens): doc_id/lang/n_chars/text must not appear
+    # anywhere in the returned plan's scan outputs.
     txt = _formatted(REGISTRY["source_token_stats"].spark(spark, SF_DIR))
-    read = [l for l in txt.splitlines() if "ReadSchema" in l]
-    assert read, "no scan schema reported"
-    joined = " ".join(read)
-    # only source+text are referenced; doc_id/lang/n_chars must be pruned
-    assert "n_chars" not in joined and "doc_id" not in joined, joined
+    assert "ExistingRDD" in txt, "expected the checkpointed narrow frame"
+    for leaked in ("n_chars", "doc_id", "lang"):
+        assert leaked not in txt, f"unpruned column {leaked} in plan:\n{txt[:800]}"
 
 
 def test_contamination_is_equi_join(spark):
@@ -280,6 +283,30 @@ def _walk_jvm_plan(node):
         yield from _walk_jvm_plan(node.children().apply(i))
 
 
+# Columns whose domain is BOUNDED (does not scale with data size). A window
+# partitioned ONLY by these keys puts n/k rows on one reducer — the round-4
+# generalization of the unpartitioned-window hazard — unless the executed
+# plan shows a WindowGroupLimit (map-side top-k) or the window's input is
+# itself a bounded grain (allowlist).
+_BOUNDED_DOMAIN_COLS = {
+    "source",
+    "shard",
+    "event_type",
+    "o_orderstatus",
+    "o_orderpriority",
+    "lang",
+    "__c",
+    "__col",
+}
+
+# Bounded-key windows whose INPUT frame is pre-aggregated to a bounded
+# grain, so the per-key partition cannot scale with the corpus.
+_BOUNDED_KEY_WINDOW_OK = {
+    "events_daily_anomaly_zscore",  # input = (event_type, day) aggregate
+    "events_weekly_retention",  # input = (cohort week, week) grain
+}
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_accidental_cartesian(spark, name):
     """Registry-wide sweep for the two worst 100 TB failure modes, checked
@@ -292,13 +319,33 @@ def test_no_accidental_cartesian(spark, name):
        allowlist is a single-reducer global sort waiting to happen.
     """
     df = REGISTRY[name].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan()
     if name not in _UNPARTITIONED_WINDOW_OK:
-        plan = df._jdf.queryExecution().optimizedPlan()
         for n in _walk_jvm_plan(plan):
             if n.nodeName() == "Window" and n.partitionSpec().isEmpty():
                 raise AssertionError(
                     f"{name}: unpartitioned Window over a potentially "
                     f"unbounded grain:\n{str(n)[:500]}"
+                )
+    if name not in _BOUNDED_KEY_WINDOW_OK:
+        # bounded-key windows: every partition expression resolves to a
+        # bounded-domain column -> n/k rows per reducer at scale, unless
+        # the executed plan bounds the sort with a WindowGroupLimit
+        import re as _re
+
+        for n in _walk_jvm_plan(plan):
+            if n.nodeName() != "Window" or n.partitionSpec().isEmpty():
+                continue
+            spec = n.partitionSpec()
+            cols = []
+            for i in range(spec.size()):
+                cols += _re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", str(spec.apply(i)))
+            if cols and all(c in _BOUNDED_DOMAIN_COLS for c in cols):
+                exec_txt = _formatted(df)
+                assert "WindowGroupLimit" in exec_txt, (
+                    f"{name}: Window partitioned only by bounded-domain "
+                    f"keys {cols} with no WindowGroupLimit — n/k rows on "
+                    f"one reducer at scale:\n{str(n)[:500]}"
                 )
     if name in _NESTED_LOOP_OK:
         return  # deliberate; nothing to assert either way (AQE may elide)
