@@ -213,6 +213,16 @@ suspicious ratio was re-measured in isolation before acting. Findings:
   exact multi-column distinct (the documented expand-based plan whose
   100 TB fallback is the HLL sketch queries), and sub-second
   plan-compile-bound queries.
+- Round-4 headline recheck: the sweep's two highest ratios
+  (`json_extract_props` 13.8x, `q4_order_priority` 8.7x) re-measured in
+  isolation at 5.5x and 4.0x on 10x data — dilation-inflated sweep
+  numbers, not super-linear plans. The round's grouped-prefix and
+  exact-percentile rewrites (`source_quality_gate`,
+  `corpus_shuffle_shards`, `pack_sequences_by_source`,
+  `grouped_percentiles_totalprice`, `source_token_stats`,
+  `decile_customer_acctbal`, `skew_profile_order_custkey`) trade a
+  fixed ~1-2 s plan/materialization constant at test scale for plans
+  with no per-group reducer sort or value-list buffer at any scale.
 """
 
 
