@@ -276,3 +276,37 @@ def fuzzy_pairs_by_deletion(
         "cnt_b",
         F.levenshtein("__na", "__nb").cast("long").alias("distance"),
     ).where(F.col("distance") <= max_distance)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (large, skewed) fact side, replicate
+    the (smaller) dim side across all salts, join on (key, salt).
+
+    A hot key concentrates its rows on one reducer in a plain shuffle
+    join; salting spreads them over ``n_salts`` reducers at the cost of
+    replicating the dim side ``n_salts``-fold. Prefer AQE's skew-join
+    splitting (on in this engine's sessions) first — it handles skew
+    without replication when the join is a plain sort-merge; this
+    operator covers the cases AQE cannot re-plan (skewed keys feeding a
+    downstream co-partitioned op, deterministic pre-salting for bucketed
+    writes) and makes the pattern testable as a drop-in.
+
+    ``how`` supports inner/left. The salt is a uniform hash of a random
+    draw, not of the key (hashing the key would re-concentrate the hot
+    key on one salt). Result equals the unsalted join row-for-row; only
+    the physical distribution differs.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    fact_s = fact.withColumn("__salt", (F.rand(0) * n_salts).cast("int"))
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = fact_s.join(dim_s, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -238,3 +238,23 @@ def test_fuzzy_pairs_by_deletion_complete_vs_bruteforce(spark):
     assert got == want, (
         f"missing={set(want) - set(got)} extra={set(got) - set(want)}"
     )
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be row-identical to the plain equi-join (inner and
+    left, including unmatched left rows); only physical distribution
+    differs. Skewed fact: 80% of rows share one key."""
+    from data_pipeline_agent_spark.operators.joins import salted_join
+
+    fact = spark.range(1000).select(
+        F.when(F.col("id") < 800, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(40).select(F.col("id").alias("k"), (F.col("id") * 10).alias("d"))
+
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, "k", n_salts=8, how=how)
+        want = fact.join(dim, "k", how)
+        g = sorted(map(tuple, got.select("k", "v", "d").collect()))
+        w = sorted(map(tuple, want.select("k", "v", "d").collect()))
+        assert g == w, f"salted {how} join diverged from plain join"
