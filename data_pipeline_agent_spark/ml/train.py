@@ -97,11 +97,15 @@ def stratified_split(
     O(1/sqrt(n)), ~1e-4 where the cutoff forces the switch, far below the
     tolerance-band metric parity ⚠h already grants the split.
 
-    Both paths re-evaluate ``F.rand(seed)`` in the train and the test
-    plan; the draws agree across the two because the seeded generator is
-    deterministic per (partition, row position) and the scan order of the
-    parquet input is stable — the standard Spark idiom (randomSplit
-    relies on the same property).
+    The scored frame is eagerly localCheckpointed BEFORE the two filters:
+    both paths derive ``__pr`` from ``F.rand(seed)``, whose draw depends
+    on intra-partition row order — re-evaluating it in the train plan and
+    again in the test plan can disagree when lineage contains shuffles/
+    joins and AQE or task retries reorder rows, putting a row in BOTH
+    splits (silent leakage) or neither. (``randomSplit`` guards the same
+    hazard by sorting each partition; materializing once is cheaper than
+    a per-partition full-column sort and the split frame is the curated
+    training table, far smaller than the corpus.)
     """
     if class_counts is None:
         class_counts = {r[0]: r[1] for r in df.groupBy(label_col).count().collect()}
@@ -111,6 +115,7 @@ def stratified_split(
         ranked = df.withColumn("__pr", F.percent_rank().over(w))
     else:
         ranked = df.withColumn("__pr", F.rand(seed))
+    ranked = ranked.localCheckpoint(eager=True)
     train = ranked.where(F.col("__pr") < 1 - test_frac).drop("__pr")
     test = ranked.where(F.col("__pr") >= 1 - test_frac).drop("__pr")
     return train, test

@@ -467,6 +467,11 @@ def grouped_ordered_prefix(
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    # Range contiguity bounds the true stats size at n_parts + k - 1 rows,
+    # so limit() bounds the DRIVER collect too: a mistakenly-scaling group
+    # domain hits the limit and raises instead of OOMing the driver on an
+    # unbounded collect (the guard must fire BEFORE materialization).
+    stats_cap = n_parts + max_groups
     stats = (
         part.groupBy("__pid", *group_cols)
         .agg(
@@ -474,15 +479,16 @@ def grouped_ordered_prefix(
             F.sum(val).alias("s"),
             F.count(val).alias("nn"),
         )
+        .limit(stats_cap + 1)
         .collect()
     )
     per_group: dict[tuple, list] = defaultdict(list)
     for r in stats:
         key = tuple(r[c] for c in group_cols)
         per_group[key].append((r["__pid"], r["n"], r["s"], r["nn"]))
-    if len(per_group) > max_groups:
+    if len(stats) > stats_cap or len(per_group) > max_groups:
         raise ValueError(
-            f"grouped_ordered_prefix: {len(per_group)} groups > "
+            f"grouped_ordered_prefix: {len(per_group)}+ groups > "
             f"max_groups={max_groups}; a scaling group domain should use "
             "Window.partitionBy directly (its partitions are small when "
             "the domain scales)"
@@ -525,3 +531,50 @@ def grouped_ordered_prefix(
             .alias(cum_col)
         )
     return joined.select(*sel)
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    probs: list[float],
+    aliases: list[str],
+    keys: list | None = None,
+) -> DataFrame:
+    """Per-key EXACT percentiles for a BOUNDED key domain over a scaling
+    table — the shared front-end for ``exact_percentiles`` that the
+    registry's grouped-percentile queries use (a grouped ``F.percentile``
+    would buffer n/k values per reducer).
+
+    ``keys`` defaults to the distinct non-NULL keys of ``df`` (one
+    aggregate + bounded collect — pass the list when the caller already
+    holds it). Returns one row per key: ``key_col`` plus one nullable
+    double column per alias; a key with no non-NULL values yields NULLs,
+    matching what the grouped exact aggregate would return (NULL keys are
+    excluded — ``exact_percentiles``' probes are equality comparisons).
+    """
+    spark = df.sparkSession
+    if keys is None:
+        keys = [
+            r[0]
+            for r in df.select(key_col).distinct().collect()
+            if r[0] is not None
+        ]
+    keys = sorted(keys)
+    specs = []
+    for i, k in enumerate(keys):
+        for j, p in enumerate(probs):
+            specs.append((k, p, f"v_{i}_{j}"))
+    key_type = df.schema[key_col].dataType.simpleString()
+    schema = f"`{key_col}` {key_type}, " + ", ".join(
+        f"`{a}` double" for a in aliases
+    )
+    if not specs:
+        return spark.createDataFrame([], schema)
+    row = exact_percentiles(df, key_col, value_col, specs).first()
+    out_rows = []
+    for i, k in enumerate(keys):
+        vals = [row[f"v_{i}_{j}"] for j in range(len(probs))]
+        # NULL-safe: empty/all-NULL keys produce None, not a float() crash
+        out_rows.append((k, *[float(v) if v is not None else None for v in vals]))
+    return spark.createDataFrame(out_rows, schema)

@@ -195,28 +195,31 @@ def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed so tokenization runs ONCE; the count/sum aggregate
     and ``exact_percentiles``'s scan-only selection passes all read the
     checkpoint."""
-    from data_pipeline_agent_spark.operators.ranking import exact_percentiles
+    from data_pipeline_agent_spark.operators.ranking import grouped_exact_percentiles
 
     docs = fan_out(table(spark, sf_dir, "documents"))
     t = (
         docs.select("source", F.size(tokens(F.col("text"))).alias("n_tokens"))
         .localCheckpoint(eager=True)
     )
-    base = t.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    # ONE aggregate over the checkpoint serves both the bounded key list
+    # and the final count/sum values (collected — the row count is the
+    # source domain); the percentile passes are the only other scans
+    base_rows = (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .collect()
     )
-    # NULL sources (none in this corpus) would be rejected by
-    # exact_percentiles' equality probes; keep their count/sum row with
-    # NULL percentiles via the left join rather than crashing
-    sources = sorted(r[0] for r in base.select("source").collect() if r[0] is not None)
-    specs = []
-    for i, s in enumerate(sources):
-        specs += [(s, 0.5, f"m{i}"), (s, 0.9, f"h{i}")]
-    row = exact_percentiles(t, "source", "n_tokens", specs).first()
-    pct = spark.createDataFrame(
-        [(s, float(row[f"m{i}"]), float(row[f"h{i}"])) for i, s in enumerate(sources)],
-        "source string, p50 double, p90 double",
+    sources = [r["source"] for r in base_rows if r["source"] is not None]
+    pct = grouped_exact_percentiles(
+        t, "source", "n_tokens", [0.5, 0.9], ["p50", "p90"], keys=sources
+    )
+    base = spark.createDataFrame(
+        [(r["source"], r["n_docs"], r["total_tokens"]) for r in base_rows],
+        "source string, n_docs bigint, total_tokens bigint",
     )
     return base.join(F.broadcast(pct), "source", "left").select(
         "source",

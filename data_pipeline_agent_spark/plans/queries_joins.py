@@ -417,17 +417,17 @@ def skew_profile_order_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cnt")
         .localCheckpoint(eager=True)
     )
-    p99 = float(
-        exact_percentiles(
-            c.select(F.lit(1).alias("__g"), "cnt"), "__g", "cnt", [(1, 0.99, "p")]
-        ).first()["p"]
-    )
+    p99v = exact_percentiles(
+        c.select(F.lit(1).alias("__g"), "cnt"), "__g", "cnt", [(1, 0.99, "p")]
+    ).first()["p"]
+    # empty input yields NULL here (as the old aggregate did), not a crash
+    p99 = F.lit(float(p99v)) if p99v is not None else F.lit(None).cast("double")
     return c.agg(
         F.sum("cnt").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.max("cnt").cast("long").alias("max_cnt"),
         F.round(F.avg("cnt"), 6).alias("avg_cnt"),
-        F.round(F.lit(p99), 6).alias("p99_cnt"),
+        F.round(p99, 6).alias("p99_cnt"),
         F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_ratio"),
     )
 

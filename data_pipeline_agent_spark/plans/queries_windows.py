@@ -63,21 +63,11 @@ def grouped_percentiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
     ``operators.ranking.exact_percentiles`` resolves all 10 order
     statistics (5 keys x p50/p90) with scan-only distributed selection;
     the bounded key domain is collected first to build the spec list."""
-    from data_pipeline_agent_spark.operators.ranking import exact_percentiles
+    from data_pipeline_agent_spark.operators.ranking import grouped_exact_percentiles
 
     df = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    prios = sorted(
-        r[0]
-        for r in df.select("o_orderpriority").distinct().collect()
-        if r[0] is not None  # NULL keys unsupported by the equality probes
-    )
-    specs = []
-    for i, p in enumerate(prios):
-        specs += [(p, 0.5, f"m{i}"), (p, 0.9, f"h{i}")]
-    row = exact_percentiles(df, "o_orderpriority", "o_totalprice", specs).first()
-    out = spark.createDataFrame(
-        [(p, float(row[f"m{i}"]), float(row[f"h{i}"])) for i, p in enumerate(prios)],
-        "o_orderpriority string, p50 double, p90 double",
+    out = grouped_exact_percentiles(
+        df, "o_orderpriority", "o_totalprice", [0.5, 0.9], ["p50", "p90"]
     )
     return out.select(
         "o_orderpriority",
@@ -304,7 +294,13 @@ def decile_customer_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = exact_percentiles(
         cust.select(F.lit(1).alias("__g"), "c_acctbal"), "__g", "c_acctbal", specs
     ).first()
-    qs = F.array(*[F.lit(float(row[f"q{p}"])) for p in range(1, 10)])
+    vals = [row[f"q{p}"] for p in range(1, 10)]
+    if any(v is None for v in vals):
+        # empty/all-NULL input: no deciles exist — empty result, same as
+        # the grouped-aggregate shape this replaced (not a float() crash)
+        cust = cust.where(F.lit(False))
+        vals = [0.0] * 9
+    qs = F.array(*[F.lit(float(v)) for v in vals])
     return (
         cust.select(
             "c_acctbal",

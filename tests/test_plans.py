@@ -333,6 +333,7 @@ def test_no_accidental_cartesian(spark, name):
         # the executed plan bounds the sort with a WindowGroupLimit
         import re as _re
 
+        exec_txt = None
         for n in _walk_jvm_plan(plan):
             if n.nodeName() != "Window" or n.partitionSpec().isEmpty():
                 continue
@@ -341,11 +342,21 @@ def test_no_accidental_cartesian(spark, name):
             for i in range(spec.size()):
                 cols += _re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", str(spec.apply(i)))
             if cols and all(c in _BOUNDED_DOMAIN_COLS for c in cols):
-                exec_txt = _formatted(df)
-                assert "WindowGroupLimit" in exec_txt, (
+                if exec_txt is None:
+                    # raw executedPlan string: WindowGroupLimit lines carry
+                    # their partition keys inline (formatted mode splits
+                    # them into a detail section)
+                    exec_txt = df._jdf.queryExecution().executedPlan().toString()
+                # the limit must be attached to THIS window's keys, not
+                # just any top-k window elsewhere in the same query
+                wgl_lines = [
+                    l for l in exec_txt.splitlines() if "WindowGroupLimit" in l
+                ]
+                matched = any(all(c in l for c in set(cols)) for l in wgl_lines)
+                assert matched, (
                     f"{name}: Window partitioned only by bounded-domain "
-                    f"keys {cols} with no WindowGroupLimit — n/k rows on "
-                    f"one reducer at scale:\n{str(n)[:500]}"
+                    f"keys {cols} with no matching WindowGroupLimit — n/k "
+                    f"rows on one reducer at scale:\n{str(n)[:500]}"
                 )
     if name in _NESTED_LOOP_OK:
         return  # deliberate; nothing to assert either way (AQE may elide)
