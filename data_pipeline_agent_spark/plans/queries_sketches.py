@@ -71,22 +71,34 @@ def approx_percentiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFr
     The sketch VALUE is engine-specific (any value whose rank sits within
     eps*N of the target qualifies), so the query emits the exact
     percentiles (hash-comparable) plus booleans asserting the approx
-    value's true rank honors the published bound. Rank is measured with
-    a second conditional-aggregate pass over the single projected column
-    against the 1-row broadcast of the sketch output — both passes are
-    single-column scans with map-side partials, the 100 TB-safe shape."""
-    # project to the one needed column before widening: exact percentile's
-    # partial state is the value list, so parallel partials still help, but
-    # shuffling 1 double instead of 16 columns makes the exchange ~free
-    li = fan_out(table(spark, sf_dir, "lineitem").select("l_extendedprice"))
-    exact = F.expr("percentile(l_extendedprice, array(0.5, 0.99))")
+    value's true rank honors the published bound. The exact side feeds
+    from ``operators.ranking.exact_percentiles`` (scan-only distributed
+    selection — the last ``F.percentile`` value-list buffer over a
+    scaling grain left the registry in round 4); the rank booleans come
+    from one conditional-aggregate pass against the 1-row broadcast of
+    the sketch output. Every pass is a single-column scan with map-side
+    partials."""
+    from data_pipeline_agent_spark.operators.ranking import exact_percentiles
+
+    # project to the one needed column before widening; the checkpoint
+    # lets the selection passes and the rank pass re-read 8 bytes/row
+    li = fan_out(
+        table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    ).localCheckpoint(eager=True)
+    ep = exact_percentiles(
+        li.select(F.lit(1).alias("__g"), "l_extendedprice"),
+        "__g",
+        "l_extendedprice",
+        [(1, 0.5, "p50"), (1, 0.99, "p99")],
+    ).first()
+
+    def _lit(v):
+        return F.lit(float(v)) if v is not None else F.lit(None).cast("double")
+
     approx = F.expr("percentile_approx(l_extendedprice, array(0.5, 0.99), 10000)")
-    scal = li.agg(
-        exact.alias("e"), approx.alias("a"), F.count(F.lit(1)).alias("n")
-    )
+    scal = li.agg(approx.alias("a"), F.count(F.lit(1)).alias("n"))
     x = F.col("l_extendedprice")
     ranked = li.crossJoin(F.broadcast(scal)).agg(
-        F.first("e").alias("e"),
         F.first("n").alias("n"),
         # lower/upper rank of each approx value (ties straddle the two)
         F.sum((x < F.col("a").getItem(0)).cast("long")).alias("lt50"),
@@ -103,8 +115,8 @@ def approx_percentiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFr
         return (F.col(le) >= target - tol) & (F.col(lt) <= target + tol)
 
     return ranked.select(
-        F.round(F.col("e").getItem(0), 6).alias("p50_exact"),
-        F.round(F.col("e").getItem(1), 6).alias("p99_exact"),
+        F.round(_lit(ep["p50"]), 6).alias("p50_exact"),
+        F.round(_lit(ep["p99"]), 6).alias("p99_exact"),
         _rank_ok(0.5, "lt50", "le50").alias("p50_rank_ok"),
         _rank_ok(0.99, "lt99", "le99").alias("p99_rank_ok"),
     )
