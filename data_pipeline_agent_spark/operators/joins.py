@@ -297,14 +297,27 @@ def salted_join(
     downstream co-partitioned op, deterministic pre-salting for bucketed
     writes) and makes the pattern testable as a drop-in.
 
-    ``how`` supports inner/left. The salt is a uniform hash of a random
-    draw, not of the key (hashing the key would re-concentrate the hot
-    key on one salt). Result equals the unsalted join row-for-row; only
-    the physical distribution differs.
+    ``how`` supports inner/left. The salt is a deterministic hash of the
+    WHOLE fact row, not of the join key alone (hashing only the key would
+    re-concentrate the hot key on one salt) and not a random draw (a
+    ``rand`` salt re-draws under task retry/reorder, routing a fact row
+    to two different reducers — duplicated or dropped output, the same
+    hazard class ``stratified_split`` checkpoints against). Rows
+    identical in every column share a salt; a fact side dominated by
+    fully-identical duplicate rows should dedupe-first (multiplicity
+    algebra, as ``fuzzy_pairs_by_deletion`` does). Result equals the
+    unsalted join row-for-row; only the physical distribution differs.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left'")
-    fact_s = fact.withColumn("__salt", (F.rand(0) * n_salts).cast("int"))
+    if n_salts < 1:
+        raise ValueError("salted_join needs n_salts >= 1")
+    fact_s = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
     dim_s = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

@@ -540,6 +540,7 @@ def grouped_exact_percentiles(
     probs: list[float],
     aliases: list[str],
     keys: list | None = None,
+    max_keys: int = 65536,
 ) -> DataFrame:
     """Per-key EXACT percentiles for a BOUNDED key domain over a scaling
     table — the shared front-end for ``exact_percentiles`` that the
@@ -547,19 +548,29 @@ def grouped_exact_percentiles(
     would buffer n/k values per reducer).
 
     ``keys`` defaults to the distinct non-NULL keys of ``df`` (one
-    aggregate + bounded collect — pass the list when the caller already
+    aggregate, collect bounded by ``max_keys`` — a mistakenly-scaling key
+    domain raises instead of OOMing the driver, same guard discipline as
+    ``grouped_ordered_prefix``; pass the list when the caller already
     holds it). Returns one row per key: ``key_col`` plus one nullable
     double column per alias; a key with no non-NULL values yields NULLs,
     matching what the grouped exact aggregate would return (NULL keys are
     excluded — ``exact_percentiles``' probes are equality comparisons).
     """
+    if len(probs) != len(aliases):
+        raise ValueError(
+            f"grouped_exact_percentiles: {len(probs)} probs vs "
+            f"{len(aliases)} aliases — one alias per prob required"
+        )
     spark = df.sparkSession
     if keys is None:
-        keys = [
-            r[0]
-            for r in df.select(key_col).distinct().collect()
-            if r[0] is not None
-        ]
+        rows = df.select(key_col).distinct().limit(max_keys + 1).collect()
+        if len(rows) > max_keys:
+            raise ValueError(
+                f"grouped_exact_percentiles: > {max_keys} distinct keys; "
+                "a scaling key domain cannot be spec-listed — use "
+                "percentile_approx or exact_percentiles per key shard"
+            )
+        keys = [r[0] for r in rows if r[0] is not None]
     keys = sorted(keys)
     specs = []
     for i, k in enumerate(keys):

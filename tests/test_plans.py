@@ -347,12 +347,23 @@ def test_no_accidental_cartesian(spark, name):
                     # their partition keys inline (formatted mode splits
                     # them into a detail section)
                     exec_txt = df._jdf.queryExecution().executedPlan().toString()
-                # the limit must be attached to THIS window's keys, not
-                # just any top-k window elsewhere in the same query
-                wgl_lines = [
-                    l for l in exec_txt.splitlines() if "WindowGroupLimit" in l
-                ]
-                matched = any(all(c in l for c in set(cols)) for l in wgl_lines)
+                # the limit must be attached to THIS window's key SET —
+                # token-exact (name#id) equality of the WindowGroupLimit's
+                # own partition bracket, so neither an unrelated top-k
+                # window nor a superset/substring key line can mask a
+                # hazardous window
+                want = set(cols)
+                matched = False
+                for l in exec_txt.splitlines():
+                    m = _re.search(r"WindowGroupLimit \[([^\]]*)\]", l)
+                    if not m:
+                        continue
+                    got = set(
+                        _re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", m.group(1))
+                    )
+                    if got == want:
+                        matched = True
+                        break
                 assert matched, (
                     f"{name}: Window partitioned only by bounded-domain "
                     f"keys {cols} with no matching WindowGroupLimit — n/k "
