@@ -16,6 +16,15 @@ Output is capped to the headline per-query dict (the full registry is ~75
 queries; printing all of them overflowed the driver's capture buffer in
 round 1 and left BENCH_r01.json unparsed).  The full-suite total still runs
 and is reported as the scalar ``full_total``/``n_queries`` fields.
+
+Round 5 (VERDICT r4 task 2): per-query best-of-2 with a full warm-up
+sweep, the same discipline as ``scripts/profile_all.py``.  The host shows
+intermittent wall-clock-dilation episodes that can inflate a contiguous
+block of queries 10x within a single sweep (SCALE.md); a single-pass
+timing therefore measures the host, not the engine — BENCH_r04 read +44%
+on the full registry while the isolated best-of-2 profile read -15%.
+min-of-2 across two interleaved sweeps makes one dilation episode unable
+to touch both samples of a query.
 """
 
 from __future__ import annotations
@@ -95,17 +104,22 @@ def main() -> None:
         for n in names[:3]:
             _materialize(REGISTRY[n].spark(spark, warm))
 
+    # best-of-2: two full sweeps, min per query (see module docstring) —
+    # the first sweep doubles as the whole-registry warm-up pass
     timings: dict[str, float] = {}
-    for n in names:
-        t0 = time.perf_counter()
-        df = REGISTRY[n].spark(spark, sf_dir)
-        _materialize(df)
-        timings[n] = round(time.perf_counter() - t0, 3)
-        # Query functions persist() intermediates (bands, shingles) that no
-        # one unpersists; 90+ queries in one session otherwise accumulate
-        # cached partitions (GC pressure skews later timings) and identical
-        # plans silently reuse a prior query's cache (flatters the numbers).
-        spark.catalog.clearCache()
+    for _sweep in range(2):
+        for n in names:
+            t0 = time.perf_counter()
+            df = REGISTRY[n].spark(spark, sf_dir)
+            _materialize(df)
+            dt = round(time.perf_counter() - t0, 3)
+            timings[n] = min(timings.get(n, float("inf")), dt)
+            # Query functions persist() intermediates (bands, shingles)
+            # that no one unpersists; 90+ queries in one session otherwise
+            # accumulate cached partitions (GC pressure skews later
+            # timings) and identical plans silently reuse a prior query's
+            # cache (flatters the numbers).
+            spark.catalog.clearCache()
 
     headline_total = round(sum(timings[n] for n in headline), 3)
     full_total = round(sum(timings.values()), 3)

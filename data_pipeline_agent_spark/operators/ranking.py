@@ -438,7 +438,16 @@ def grouped_ordered_prefix(
     1. range-repartition on (group asc, ``order_by``) — groups are
        contiguous runs of ordered partitions; eager localCheckpoint so
        the stats pass and the final windows see the same boundaries
-       (same recipe + fault-tolerance trade-off as ``ordered_prefix``);
+       (same recipe as ``ordered_prefix``; a persist would NOT do —
+       recomputed-after-eviction partitions could re-sample different
+       range boundaries and silently corrupt the precomputed offsets,
+       so the loud lost-block failure is the correct trade). Unlike
+       ``ordered_prefix``, callers here may pass CORPUS-grain frames
+       (per-doc packing/shard rows): the checkpoint then pins
+       O(corpus-rows-projected) local bytes and an executor loss fails
+       the query — the outer retry recomputes, and preemptible
+       deployments should set a reliable ``setCheckpointDir`` and swap
+       ``checkpoint()`` in;
     2. one per-(partition, group) (count, sum, non-null count) aggregate.
        Contiguity bounds that table at ``n_partitions + k - 1`` rows, so
        the collect is tiny at any corpus size;
@@ -541,6 +550,7 @@ def grouped_exact_percentiles(
     aliases: list[str],
     keys: list | None = None,
     max_keys: int = 65536,
+    keys_per_pass: int = 256,
 ) -> DataFrame:
     """Per-key EXACT percentiles for a BOUNDED key domain over a scaling
     table — the shared front-end for ``exact_percentiles`` that the
@@ -555,6 +565,17 @@ def grouped_exact_percentiles(
     double column per alias; a key with no non-NULL values yields NULLs,
     matching what the grouped exact aggregate would return (NULL keys are
     excluded — ``exact_percentiles``' probes are equality comparisons).
+
+    ``keys_per_pass`` (round 5): ``exact_percentiles`` compiles
+    O(keys x probs) nested ``F.when`` chains and an ``isin`` over every
+    spec key — at thousands of keys that hits the Catalyst
+    expression-size/codegen blow-up (the hazard documented at
+    ``ordered_prefix``'s offset tables and the cleaning
+    ``encode_strings`` plan-tree hang) long before the ``max_keys``
+    driver-collect guard matters. The spec list is therefore chunked
+    into passes of at most ``keys_per_pass`` keys: each pass compiles a
+    bounded expression tree, at the cost of one extra (key-pruned) scan
+    per chunk. Bounded key domains (the intended use) fit in one pass.
     """
     if len(probs) != len(aliases):
         raise ValueError(
@@ -572,20 +593,25 @@ def grouped_exact_percentiles(
             )
         keys = [r[0] for r in rows if r[0] is not None]
     keys = sorted(keys)
-    specs = []
-    for i, k in enumerate(keys):
-        for j, p in enumerate(probs):
-            specs.append((k, p, f"v_{i}_{j}"))
     key_type = df.schema[key_col].dataType.simpleString()
     schema = f"`{key_col}` {key_type}, " + ", ".join(
         f"`{a}` double" for a in aliases
     )
-    if not specs:
+    if not keys:
         return spark.createDataFrame([], schema)
-    row = exact_percentiles(df, key_col, value_col, specs).first()
     out_rows = []
-    for i, k in enumerate(keys):
-        vals = [row[f"v_{i}_{j}"] for j in range(len(probs))]
-        # NULL-safe: empty/all-NULL keys produce None, not a float() crash
-        out_rows.append((k, *[float(v) if v is not None else None for v in vals]))
+    for c0 in range(0, len(keys), keys_per_pass):
+        chunk = keys[c0 : c0 + keys_per_pass]
+        specs = [
+            (k, p, f"v_{i}_{j}")
+            for i, k in enumerate(chunk)
+            for j, p in enumerate(probs)
+        ]
+        row = exact_percentiles(df, key_col, value_col, specs).first()
+        for i, k in enumerate(chunk):
+            vals = [row[f"v_{i}_{j}"] for j in range(len(probs))]
+            # NULL-safe: empty/all-NULL keys produce None, not a float() crash
+            out_rows.append(
+                (k, *[float(v) if v is not None else None for v in vals])
+            )
     return spark.createDataFrame(out_rows, schema)

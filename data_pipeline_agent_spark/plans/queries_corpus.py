@@ -173,6 +173,7 @@ def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_token_stats",
+    materializes_on_build=True,
     oracle=f"""
         WITH t AS (
             SELECT source, len({sql_tokens('text')}) AS n_tokens FROM documents
@@ -194,10 +195,24 @@ def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenized narrow frame (source, n_tokens — ~16 bytes/doc) is
     localCheckpointed so tokenization runs ONCE; the count/sum aggregate
     and ``exact_percentiles``'s scan-only selection passes all read the
-    checkpoint."""
-    from data_pipeline_agent_spark.operators.ranking import grouped_exact_percentiles
+    checkpoint.
+
+    A NULL source forms its own group (SQL GROUP BY semantics, matching
+    the oracle): ``exact_percentiles``' equality probes cannot address a
+    NULL key, so its percentiles come from a separate pass over the
+    ``source IS NULL`` slice under a constant key, unioned back in and
+    joined null-safely."""
+    from data_pipeline_agent_spark.operators.ranking import (
+        exact_percentiles,
+        grouped_exact_percentiles,
+    )
 
     docs = fan_out(table(spark, sf_dir, "documents"))
+    # corpus-grain checkpoint (16 bytes/doc): lost executor blocks are
+    # unrecoverable (lineage truncated) and fail the query — acceptable
+    # because all consumers collect inside this builder, so the outer
+    # retry simply re-tokenizes; reliable-checkpoint deployments swap
+    # checkpoint() in (same note as approx_percentiles_extendedprice).
     t = (
         docs.select("source", F.size(tokens(F.col("text"))).alias("n_tokens"))
         .localCheckpoint(eager=True)
@@ -217,12 +232,26 @@ def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pct = grouped_exact_percentiles(
         t, "source", "n_tokens", [0.5, 0.9], ["p50", "p90"], keys=sources
     )
+    if any(r["source"] is None for r in base_rows):
+        nrow = exact_percentiles(
+            t.where(F.col("source").isNull()).select(
+                F.lit(1).alias("__g"), "n_tokens"
+            ),
+            "__g",
+            "n_tokens",
+            [(1, 0.5, "p50"), (1, 0.9, "p90")],
+        ).first()
+        pct = pct.unionByName(
+            spark.createDataFrame([(None, nrow["p50"], nrow["p90"])], pct.schema)
+        )
     base = spark.createDataFrame(
         [(r["source"], r["n_docs"], r["total_tokens"]) for r in base_rows],
         "source string, n_docs bigint, total_tokens bigint",
     )
-    return base.join(F.broadcast(pct), "source", "left").select(
-        "source",
+    return base.join(
+        F.broadcast(pct), base["source"].eqNullSafe(pct["source"]), "left"
+    ).select(
+        base["source"],
         "n_docs",
         "total_tokens",
         F.round("p50", 6).alias("p50_tokens"),

@@ -381,6 +381,7 @@ def fuzzy_match_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "skew_profile_order_custkey",
+    materializes_on_build=True,
     oracle="""
         WITH c AS (
             SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt

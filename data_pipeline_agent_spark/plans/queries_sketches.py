@@ -54,6 +54,7 @@ def approx_distinct_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_percentiles_extendedprice",
+    materializes_on_build=True,
     oracle="""
         SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
                round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_exact,
@@ -81,7 +82,14 @@ def approx_percentiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFr
     from data_pipeline_agent_spark.operators.ranking import exact_percentiles
 
     # project to the one needed column before widening; the checkpoint
-    # lets the selection passes and the rank pass re-read 8 bytes/row
+    # lets the selection passes and the rank pass re-read 8 bytes/row.
+    # Blast-radius note (this is a CORPUS-grain checkpoint, unlike
+    # ordered_prefix's post-aggregation grain): localCheckpoint truncates
+    # lineage, so a lost executor loses its blocks unrecoverably and the
+    # whole query must re-run. Accepted here because every consumer is a
+    # driver-side collect inside this builder (a re-run re-checkpoints);
+    # preemptible-executor deployments should set a reliable
+    # setCheckpointDir and swap checkpoint() in.
     li = fan_out(
         table(spark, sf_dir, "lineitem").select("l_extendedprice")
     ).localCheckpoint(eager=True)

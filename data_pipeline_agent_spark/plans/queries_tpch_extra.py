@@ -10,14 +10,19 @@ q19 an OR-of-conjuncts pushdown, q22 an anti-join against an aggregate
 scalar.  All scale: the only shuffles are on join/agg keys of the fact
 tables.
 
-Broadcast policy (100 TB rule): ``F.broadcast`` hints are ONLY placed on
-*bounded* relations — ``nation``/``region`` (fixed-cardinality dims) and
-selectively-filtered slices of ``part`` (one brand / one type ≈ 1/25 of the
-table).  SF-scaling sides (``customer``, ``supplier``, unfiltered ``part``)
-carry NO hint: at sf0.1 AQE still picks a broadcast join (they are under the
-64 MB ``autoBroadcastJoinThreshold`` set in session.py), while at 1000
-executors × 100 TB the same plan degrades gracefully to a shuffle join
-instead of OOM-ing the executors on a multi-GB forced build side.
+Broadcast policy (100 TB rule, tightened round 5): ``F.broadcast`` hints
+are ONLY placed on *bounded* relations — ``nation``/``region``
+(fixed-cardinality dims) and 1-row scalar aggregates.  EVERY SF-scaling
+side (``customer``, ``supplier``, ``part`` — filtered or not) carries NO
+hint: a fixed *fraction* of ``part`` (one type ≈ 1/25, a LIKE slice)
+still scales linearly with SF, so at the 100 TB target (~SF 10^5) it is
+tens of GB — over Spark's 8 GB broadcast hard limit, and a hard hint
+bypasses AQE's size check, killing the query instead of degrading it.
+At sf0.1 AQE still picks a broadcast join for all of these (they are
+under the 64 MB ``autoBroadcastJoinThreshold`` set in session.py), while
+at 1000 executors × 100 TB the same plan degrades gracefully to a
+shuffle join.  Enforced registry-wide by
+``tests/test_plans.py::test_hints_only_on_bounded_dims``.
 
 The reference (/root/reference/main.py) has no joins at all (SURVEY.md §2.6)
 — this whole module is north-star extension surface.
@@ -139,10 +144,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey") == F.col("s_nk"),
     ).select("s_suppkey", "nation")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # part is filtered to one p_type (~1/25) → broadcast-hinted; the
-    # SF-scaling supplier/customer sides are left to AQE.
+    # part filtered to one p_type is STILL ~1/25 of an SF-scaling table —
+    # no hint (a hard hint would bypass AQE's 8 GB broadcast limit at
+    # ~SF 10^5); AQE auto-broadcasts it while small, shuffles when not.
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -187,10 +193,10 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(table(spark, sf_dir, "nation")),
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey", F.col("n_name").alias("nation"))
-    # part filtered by LIKE '%bolt%' (small slice) → hinted; supplier is
-    # SF-scaling → no hint.
+    # part's LIKE '%bolt%' slice is a fixed FRACTION of an SF-scaling
+    # table — no hint (see module docstring); AQE decides at runtime.
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
@@ -329,17 +335,21 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
     # The correlated subquery averages over ALL lineitems of each part, but
     # only parts of Brand#13 can reach the final join — so prune lineitem
-    # with a broadcast left-semi join on the filtered part keys BEFORE the
-    # window.  Per-part averages are unchanged (the window partitions by
-    # l_partkey and the semi-join keeps whole partkey groups), while the
-    # window input shrinks ~25× — the difference between shuffling 4 TB and
-    # 160 GB of lineitem at the 100 TB scale point.
+    # with a left-semi join on the filtered part keys BEFORE the window.
+    # Per-part averages are unchanged (the window partitions by l_partkey
+    # and the semi-join keeps whole partkey groups), while the window input
+    # shrinks ~25× — the difference between shuffling 4 TB and 160 GB of
+    # lineitem at the 100 TB scale point.  No hard broadcast hint even on
+    # the key-only projection: a 1/25 slice of part scales with SF (see
+    # module docstring) — AQE broadcasts the semi-join build side while it
+    # fits, and the runtime-bloom semi-join recipe (bloom_semijoin_orders)
+    # is the explicit pruning path when it no longer does.
     pk = part.select(F.col("p_partkey").alias("pk"))
-    pruned = li.join(F.broadcast(pk), li.l_partkey == F.col("pk"), "left_semi")
+    pruned = li.join(pk, li.l_partkey == F.col("pk"), "left_semi")
     w = Window.partitionBy("l_partkey")
     flagged = pruned.withColumn("avg_qty", F.avg("l_quantity").over(w))
     return (
-        flagged.join(F.broadcast(part), flagged.l_partkey == part.p_partkey)
+        flagged.join(part, flagged.l_partkey == part.p_partkey)
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
     )

@@ -270,14 +270,17 @@ def q20_excess_bolt_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20's nested semi-join chain: supplier <- semi(excess shippers) with
     the threshold correlated per part. The window runs on the (part,
     supplier) aggregated grain, not the fact table, and the bolt filter
-    prunes lineitem through a broadcast semi-join before the aggregation."""
+    prunes lineitem through a semi-join before the aggregation (no hard
+    broadcast hint: the bolt slice is a fixed fraction of SF-scaling
+    ``part`` — AQE broadcasts it while small, per the queries_tpch_extra
+    module-docstring policy)."""
     part = table(spark, sf_dir, "part").where(F.col("p_name").contains("bolt"))
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
     pk = part.select(F.col("p_partkey").alias("pk"))
     shipped = (
-        li.join(F.broadcast(pk), li.l_partkey == F.col("pk"), "left_semi")
+        li.join(pk, li.l_partkey == F.col("pk"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )

@@ -48,6 +48,7 @@ def topn_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "grouped_percentiles_totalprice",
+    materializes_on_build=True,
     oracle="""
         SELECT o_orderpriority,
                round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
@@ -254,6 +255,7 @@ def cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "decile_customer_acctbal",
+    materializes_on_build=True,
     oracle="""
         WITH cuts AS (
             SELECT quantile_cont(c_acctbal,

@@ -26,14 +26,32 @@ class QuerySpec:
     description: str
     spark: Callable[[SparkSession, str], DataFrame]
     oracle: str | None = None  # ANSI SQL for DuckDB; None -> rows-only check
+    # True for the few queries whose builder resolves driver-side scalars
+    # (exact percentiles via distributed selection) at CONSTRUCTION time:
+    # calling .spark() runs jobs before the returned frame is acted on.
+    # Plan-only tooling (dump_plans, plan-shape sweeps) still works — the
+    # returned frame is lazy — but building it is not free; registry
+    # enumeration at bench scale should expect these to scan.
+    materializes_on_build: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, description: str = ""):
+def register(
+    name: str,
+    oracle: str | None = None,
+    description: str = "",
+    materializes_on_build: bool = False,
+):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name=name, description=description, spark=fn, oracle=oracle)
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            description=description,
+            spark=fn,
+            oracle=oracle,
+            materializes_on_build=materializes_on_build,
+        )
         return fn
 
     return deco
