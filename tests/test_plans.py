@@ -275,8 +275,9 @@ _NESTED_LOOP_OK = {
     "mixture_temperature_weights",  # 1-row normalizer frame
     "sim_bruteforce_topk",  # anchors joined on != (broadcast NL by design)
     "sim_quantized_topk",  # same anchor-broadcast shape
-    "sim_ivf_topk",  # per-anchor centroid ranking cross
+    "sim_ivf_topk",  # per-anchor centroid cross + 1-row recall frame
     "sim_ivf_exact_topk",
+    "dedup_semantic_clusters",  # 1-row contract-boolean frames crossed
     "ml_class_balance_report",  # 1-row total frame
     "class_weights_orderstatus",  # 1-row (n, k) totals frame
     "histogram_extendedprice",  # 1-row min/max bounds frame
