@@ -229,6 +229,16 @@ def fuzzy_pairs_by_deletion(
     candidates dedupe on (block, name_a, name_b) before the verify.
     ``persist=True`` eagerly localCheckpoints the exploded variant frame
     so its substr-splice CPU cost is paid once, not once per join side."""
+    # Round-5 fix for the 10.8 s profile constant: AQE coalesces the tiny
+    # dedupe aggregate's output to ONE post-shuffle partition (it sizes
+    # partitions by shuffle bytes, not downstream CPU), which serialized
+    # the entire ~172-variants-per-name substr-splice explosion onto a
+    # single core. Re-spread the (block, name, cnt) rows across the full
+    # parallelism before exploding — a free shuffle of the deduped grain
+    # that buys n_cores-way variant-generation CPU.
+    spark = names.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    names = names.repartition(n_parts)
     # join on the variant's 64-bit hash, not the string: half the shuffle
     # bytes and cheap key compares; a hash collision only ever ADDS a
     # candidate, which the levenshtein verify below rejects
@@ -268,14 +278,18 @@ def fuzzy_pairs_by_deletion(
         .select(*block_cols, "__na", "__nb", "cnt_a", "cnt_b")
         .distinct()
     )
+    # bounded verify: the 3-arg levenshtein abandons a row's DP as soon as
+    # the band exceeds the threshold (returns -1), so false candidates —
+    # the bulk of the join output — cost O(max_distance * L) instead of
+    # O(L^2); the exact distance is still returned for true matches
     return cand.select(
         *block_cols,
         F.col("__na").alias("name_a"),
         F.col("__nb").alias("name_b"),
         "cnt_a",
         "cnt_b",
-        F.levenshtein("__na", "__nb").cast("long").alias("distance"),
-    ).where(F.col("distance") <= max_distance)
+        F.levenshtein("__na", "__nb", max_distance).cast("long").alias("distance"),
+    ).where(F.col("distance") >= 0)
 
 
 def salted_join(

@@ -185,7 +185,14 @@ def exact_percentiles(
     double column per alias.
     """
     spark = df.sparkSession
-    accuracy = 10000
+    # accuracy 1000 (round 5, was 10000): the GK sketch is the dominant
+    # CPU of pass 1 and its cost grows with accuracy (measured at sf0.1:
+    # 1.46 s at 10^4 vs 1.04 s at 10^3, vs 0.68 s for the same aggregate
+    # with no sketch). At 1000 the band is 8n/1000 ranks — the one-probe
+    # path still covers every key up to ~8M rows (n <= accuracy *
+    # max_collect / 8); larger keys take the histogram-refinement rounds
+    # they would have taken anyway at the 100 TB grain.
+    accuracy = 1000
     margin = 3.0 / accuracy
     # restrict every pass to the requested keys: the stats aggregate
     # below collects one row per surviving key, so without this filter a
@@ -202,6 +209,99 @@ def exact_percentiles(
         .where(F.col("__k").isin(list(spec_keys)))
         .where(F.col("__v").isNotNull())
     )
+    # Widen/persist note (round 5, measured): a round-robin repartition or
+    # a MEMORY_AND_DISK persist of the narrow frame was tried and REJECTED
+    # — both LOSE 0.8-2.9 s at sf0.1 (min-of-3): the shuffle serializes
+    # 1.8M rows and, worse, the GK partial sketches then merge across 32
+    # map partitions (32x sketch serialization) instead of 1-3. On a real
+    # cluster the scan already has >= cores splits, so there is nothing to
+    # widen. The passes deliberately re-scan the caller's lineage.
+    return _exact_percentiles_passes(
+        spark, base, specs, n_buckets, max_collect, max_iters, accuracy, margin
+    )
+
+
+def exact_percentiles_cols(
+    df: DataFrame,
+    col_specs: dict[str, list[tuple[float, str]]],
+    n_buckets: int = 4096,
+    max_collect: int = 65536,
+    max_iters: int = 12,
+) -> DataFrame:
+    """Multi-COLUMN front-end for ``exact_percentiles``: same distributed
+    selection, but pass 1 runs as ONE SCALAR aggregate over the unmelted
+    frame — no ``stack`` row blow-up and no hash-aggregation machinery
+    (the melt triples the row count for a 3-column request and every
+    melted row pays group-by hashing; measured 0.98 s -> ~0.55 s for the
+    sf0.1 median/quartiles pass). The probe/refinement passes still run
+    on a melted (key=column-name, value) frame, which pass 1's
+    precomputed stats are fed into.
+
+    ``col_specs`` maps column name -> [(prob, alias)]. NULL handling
+    matches the melted path: ``count(col)``/``min``/``max``/
+    ``percentile_approx`` all ignore NULLs. Returns one row with one
+    nullable double column per alias (NULL for an empty/all-NULL
+    column), identical values to ``exact_percentiles`` on the stacked
+    frame.
+    """
+    spark = df.sparkSession
+    accuracy = 1000  # keep in lockstep with exact_percentiles (see note there)
+    margin = 3.0 / accuracy
+
+    def _clamp(p: float) -> float:
+        return min(1.0, max(0.0, p))
+
+    cols = list(col_specs)
+    aggs = []
+    probs_of: dict[str, list[float]] = {}
+    for c in cols:
+        ps = sorted(
+            {_clamp(q) for p, _a in col_specs[c] for q in (p - margin, p + margin)}
+        )
+        probs_of[c] = ps
+        cd = F.col(c).cast("double")
+        aggs += [
+            F.count(cd).alias(f"__n_{c}"),
+            F.min(cd).alias(f"__mn_{c}"),
+            F.max(cd).alias(f"__mx_{c}"),
+            F.percentile_approx(
+                cd, F.array(*[F.lit(p) for p in ps]), F.lit(accuracy)
+            ).alias(f"__gk_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    info = {
+        c: (
+            int(row[f"__n_{c}"]),
+            float(row[f"__mn_{c}"]),
+            float(row[f"__mx_{c}"]),
+            dict(zip(probs_of[c], row[f"__gk_{c}"])),
+        )
+        for c in cols
+        if row[f"__n_{c}"] > 0
+    }
+    stack_args = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
+    base = (
+        df.selectExpr(f"stack({len(cols)}, {stack_args}) AS (__k, __v)")
+        .where(F.col("__v").isNotNull())
+    )
+    specs = [(c, p, a) for c in cols for (p, a) in col_specs[c]]
+    return _exact_percentiles_passes(
+        spark, base, specs, n_buckets, max_collect, max_iters, accuracy, margin,
+        info=info,
+    )
+
+
+def _exact_percentiles_passes(
+    spark,
+    base: DataFrame,
+    specs: list[tuple[object, float, str]],
+    n_buckets: int,
+    max_collect: int,
+    max_iters: int,
+    accuracy: int,
+    margin: float,
+    info: dict | None = None,
+) -> DataFrame:
     kc, vc = F.col("__k"), F.col("__v")
 
     # GK probe probs: for each requested percentile, values at p -/+ margin
@@ -209,24 +309,35 @@ def exact_percentiles(
     def _clamp(p: float) -> float:
         return min(1.0, max(0.0, p))
 
-    all_probs = sorted({q for _k, p, _a in specs for q in (_clamp(p - margin), _clamp(p + margin))})
-    prob_idx = {p: i for i, p in enumerate(all_probs)}
-    stats0 = (
-        base.groupBy("__k")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("__v").alias("mn"),
-            F.max("__v").alias("mx"),
-            F.percentile_approx(
-                "__v", F.array(*[F.lit(p) for p in all_probs]), F.lit(accuracy)
-            ).alias("gk"),
+    # info may be precomputed by a front-end (exact_percentiles_cols runs
+    # pass 1 as a scalar aggregate over the UNMELTED frame); the in-house
+    # pass groups the melted frame. Either way info maps
+    # key -> (n, mn, mx, {prob: gk value}).
+    if info is None:
+        all_probs = sorted(
+            {q for _k, p, _a in specs for q in (_clamp(p - margin), _clamp(p + margin))}
         )
-        .collect()
-    )
-    info = {
-        r["__k"]: (int(r["n"]), float(r["mn"]), float(r["mx"]), list(r["gk"]))
-        for r in stats0
-    }
+        stats0 = (
+            base.groupBy("__k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("__v").alias("mn"),
+                F.max("__v").alias("mx"),
+                F.percentile_approx(
+                    "__v", F.array(*[F.lit(p) for p in all_probs]), F.lit(accuracy)
+                ).alias("gk"),
+            )
+            .collect()
+        )
+        info = {
+            r["__k"]: (
+                int(r["n"]),
+                float(r["mn"]),
+                float(r["mx"]),
+                dict(zip(all_probs, r["gk"])),
+            )
+            for r in stats0
+        }
 
     targets: dict[tuple[object, int], _OrderStat] = {}
     brackets: list[tuple[str, _OrderStat | None, _OrderStat | None, float]] = []
@@ -254,8 +365,8 @@ def exact_percentiles(
         if n <= max_collect or 8 * n // accuracy + 2 > max_collect:
             continue  # tiny keys go straight to the final exact agg;
             # huge keys to histogram refinement — both bounded
-        a = gk[prob_idx[_clamp(t.prob - margin)]]
-        b = gk[prob_idx[_clamp(t.prob + margin)]]
+        a = gk[_clamp(t.prob - margin)]
+        b = gk[_clamp(t.prob + margin)]
         t.lo, t.hi = float(a), float(b)
         banded[t.key].append(t)
     if banded:

@@ -11,7 +11,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_agent_spark.operators.cleaning import iqr_bounds
-from data_pipeline_agent_spark.operators.ranking import exact_percentiles
+from data_pipeline_agent_spark.operators.ranking import (
+    exact_percentiles,
+    exact_percentiles_cols,
+)
 from data_pipeline_agent_spark.plans.registry import register, table
 
 # --- P1/P2: null-count profile (main.py:72,76) -------------------------------
@@ -65,34 +68,21 @@ def median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT F.percentile: exact Percentile's aggregation state is the value
     # list itself, merged on one reducer — the column must fit in a single
     # JVM, which dies at the 100 TB target (and was 24% of the sf1 ramp).
-    # exact_percentiles selects the two bracketing order statistics per
-    # requested percentile via a range-partitioned sort + driver-located
-    # partition probes, then interpolates with the same
+    # exact_percentiles_cols selects the two bracketing order statistics
+    # per requested percentile by distributed selection (GK banding +
+    # probe scans), then interpolates with the same
     # lower + (higher-lower)*frac formula — identical values, distributed.
-    # no fan_out here: exact_percentiles runs two separate jobs over this
-    # lineage, and a round-robin exchange would be re-executed per job
-    # (actions don't share exchange reuse) — the melted scan-side agg is
-    # already partial-combined per task
-    melted = (
-        table(spark, sf_dir, "lineitem")
-        .selectExpr(
-            "stack(3, 'q', CAST(l_quantity AS DOUBLE),"
-            " 'p', CAST(l_extendedprice AS DOUBLE),"
-            " 'd', CAST(l_discount AS DOUBLE)) AS (k, v)"
-        )
-        .where(F.col("v").isNotNull())
-    )
-    out = exact_percentiles(
-        melted,
-        "k",
-        "v",
-        [
-            ("q", 0.25, "qty_p25"),
-            ("q", 0.5, "qty_p50"),
-            ("q", 0.75, "qty_p75"),
-            ("p", 0.5, "price_p50"),
-            ("d", 0.5, "disc_p50"),
-        ],
+    # The multi-column front-end runs pass 1 as one scalar aggregate over
+    # the raw 3 columns (no stack melt, no hash aggregation); only the
+    # probe passes see the melted frame. No fan_out: each pass is a
+    # scan-side partial-combined aggregate already.
+    out = exact_percentiles_cols(
+        table(spark, sf_dir, "lineitem"),
+        {
+            "l_quantity": [(0.25, "qty_p25"), (0.5, "qty_p50"), (0.75, "qty_p75")],
+            "l_extendedprice": [(0.5, "price_p50")],
+            "l_discount": [(0.5, "disc_p50")],
+        },
     )
     return out.select(*[F.round(F.col(c), 6).alias(c) for c in out.columns])
 
