@@ -188,6 +188,11 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
+        # corpus-grain (per-doc) checkpoint: materializes the result so
+        # `tok` can be unpersisted before returning. Lineage truncation
+        # means a lost executor fails the query (outer retry recomputes);
+        # reliable-checkpoint deployments swap checkpoint() in — see the
+        # blast-radius note at grouped_ordered_prefix.
         scored = scored.localCheckpoint(eager=True)
     finally:
         tok.unpersist()
@@ -512,6 +517,8 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("bigram_surprisal"),
             )
         )
+        # corpus-grain (per-doc) checkpoint — same rationale and
+        # blast-radius note as text_unigram_surprisal above.
         out = out.localCheckpoint(eager=True)
     finally:
         bg.unpersist()

@@ -143,7 +143,17 @@ def _tile(df: DataFrame, keys: dict[str, int], reps: int, table: str) -> DataFra
     return out.drop("__rep")
 
 
-def generate_scaled(spark: SparkSession, base_dir: str, out_dir: str, reps: int) -> None:
+def generate_scaled(
+    spark: SparkSession,
+    base_dir: str,
+    out_dir: str,
+    reps: int,
+    tables: set[str] | None = None,
+) -> None:
+    """``tables`` restricts tiling to a subset (plus the copied dims) —
+    the 100x tier only needs the relational tables its three probe
+    queries touch, and reps=100 exceeds the 25-translation budget the
+    documents tiling requires anyway."""
     strides = {}
     for dom, (tbl, key) in _DOMAIN_KEY.items():
         mx = (
@@ -153,12 +163,17 @@ def generate_scaled(spark: SparkSession, base_dir: str, out_dir: str, reps: int)
         )
         strides[dom] = int(mx) + 1
     os.makedirs(out_dir, exist_ok=True)
+    n_wide = spark.sparkContext.defaultParallelism
     for tbl in _COPY_TABLES:
         spark.read.parquet(f"{base_dir}/{tbl}.parquet").write.mode("overwrite").parquet(
             f"{out_dir}/{tbl}.parquet"
         )
     for tbl, keys in _KEY_DOMAINS.items():
-        df = spark.read.parquet(f"{base_dir}/{tbl}.parquet")
+        if tables is not None and tbl not in tables:
+            continue
+        # the base files are single-row-group -> the explode would run on
+        # one core; spread the source rows first (order-independent)
+        df = spark.read.parquet(f"{base_dir}/{tbl}.parquet").repartition(n_wide)
         tiled = _tile(df, {c: strides[d] for c, d in keys.items()}, reps, tbl)
         tiled.write.mode("overwrite").parquet(f"{out_dir}/{tbl}.parquet")
 
@@ -226,16 +241,101 @@ suspicious ratio was re-measured in isolation before acting. Findings:
 """
 
 
+SF10_DIR = os.environ.get("SPARK_GRAFT_SCALE100_DIR", "/tmp/spark_graft_scale/sf10")
+
+# The three heaviest-shuffle headline queries, probed one more decade out
+# (round-5 verdict task 6): does the 10x trend hold at 100x?
+_100X_QUERIES = [
+    "q18_large_volume_customers",
+    "q5_regional_revenue",
+    "median_quantiles",
+]
+_100X_TABLES = {"customer", "orders", "lineitem", "supplier", "part"}
+
+
+def run_tier100(spark: SparkSession, base: str) -> None:
+    """Generate a 100x tile (sf10-equivalent, ~60M lineitem rows, well
+    under the 128 GiB budget) for the relational tables only and measure
+    the second decade: ratio t(sf10)/t(sf1) against 10x data, flagged by
+    the same rule as the main ramp (ratio > 1.5x data ratio while
+    materially data-bound). Writes scale_ramp_100x.json and appends/
+    replaces the "## 100x tier" section of SCALE.md."""
+    if not os.path.isdir(SCALED_DIR):
+        generate_scaled(spark, base, SCALED_DIR, 10)
+    t0 = time.time()
+    generate_scaled(spark, base, SF10_DIR, 100, tables=_100X_TABLES)
+    print(f"generated {SF10_DIR} in {round(time.time() - t0, 1)}s", file=sys.stderr)
+    for n in _100X_QUERIES[:2]:
+        _materialize(REGISTRY[n].spark(spark, "/root/testdata/sf0.001"))
+    r_sf1 = time_suite(spark, SCALED_DIR, _100X_QUERIES)
+    r_sf10 = time_suite(spark, SF10_DIR, _100X_QUERIES)
+    rows, flagged = [], []
+    for n in _100X_QUERIES:
+        t1, t10 = r_sf1[n], r_sf10[n]
+        ratio = round(t10 / t1, 2) if t1 > 0 else float("inf")
+        fl = ratio > 15.0 and t10 > 2.0
+        if fl:
+            flagged.append(n)
+        rows.append((n, t1, t10, ratio, fl))
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(repo, "scale_ramp_100x.json"), "w") as f:
+        json.dump(
+            {
+                "queries": {
+                    n: {"sf1": t1, "sf10": t10, "ratio": ratio}
+                    for n, t1, t10, ratio, _fl in rows
+                },
+                "flagged": flagged,
+            },
+            f,
+            indent=1,
+        )
+    sec = [
+        "",
+        "## 100x tier: the second decade (round 5)",
+        "",
+        "sf10 tier = sf0.1 tiled x100 (relational tables only; the three",
+        "probe queries touch no documents/embeddings). Ratio =",
+        "t(sf10)/t(sf1) against 10x data — the same flag rule as above,",
+        "applied one decade further out to confirm the 10x trend is a",
+        "trend and not a plateau artifact.",
+        "",
+        "| query | sf1 s | sf10 s | ratio (10x data) | flag |",
+        "|---|---|---|---|---|",
+    ]
+    for n, t1, t10, ratio, fl in rows:
+        sec.append(
+            f"| {n} | {t1} | {t10} | {ratio} | "
+            f"{'**SUPER-LINEAR**' if fl else ''} |"
+        )
+    sec.append("")
+    sec.append(f"Flagged super-linear at the 100x tier: {flagged or 'none'}.")
+    sec.append("")
+    scale_md = os.path.join(repo, "SCALE.md")
+    txt = open(scale_md).read() if os.path.exists(scale_md) else ""
+    marker = "\n## 100x tier: the second decade"
+    if marker in txt:
+        txt = txt[: txt.index(marker)]
+    with open(scale_md, "w") as f:
+        f.write(txt + "\n".join(sec))
+    print(json.dumps({"tier100_flagged": flagged, "rows": rows}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--tier100", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark("scale_ramp")
     spark.sparkContext.setLogLevel("ERROR")
     base = "/root/testdata/sf0.1"
+    if args.tier100:
+        run_tier100(spark, base)
+        spark.stop()
+        return
     if not args.skip_gen or not os.path.isdir(SCALED_DIR):
         t0 = time.time()
         generate_scaled(spark, base, SCALED_DIR, args.reps)
