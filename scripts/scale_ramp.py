@@ -253,7 +253,7 @@ _100X_QUERIES = [
 _100X_TABLES = {"customer", "orders", "lineitem", "supplier", "part"}
 
 
-def run_tier100(spark: SparkSession, base: str) -> None:
+def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
     """Generate a 100x tile (sf10-equivalent, ~60M lineitem rows, well
     under the 128 GiB budget) for the relational tables only and measure
     the second decade: ratio t(sf10)/t(sf1) against 10x data, flagged by
@@ -262,9 +262,10 @@ def run_tier100(spark: SparkSession, base: str) -> None:
     replaces the "## 100x tier" section of SCALE.md."""
     if not os.path.isdir(SCALED_DIR):
         generate_scaled(spark, base, SCALED_DIR, 10)
-    t0 = time.time()
-    generate_scaled(spark, base, SF10_DIR, 100, tables=_100X_TABLES)
-    print(f"generated {SF10_DIR} in {round(time.time() - t0, 1)}s", file=sys.stderr)
+    if not skip_gen or not os.path.isdir(SF10_DIR):
+        t0 = time.time()
+        generate_scaled(spark, base, SF10_DIR, 100, tables=_100X_TABLES)
+        print(f"generated {SF10_DIR} in {round(time.time() - t0, 1)}s", file=sys.stderr)
     for n in _100X_QUERIES[:2]:
         _materialize(REGISTRY[n].spark(spark, "/root/testdata/sf0.001"))
     r_sf1 = time_suite(spark, SCALED_DIR, _100X_QUERIES)
@@ -333,7 +334,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     base = "/root/testdata/sf0.1"
     if args.tier100:
-        run_tier100(spark, base)
+        run_tier100(spark, base, skip_gen=args.skip_gen)
         spark.stop()
         return
     if not args.skip_gen or not os.path.isdir(SCALED_DIR):
