@@ -357,8 +357,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = semantic_dup_pairs(
         emb, n_clusters=n_clusters, threshold=SEMDEDUP_THRESHOLD
     ).localCheckpoint(eager=True)
-    groups = duplicate_groups(pairs.select("id_a", "id_b")).withColumnRenamed(
-        "doc_id", "vec_id"
+    # the groups frame feeds THREE contract consumers (per-group agg,
+    # membership agg, witness anti-join); checkpoint it once so the
+    # pointer-jumping closure + window do not re-run per consumer — a
+    # post-closure grain (one row per duplicate-cluster member, tiny)
+    groups = (
+        duplicate_groups(pairs.select("id_a", "id_b"))
+        .withColumnRenamed("doc_id", "vec_id")
+        .localCheckpoint(eager=True)
     )
     per_group = groups.groupBy("group_id").agg(
         F.min("vec_id").alias("__mn"),
