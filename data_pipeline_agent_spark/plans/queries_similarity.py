@@ -423,21 +423,72 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Aggregate-recall floor for the PQ candidate stage (top-20 candidates vs
+# the exact top-5). Measured candidate recall: 0.50 (sf0.001) / 0.58
+# (sf0.01) / 0.26 (sf0.1) — 4-bit codes over UNstructured random vectors
+# degrade as the corpus grows, but stay far above the ~20/N
+# random-candidate base rate (<0.04 at sf0.001); 0.2 separates "ADC
+# lookup machinery works" from "codes are noise" with margin at every
+# SF the driver hashes (sf0.01) or the tests gate (sf0.001).
+PQ_RECALL_FLOOR = 0.2
+
+
 @register(
     "sim_pq_topk",
-    description="product-quantization ANN top-5: per-subspace codebooks "
-    "(8x4-bit codes, 8x compression), asymmetric-distance scoring via "
-    "literal table lookups (rows-only: codebooks are a model fit; "
-    "candidate recall vs brute force gated in tests)",
+    materializes_on_build=True,
+    oracle=f"""
+        WITH a AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT a.query_id, e.vec_id AS neighbor_id,
+                 round({_sql_cos('a.qv', 'e.embedding')}, 6) AS cos_sim
+          FROM embeddings e, a WHERE e.vec_id != a.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk,
+               TRUE AS recall_ok
+        FROM scored
+        QUALIFY rk <= 5
+    """,
+    description="product-quantization ANN (8x4-bit codes, ADC literal-table "
+    "scoring) under the r4 sketch contract: exact-twin top-5 rows "
+    "(hash-comparable) plus an in-row candidate-recall-floor boolean — "
+    "PQ top-20 candidates recovering < 20% of the exact top-5 turns the "
+    "driver hash red (codebooks are a model fit; the tighter per-SF "
+    "recall gate lives in tests/test_similarity.py)",
 )
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ is the candidate-generation stage of a production ANN stack
     (recall note: on these UNstructured random testdata vectors 4-bit
     codes recover only part of the exact top-5 — PQ's compression
     assumes cluster structure; the production pattern re-ranks PQ
-    candidates against full-precision vectors, cf. quantized_topk)."""
+    candidates against full-precision vectors, cf. quantized_topk).
+    Oracle-tightened the same way as ``sim_ivf_topk``: the hash-comparable
+    rows are the exact brute-force top-5; the PQ machinery is gated by an
+    in-row boolean asserting its top-20 candidate set recovers at least
+    ``PQ_RECALL_FLOOR`` of those exact slots."""
     from pyspark.sql import functions as F
 
     emb = table(spark, sf_dir, "embeddings")
     anchors = emb.where(F.col("vec_id") < 10)
-    return S.pq_topk(emb, anchors, k=5)
+    exact = S.brute_force_topk(emb, anchors, k=5).localCheckpoint(eager=True)
+    approx = S.pq_topk(emb, anchors, k=20)
+    hits = exact.join(
+        approx.select(
+            F.col("query_id").alias("__aq"), F.col("neighbor_id").alias("__an")
+        ),
+        (exact["query_id"] == F.col("__aq"))
+        & (exact["neighbor_id"] == F.col("__an")),
+        "left_semi",
+    )
+    rec = (
+        hits.agg(F.count(F.lit(1)).alias("__nh"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("__nt")))
+        .select(
+            (F.col("__nh") >= F.lit(PQ_RECALL_FLOOR) * F.col("__nt")).alias(
+                "recall_ok"
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(rec))

@@ -86,5 +86,6 @@ def test_driver_contract_shape():
     assert set(os_) <= set(qs)
     assert all(isinstance(s, str) and s.strip() for s in os_.values())
     assert all(callable(f) for f in qs.values())
-    # rows-only queries are the documented minority
-    assert len(qs) - len(os_) <= 12, "rows-only share crept up"
+    # r5: the last rows-only entries were converted to contract oracles —
+    # every registered query now carries a DuckDB oracle twin
+    assert len(qs) == len(os_), "a registered query lost its oracle"

@@ -142,13 +142,14 @@ def test_train_numeric_categorical_labels(spark, tmp_path):
 
 
 def test_als_recommendations_contract(spark):
-    """ALS recommender: 3 ranked, distinct, unseen-or-seen-but-valid parts
-    for each of the 5 probe customers; scores non-increasing within a
-    customer (the rk column must reflect the score order)."""
-    from data_pipeline_agent_spark.plans import REGISTRY
+    """ALS recommender (full-value helper): 3 ranked, distinct, UNSEEN
+    parts for each of the 5 probe customers; scores non-increasing within
+    a customer (the rk column must reflect the score order)."""
+    from data_pipeline_agent_spark.plans.queries_ml import _als_recommendations
     from tests.conftest import SF_DIR
 
-    recs = REGISTRY["ml_als_recommend_parts"].spark(spark, SF_DIR).collect()
+    recs_df, inter = _als_recommendations(spark, SF_DIR)
+    recs = recs_df.collect()
     assert len(recs) == 15
     by_cust = {}
     for r in recs:
@@ -158,11 +159,13 @@ def test_als_recommendations_contract(spark):
         row.p_partkey
         for row in spark.read.parquet(f"{SF_DIR}/part.parquet").select("p_partkey").collect()
     }
+    seen = {(r.cust, r.part) for r in inter.select("cust", "part").collect()}
     for cust, rows in by_cust.items():
         rows.sort(key=lambda r: r.rk)
         assert [r.rk for r in rows] == [1, 2, 3]
         assert len({r.partkey for r in rows}) == 3
         assert all(r.partkey in part_ids for r in rows)
+        assert all((r.custkey, r.partkey) not in seen for r in rows)
         scores = [r.score for r in rows]
         assert scores == sorted(scores, reverse=True)
 
@@ -170,10 +173,9 @@ def test_als_recommendations_contract(spark):
 def test_als_fixed_seed_stability(spark):
     """Two independent fits with the same seed must recommend the same
     ranked part list per probe customer (seeded block init makes MLlib
-    ALS deterministic under a fixed session/partitioning) — the stability
-    property that stands in for a value-hash oracle on this rows-only
-    query."""
-    from data_pipeline_agent_spark.plans import REGISTRY
+    ALS deterministic under a fixed session/partitioning) — the property
+    that keeps the registry entry's contract-hash rows stable."""
+    from data_pipeline_agent_spark.plans.queries_ml import _als_recommendations
     from tests.conftest import SF_DIR
 
     def ranked(rows):
@@ -182,10 +184,32 @@ def test_als_fixed_seed_stability(spark):
             out.setdefault(r["custkey"], []).append((r["rk"], r["partkey"]))
         return {k: sorted(v) for k, v in out.items()}
 
-    a = ranked(REGISTRY["ml_als_recommend_parts"].spark(spark, SF_DIR).collect())
-    b = ranked(REGISTRY["ml_als_recommend_parts"].spark(spark, SF_DIR).collect())
+    a = ranked(_als_recommendations(spark, SF_DIR)[0].collect())
+    b = ranked(_als_recommendations(spark, SF_DIR)[0].collect())
     assert a == b, "same-seed ALS fits diverged"
     assert len(a) == 5 and all(len(v) == 3 for v in a.values())
+
+
+def test_ml_contract_queries_all_true(spark):
+    """The r5 contract-oracle conversions: every in-row boolean in the
+    ml_als_recommend_parts / ml_feature_importance registry outputs must
+    be genuinely TRUE (the oracle side emits literal TRUEs, so a single
+    FALSE is a driver hash mismatch)."""
+    from data_pipeline_agent_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    als = REGISTRY["ml_als_recommend_parts"].spark(spark, SF_DIR).collect()
+    assert len(als) == 15
+    assert sorted({r.rk for r in als}) == [1, 2, 3]
+    assert all(
+        r.in_part_domain_ok and r.unseen_ok and r.scores_desc_ok for r in als
+    )
+
+    imp = REGISTRY["ml_feature_importance"].spark(spark, SF_DIR).collect()
+    assert sorted(r.feature for r in imp) == sorted(
+        ["l_quantity", "l_discount", "l_tax", "l_partkey", "l_suppkey"]
+    )
+    assert all(r.importance_nonneg_ok and r.sum_to_one_ok for r in imp)
 
 
 def test_multiclass_gbt_family_is_ovr(spark):

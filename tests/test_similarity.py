@@ -133,3 +133,22 @@ def test_pq_candidates_recall_floor(spark):
     assert sorted((r.query_id, r.neighbor_id, r.rk) for r in pq) == sorted(
         (r.query_id, r.neighbor_id, r.rk) for r in pq2
     )
+
+
+def test_sim_pq_topk_contract_rows(spark):
+    """The r5 contract-oracle conversion: the registry sim_pq_topk output
+    must be the exact brute-force top-5 twin (hash-comparable) with the
+    candidate-recall boolean genuinely TRUE on the test data."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.similarity import brute_force_topk
+    from data_pipeline_agent_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    out = REGISTRY["sim_pq_topk"].spark(spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5).collect()
+    assert sorted((r.query_id, r.neighbor_id, r.rk, r.cos_sim) for r in out) == sorted(
+        (r.query_id, r.neighbor_id, r.rk, r.cos_sim) for r in exact
+    )
+    assert all(r.recall_ok for r in out)
