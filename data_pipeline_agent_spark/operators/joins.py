@@ -211,6 +211,7 @@ def fuzzy_pairs_by_deletion(
     name_col: str,
     max_distance: int = 2,
     persist: bool = False,
+    widen: bool = True,
 ) -> DataFrame:
     """COMPLETE candidate pairs at ``levenshtein <= max_distance`` (<= 2)
     within each block — never the block-quadratic self-join.
@@ -235,10 +236,13 @@ def fuzzy_pairs_by_deletion(
     # the entire ~172-variants-per-name substr-splice explosion onto a
     # single core. Re-spread the (block, name, cnt) rows across the full
     # parallelism before exploding — a free shuffle of the deduped grain
-    # that buys n_cores-way variant-generation CPU.
+    # that buys n_cores-way variant-generation CPU. ``widen=False`` (r6)
+    # lets callers whose frame is already well-spread (not a freshly
+    # AQE-coalesced aggregate) skip the shuffle of the deduped grain.
     spark = names.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    names = names.repartition(n_parts)
+    if widen:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        names = names.repartition(n_parts)
     # join on the variant's 64-bit hash, not the string: half the shuffle
     # bytes and cheap key compares; a hash collision only ever ADDS a
     # candidate, which the levenshtein verify below rejects

@@ -262,13 +262,25 @@ def iqr_clip_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="A2 exact nunique (drives hard branch thresholds; never approx)",
 )
 def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT one agg with four count_distincts: Catalyst rewrites multiple
+    # distinct aggregates into an Expand x4 of the scan (every lineitem
+    # row duplicated once per column into a single hash aggregate) — the
+    # last >5x-per-10x non-model plan in SCALE.md's r5 audit. Per-column
+    # two-stage distinct aggregates (partial distinct map-side, then a
+    # scalar count) keep each scan linear; the four 1-row results meet in
+    # scalar cross joins (the registry-sanctioned 1-row broadcast shape).
+    # Four linear scans beat one 4x-expanded scan at any scale, and the
+    # honest 100 TB fallback for exact nunique stays the HLL sketches.
     df = table(spark, sf_dir, "lineitem")
-    return df.agg(
-        F.count_distinct("l_returnflag").cast("long").alias("nd_returnflag"),
-        F.count_distinct("l_linestatus").cast("long").alias("nd_linestatus"),
-        F.count_distinct("l_partkey").cast("long").alias("nd_partkey"),
-        F.count_distinct("l_quantity").cast("long").alias("nd_quantity"),
-    )
+    out = None
+    for c in ("l_returnflag", "l_linestatus", "l_partkey", "l_quantity"):
+        nd = (
+            df.select(c)
+            .distinct()
+            .agg(F.count(c).cast("long").alias(f"nd_{c[2:]}"))
+        )
+        out = nd if out is None else out.crossJoin(nd)
+    return out
 
 
 # --- A3: group counts / value_counts (main.py:100,153) -----------------------

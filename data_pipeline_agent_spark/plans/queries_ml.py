@@ -43,36 +43,55 @@ def _rf_importances(spark: SparkSession, sf_dir: str) -> list[tuple[str, float]]
     return imp
 
 
+def _importance_contract_rows(imp: list[tuple[str, float]]) -> list[tuple]:
+    """Contract rows for ``ml_feature_importance``: one row per feature
+    plus in-row booleans computed genuinely from the fitted vector.
+    Factored out so tests can feed a degenerate vector (constant, or
+    non-normalized) and watch the matching boolean flip — the r5 verdict
+    found the previous two booleans held for ANY syntactically valid
+    MLlib vector, degenerate fits included."""
+    total = sum(v for _, v in imp)
+    vals = [v for _, v in imp]
+    # a constant vector (each = 1/n) is what a degenerate fit (zero
+    # trees, all-identical splits) produces; a real fit on any data with
+    # unequal feature signal separates by far more than 1e-9
+    not_all_equal = bool(max(vals) - min(vals) > 1e-9)
+    return [
+        (f, bool(v >= 0.0), not_all_equal, bool(abs(total - 1.0) < 1e-6))
+        for f, v in sorted(imp)
+    ]
+
+
 @register(
     "ml_feature_importance",
     materializes_on_build=True,
     oracle="""
         SELECT f AS feature,
                TRUE AS importance_nonneg_ok,
+               TRUE AS not_all_equal_ok,
                TRUE AS sum_to_one_ok
         FROM (VALUES ('l_discount'), ('l_partkey'), ('l_quantity'),
                      ('l_suppkey'), ('l_tax')) t(f)
     """,
     description="RF feature importances for predicting l_extendedprice, "
     "oracle-checked via the model CONTRACT (r4 sketch pattern): one row per "
-    "feature plus in-row booleans — every importance non-negative and the "
-    "vector sums to 1 (MLlib normalizes); any violation turns the driver "
-    "hash red. Importance VALUES and the ranking are a model fit "
-    "(measured: near-uniform ~0.25 each on this synthetic data, top "
-    "feature flips between l_quantity and l_suppkey across SFs — no "
-    "stable rank contract exists), exercised in tests/test_ml.py via "
+    "feature plus in-row booleans — every importance non-negative, the "
+    "vector sums to 1 (MLlib normalizes), and (r6) the importances are NOT "
+    "all equal (a constant 1/n vector is the degenerate-fit signature; a "
+    "real fit separates features by far more than 1e-9 — discriminating, "
+    "unlike the first two booleans which any valid vector satisfies); any "
+    "violation turns the driver hash red. Importance VALUES and the "
+    "ranking are a model fit (measured: near-uniform on this synthetic "
+    "data, top feature flips between l_quantity and l_suppkey across SFs "
+    "— no stable rank contract exists), exercised in tests/test_ml.py via "
     "_rf_importances",
 )
 def ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    imp = _rf_importances(spark, sf_dir)
-    total = sum(v for _, v in imp)
-    rows = [
-        (f, bool(v >= 0.0), bool(abs(total - 1.0) < 1e-6))
-        for f, v in sorted(imp)
-    ]
+    rows = _importance_contract_rows(_rf_importances(spark, sf_dir))
     return spark.createDataFrame(
         rows,
-        "feature string, importance_nonneg_ok boolean, sum_to_one_ok boolean",
+        "feature string, importance_nonneg_ok boolean, "
+        "not_all_equal_ok boolean, sum_to_one_ok boolean",
     )
 
 

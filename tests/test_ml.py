@@ -209,7 +209,37 @@ def test_ml_contract_queries_all_true(spark):
     assert sorted(r.feature for r in imp) == sorted(
         ["l_quantity", "l_discount", "l_tax", "l_partkey", "l_suppkey"]
     )
-    assert all(r.importance_nonneg_ok and r.sum_to_one_ok for r in imp)
+    assert all(
+        r.importance_nonneg_ok and r.not_all_equal_ok and r.sum_to_one_ok
+        for r in imp
+    )
+
+
+def test_importance_contract_discriminates_degenerate_fit():
+    """r5 verdict finding 1: the contract booleans must NOT hold for every
+    syntactically valid MLlib vector. A constant 1/n vector (the
+    degenerate-fit signature — zero effective trees / identical splits)
+    must flip not_all_equal_ok; a negative or non-normalized vector flips
+    the other two. A real near-uniform fit (separations >> 1e-9) passes."""
+    from data_pipeline_agent_spark.plans.queries_ml import (
+        RF_FEATURES,
+        _importance_contract_rows,
+    )
+
+    degenerate = [(f, 1.0 / len(RF_FEATURES)) for f in RF_FEATURES]
+    assert all(not r[2] for r in _importance_contract_rows(degenerate)), (
+        "constant-vector fit must turn not_all_equal_ok FALSE"
+    )
+
+    negative = list(degenerate)
+    negative[0] = (RF_FEATURES[0], -0.2)
+    rows = _importance_contract_rows(negative)
+    assert any(not r[1] for r in rows), "negative importance must flip nonneg"
+    assert all(not r[3] for r in rows), "sum != 1 must flip sum_to_one_ok"
+
+    realish = [(f, v) for f, v in zip(RF_FEATURES, [0.21, 0.2, 0.2, 0.2, 0.19])]
+    rows = _importance_contract_rows(realish)
+    assert all(r[1] and r[2] and r[3] for r in rows)
 
 
 def test_multiclass_gbt_family_is_ovr(spark):
