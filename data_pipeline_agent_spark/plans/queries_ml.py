@@ -127,7 +127,7 @@ def ml_class_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _als_recommendations(
-    spark: SparkSession, sf_dir: str, k: int = 3, pool: int = 20
+    spark: SparkSession, sf_dir: str, k: int = 3
 ) -> tuple[DataFrame, DataFrame]:
     """Matrix factorization at Spark scale: MLlib ALS is the canonical
     distributed recommender (block-partitioned normal equations, no
@@ -137,17 +137,27 @@ def _als_recommendations(
     Returns (recs, inter): recs = top-``k`` UNSEEN parts per probe
     customer (custkey, rk, partkey, score); inter = the (cust, part, qty)
     interaction frame the model was fit on. Implicit ALS ranks a user's
-    own history highly, so the model scores a ``pool``-sized candidate
-    list per probe user and the seen pairs are anti-joined out before the
-    final top-k — the standard serving-time filter.
+    own history highly, so the model scores a candidate list per probe
+    user and the seen pairs are anti-joined out before the final top-k —
+    the standard serving-time filter. The candidate pool is sized FROM
+    the data (r6, advice item): ``k + max probe-user history count``
+    guarantees >= k unseen survivors per probe user at ANY SF (a fixed
+    pool=20 went under water once history size outgrew it).
 
-    Scale notes: the interaction aggregate is one shuffle on (cust, part);
-    ALS itself alternates block solves partitioned by user/item block —
-    both sides stay distributed. recommendForUserSubset scores only the
-    5-customer probe set (never the full cross product), so the seen
-    anti-join is 5 x pool rows vs the probe users' history. rank/maxIter
-    are deliberately small: quality saturates fast on implicit data and
-    the fit is the only iterative stage in the query."""
+    Scale notes: the interaction aggregate is one shuffle on (cust, part),
+    eagerly localCheckpointed — the fit, the probe/pool scalars, the seen
+    anti-join, and the caller's contract pass all reuse the materialized
+    frame instead of re-running the join+agg lineage (r6; same
+    blast-radius trade as documented in operators/graph.py: an executor
+    loss fails the query and the outer retry recomputes). ALS itself
+    alternates block solves partitioned by user/item block — both sides
+    stay distributed. recommendForUserSubset scores only the 5-customer
+    probe set (never the full cross product), so the seen anti-join is
+    5 x pool rows vs the probe users' history. The 15-row recs output is
+    localCheckpointed too: consumers (tests, the registry contract pass)
+    iterate over it without re-triggering the scoring joins over the
+    factor frames. rank/maxIter are deliberately small: quality saturates
+    fast on implicit data and the fit is the only iterative stage."""
     from pyspark.ml.recommendation import ALS
     from pyspark.sql import Window
 
@@ -160,6 +170,7 @@ def _als_recommendations(
             F.col("l_partkey").cast("int").alias("part"),
         )
         .agg(F.sum("l_quantity").cast("float").alias("qty"))
+        .localCheckpoint(eager=True)
     )
     als = ALS(
         rank=8,
@@ -174,13 +185,22 @@ def _als_recommendations(
         coldStartStrategy="drop",
     )
     model = als.fit(inter)
-    probe = inter.select("cust").distinct().orderBy("cust").limit(5)
+    probe_keys = [
+        r["cust"]
+        for r in inter.select("cust").distinct().orderBy("cust").limit(5).collect()
+    ]
+    probe = spark.createDataFrame([(c,) for c in probe_keys], "cust int")
+    # probe-user history: bounded at 5 users x their parts; drives both
+    # the pool size and the unseen filter (checkpointed inter -> cheap)
+    hist = inter.where(F.col("cust").isin(probe_keys)).select("cust", "part")
+    max_hist = hist.groupBy("cust").count().agg(F.max("count")).first()[0]
+    pool = k + int(max_hist or 0)
     scored = (
         model.recommendForUserSubset(probe, pool)
         .select(F.col("cust"), F.explode("recommendations").alias("rec"))
         .select("cust", F.col("rec.part").alias("part"), F.col("rec.rating").alias("rating"))
     )
-    unseen = scored.join(inter.select("cust", "part"), ["cust", "part"], "left_anti")
+    unseen = scored.join(hist, ["cust", "part"], "left_anti")
     w = Window.partitionBy("cust").orderBy(F.col("rating").desc(), F.col("part").asc())
     recs = (
         unseen.withColumn("rk", F.row_number().over(w))
@@ -191,6 +211,7 @@ def _als_recommendations(
             F.col("part").cast("long").alias("partkey"),
             F.round("rating", 4).alias("score"),
         )
+        .localCheckpoint(eager=True)
     )
     return recs, inter
 
@@ -225,19 +246,37 @@ def ml_als_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     recs, inter = _als_recommendations(spark, sf_dir)
-    part_keys = table(spark, sf_dir, "part").select(
-        F.col("p_partkey").cast("long").alias("partkey"),
-        F.lit(True).alias("__in_domain"),
+    # recs is a localCheckpointed 15-row frame — collecting its key sets
+    # is free and lets both contract joins put the BOUNDED side on the
+    # right: Spark can only broadcast the right side of a LEFT OUTER join
+    # (recs, the preserved side, is never broadcastable), so the r5 shape
+    # `recs LEFT JOIN part` shuffled the full SF-scaling part table. An
+    # isin-filtered part slice (predicate pushed to the parquet scan,
+    # <= 15 keys) is bounded at any SF, so AQE broadcasts it as the right
+    # side — no hint needed (and none allowed: the r5 sweep rule bans
+    # hints over part scans).
+    rec_rows = recs.select("custkey", "partkey").collect()
+    rec_parts = sorted({r["partkey"] for r in rec_rows})
+    rec_custs = sorted({r["custkey"] for r in rec_rows})
+    part_keys = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_partkey").isin(rec_parts))
+        .select(F.col("p_partkey").cast("long").alias("partkey"))
+        .distinct()
+        .withColumn("__in_domain", F.lit(True))
     )
-    seen = inter.select(
-        F.col("cust").cast("long").alias("custkey"),
-        F.col("part").cast("long").alias("partkey"),
-        F.lit(True).alias("__seen"),
+    # probe-user history only (isin on the checkpointed inter frame):
+    # bounded at 5 users x their parts vs the r5 full interaction grain
+    seen = (
+        inter.where(F.col("cust").isin(rec_custs))
+        .select(
+            F.col("cust").cast("long").alias("custkey"),
+            F.col("part").cast("long").alias("partkey"),
+            F.lit(True).alias("__seen"),
+        )
     )
     w = Window.partitionBy("custkey").orderBy("rk")
     return (
-        # no broadcast hint: part scales with SF (the r5 sweep rule) — the
-        # 15-row recs side is what AQE auto-broadcasts
         recs.join(part_keys, "partkey", "left")
         .join(seen, ["custkey", "partkey"], "left")
         .withColumn("__prev_score", F.lag("score").over(w))

@@ -268,6 +268,7 @@ _NESTED_LOOP_OK = {
     "median_quantiles",
     "iqr_clip_quantity",
     "corr_matrix",
+    "distinct_counts",  # four 1-row per-column distinct counts (r6 de-Expand)
     "resample_daily_revenue_gapfill",  # 1-row date-bounds frame
     "decile_customer_acctbal",  # 1-row cutoffs frame
     "sample_stratified_deterministic",
