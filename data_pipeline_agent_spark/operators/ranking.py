@@ -17,7 +17,7 @@ this module is the 100 TB replacement.
 from __future__ import annotations
 
 import math
-from collections import defaultdict
+from collections import Counter, defaultdict
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -233,9 +233,13 @@ def exact_percentiles_cols(
     frame — no ``stack`` row blow-up and no hash-aggregation machinery
     (the melt triples the row count for a 3-column request and every
     melted row pays group-by hashing; measured 0.98 s -> ~0.55 s for the
-    sf0.1 median/quartiles pass). The probe/refinement passes still run
-    on a melted (key=column-name, value) frame, which pass 1's
-    precomputed stats are fed into.
+    sf0.1 median/quartiles pass). r6: the GK-banded PROBE pass also runs
+    as one scalar aggregate over the unmelted frame (a conditional count
+    per band bound + a collect_list of in-band values per column) — in
+    the common all-columns-banded case NOTHING ever scans the melted
+    frame, so the full request is two linear scans of the raw columns at
+    any scale. Only the histogram-refinement/final passes (keys beyond
+    the one-probe budget, never hit by the testdata grains) still melt.
 
     ``col_specs`` maps column name -> [(prob, alias)]. NULL handling
     matches the melted path: ``count(col)``/``min``/``max``/
@@ -287,7 +291,7 @@ def exact_percentiles_cols(
     specs = [(c, p, a) for c in cols for (p, a) in col_specs[c]]
     return _exact_percentiles_passes(
         spark, base, specs, n_buckets, max_collect, max_iters, accuracy, margin,
-        info=info,
+        info=info, unmelted=df,
     )
 
 
@@ -301,6 +305,7 @@ def _exact_percentiles_passes(
     accuracy: int,
     margin: float,
     info: dict | None = None,
+    unmelted: DataFrame | None = None,
 ) -> DataFrame:
     kc, vc = F.col("__k"), F.col("__v")
 
@@ -369,7 +374,55 @@ def _exact_percentiles_passes(
         b = gk[_clamp(t.prob + margin)]
         t.lo, t.hi = float(a), float(b)
         banded[t.key].append(t)
-    if banded:
+    if banded and unmelted is not None:
+        # scalar-aggregate probe over the UNMELTED frame (r6): the melted
+        # probe scans n_cols x the rows (stack multiplies the scan) and
+        # pays hash aggregation on (key, interval, value). Per banded
+        # column, the same information is one conditional count per band
+        # bound (count of values strictly below it = the target's rank
+        # offset) plus a collect_list of the in-band values (bounded by
+        # the GK rank-error budget that admitted the key to the banded
+        # path, <= ~8n/accuracy + margins per target) — all in ONE scalar
+        # aggregate over the raw columns, no melt, no hash agg.
+        aggs2, spec_of = [], []
+        for ci, (key, ts) in enumerate(banded.items()):
+            cd = F.col(key).cast("double")
+            bounds = sorted({x for t in ts for x in (t.lo, t.hi)})
+            for bi, bd in enumerate(bounds):
+                aggs2.append(
+                    F.coalesce(
+                        F.sum((cd < F.lit(bd)).cast("long")), F.lit(0)
+                    ).alias(f"__blw_{ci}_{bi}")
+                )
+            inband: Column = F.lit(False)
+            for t in ts:
+                inband = inband | ((cd >= F.lit(t.lo)) & (cd <= F.lit(t.hi)))
+            aggs2.append(
+                F.collect_list(F.when(inband, cd)).alias(f"__band_{ci}")
+            )
+            spec_of.append((key, ts, bounds))
+        row = unmelted.agg(*aggs2).first()
+        for ci, (key, ts, bounds) in enumerate(spec_of):
+            below = {bd: int(row[f"__blw_{ci}_{bi}"]) for bi, bd in enumerate(bounds)}
+            cnt = Counter(row[f"__band_{ci}"])
+            for t in ts:
+                offset = below[t.lo]
+                band = sorted(
+                    (v, c) for v, c in cnt.items() if t.lo <= v <= t.hi
+                )
+                local = t.grank - offset
+                if 1 <= local <= sum(c for _v, c in band):
+                    t.offset = offset
+                    acc = 0
+                    for val, c in band:
+                        if local <= acc + c:
+                            t.value = val
+                            break
+                        acc += c
+                else:  # GK bound violated (never observed): full-range fallback
+                    n, mn, mx, _gk = info[t.key]
+                    t.lo, t.hi, t.offset, t.n_range = mn, mx, 0, n
+    elif banded:
         kidx: Column = F.lit(None).cast("int")
         bandv: Column = F.lit(None).cast("double")
         pred_any: Column = F.lit(False)
