@@ -25,6 +25,14 @@ timing therefore measures the host, not the engine — BENCH_r04 read +44%
 on the full registry while the isolated best-of-2 profile read -15%.
 min-of-2 across two interleaved sweeps makes one dilation episode unable
 to touch both samples of a query.
+
+Round 6 (VERDICT r5 task 3): dilation episodes are now visible INSIDE the
+artifact — any query whose two sweeps disagree by >30% gets a third
+isolated sample (its min is the recorded time), per-headline-query sweep
+samples are emitted under ``sweeps``, and ``resweeps`` lists every
+third-sampled query (capped; ``n_resweeps`` is the true count).  A large
+``n_resweeps`` or wide ``sweeps`` spreads say "host dilation during this
+run", closing the BENCH-vs-profile ambiguity the r5 verdict flagged.
 """
 
 from __future__ import annotations
@@ -104,23 +112,36 @@ def main() -> None:
         for n in names[:3]:
             _materialize(REGISTRY[n].spark(spark, warm))
 
+    def _time_one(n: str) -> float:
+        t0 = time.perf_counter()
+        _materialize(REGISTRY[n].spark(spark, sf_dir))
+        dt = round(time.perf_counter() - t0, 3)
+        # Query functions persist() intermediates (bands, shingles)
+        # that no one unpersists; 90+ queries in one session otherwise
+        # accumulate cached partitions (GC pressure skews later
+        # timings) and identical plans silently reuse a prior query's
+        # cache (flatters the numbers).
+        spark.catalog.clearCache()
+        return dt
+
     # best-of-2: two full sweeps, min per query (see module docstring) —
     # the first sweep doubles as the whole-registry warm-up pass
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {n: [] for n in names}
     for _sweep in range(2):
         for n in names:
-            t0 = time.perf_counter()
-            df = REGISTRY[n].spark(spark, sf_dir)
-            _materialize(df)
-            dt = round(time.perf_counter() - t0, 3)
-            timings[n] = min(timings.get(n, float("inf")), dt)
-            # Query functions persist() intermediates (bands, shingles)
-            # that no one unpersists; 90+ queries in one session otherwise
-            # accumulate cached partitions (GC pressure skews later
-            # timings) and identical plans silently reuse a prior query's
-            # cache (flatters the numbers).
-            spark.catalog.clearCache()
+            samples[n].append(_time_one(n))
 
+    # r6: a >30% sweep disagreement means at least one sample crossed a
+    # host-dilation episode — take a third isolated sample so the min is
+    # a two-out-of-three consensus, and record the query name so the
+    # artifact itself shows where dilation hit.
+    resweeps = [
+        n for n in names if max(samples[n]) > 1.3 * min(samples[n])
+    ]
+    for n in resweeps:
+        samples[n].append(_time_one(n))
+
+    timings = {n: min(s) for n, s in samples.items()}
     headline_total = round(sum(timings[n] for n in headline), 3)
     full_total = round(sum(timings.values()), 3)
     # Per-query detail only for the headline suite: the full ~75-query dict
@@ -132,6 +153,9 @@ def main() -> None:
                 "value": headline_total,
                 "unit": "sec",
                 "queries": {n: timings[n] for n in headline},
+                "sweeps": {n: samples[n] for n in headline},
+                "n_resweeps": len(resweeps),
+                "resweeps": resweeps[:40],
                 "full_total": full_total,
                 "n_queries": len(names),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
