@@ -2,7 +2,13 @@
 
 Not part of the driver contract — dev tooling for finding the slow tail
 that BENCH_r{N}.json truncates away.
-"""
+
+Since round 5, the registered ``sim_ivf_topk``/``sim_pq_topk`` entries
+time exact + ANN + recall-compare (their contract oracle must also compute
+the brute-force exact set), so their registry timings are NOT the ANN
+operator's latency and are not comparable with pre-r5 rounds.  The raw
+ANN operator latencies are profiled separately as the ``...@ann_only``
+keys below (round 6, ADVICE r5)."""
 from __future__ import annotations
 
 import json
@@ -43,7 +49,34 @@ def main() -> None:
             out[n] = min(out.get(n, float("inf")), dt)
             spark.catalog.clearCache()
 
-    with open(os.path.join(os.path.dirname(__file__), "..", "profile.json"), "w") as f:
+    # ANN-operator-only latencies (the registry entries time
+    # exact + ANN + recall-compare since their r5 contract oracles)
+    from data_pipeline_agent_spark.operators import similarity as S
+    from data_pipeline_agent_spark.plans.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 10)
+    ann_builders = {
+        "sim_ivf_topk@ann_only": lambda: S.ivf_topk(
+            emb, anchors, k=5, n_centroids=16, nprobe=4
+        ),
+        "sim_pq_topk@ann_only": lambda: S.pq_topk(emb, anchors, k=20),
+    }
+    # separate artifact: profile.json's total is compared against
+    # bench.py's full_total (<=15% target), which has no ANN-only entries
+    ann_out: dict[str, float] = {}
+    for n, build in ann_builders.items():
+        for _ in range(2):
+            t0 = time.perf_counter()
+            mat(build())
+            dt = round(time.perf_counter() - t0, 3)
+            ann_out[n] = min(ann_out.get(n, float("inf")), dt)
+            spark.catalog.clearCache()
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(repo, "profile_ann_only.json"), "w") as f:
+        json.dump(ann_out, f, indent=1)
+
+    with open(os.path.join(repo, "profile.json"), "w") as f:
         json.dump(dict(sorted(out.items(), key=lambda kv: -kv[1])), f, indent=1)
     print("total", round(sum(out.values()), 1))
     spark.stop()

@@ -78,18 +78,26 @@ _DOMAIN_KEY = {
 _COPY_TABLES = ("region", "nation")
 
 _VOWELS = "aeiou"
-_CONSONANTS = "bcdfg"
+# 20 consonants x 5 vowels = 100 distinct translations — the 100x tier
+# tiles documents with reps=100 (round 6; was "bcdfg" = 25 translations)
+_CONSONANTS = "bcdfghjklmnpqrstvwxz"
+
+# Disjoint symbol alphabets for the customer-name replica code (see
+# _name_suffix); both disjoint from the base-name charset matters less
+# than their disjointness from EACH OTHER (that is what bounds LCS)
+_CODE_A = "ABCDEFGHIJ"
+_CODE_B = "KLMNOPQRST"
 
 
 def _rep_translation(rep: int) -> tuple[str, str]:
-    """Injective per-replica character translation for rep < 25.
+    """Injective per-replica character translation for rep < 100.
 
     A bare vowel rotation collides at rep % 5 == 0 (rotation by 5 is the
     identity), which would make replicas r and r+5 byte-identical — the
     exact-duplicate inflation the rotation exists to prevent. Composing a
     vowel rotation (5 states) with an independent consonant rotation
-    (5 states) gives 25 distinct translations; rep 0 is the identity, so
-    replica 0 keeps the original text verbatim."""
+    (20 states) gives 100 distinct translations; rep 0 is the identity,
+    so replica 0 keeps the original text verbatim."""
     rv = rep % len(_VOWELS)
     rc = (rep // len(_VOWELS)) % len(_CONSONANTS)
     src = _VOWELS + _CONSONANTS
@@ -97,6 +105,41 @@ def _rep_translation(rep: int) -> tuple[str, str]:
         _VOWELS[rv:] + _VOWELS[:rv] + _CONSONANTS[rc:] + _CONSONANTS[:rc]
     )
     return src, dst
+
+
+def _name_suffix(rep: int) -> str:
+    """6-char replica code with pairwise EDIT distance >= 3 and pairwise
+    LCS <= 3, for tiling customer NAMES (round 6 tiling-fidelity fix).
+
+    The tiler offsets c_custkey but previously left c_name untouched, so
+    every replica carried byte-identical names and the fuzzy-linkage
+    query's dedupe-first grain collapsed to the base corpus — the 10x
+    fuzzy measurement partly measured nothing. Regenerating names from
+    the offset custkey would be faithful to TPC-H's dense id space, but
+    dense 9-digit ids put ~quadratically many TRUE pairs within edit
+    distance 2 (any two ids differing in <=2 digit positions), drowning
+    the ramp in output-proportional cost the way no natural-language
+    name corpus does. The fair proxy (same policy as the documents
+    vowel rotation and the embedding dimension shift): replicas get
+    DISTINCT names that never match each other, so true-match counts
+    scale ~linearly with reps like a real corpus.
+
+    Hamming distance is NOT enough here: a Reed-Solomon [4,2,3] code has
+    min Hamming distance 3, but its codewords are arithmetic progressions
+    and a one-step shift pair like "0123"/"1234" sits at LEVENSHTEIN
+    distance 2 (delete front, append back) — inside the fuzzy threshold.
+    Construction instead: code(rep) = (s1 s2)^3 alternating two symbols
+    drawn from DISJOINT alphabets, (s1, s2) unique per rep. Disjointness
+    means any alignment can only match s1<->s1 and s2<->s2, so two
+    distinct codes differ in >= 3 substitutions (edit distance >= 3, no
+    spurious true matches) and share an LCS of <= 3 < len-2 = 4 (no
+    shared 2-deletion variant, so same-base replica pairs never even
+    reach the candidate join — the false-candidate term stays zero
+    instead of growing ~reps^2)."""
+    if rep >= len(_CODE_A) * len(_CODE_B):
+        raise ValueError("name-suffix code supports at most 100 replicas")
+    s1, s2 = _CODE_A[rep // 10], _CODE_B[rep % 10]
+    return (s1 + s2) * 3
 
 
 def _tile(df: DataFrame, keys: dict[str, int], reps: int, table: str) -> DataFrame:
@@ -107,12 +150,26 @@ def _tile(df: DataFrame, keys: dict[str, int], reps: int, table: str) -> DataFra
         out = out.withColumn(
             col, (F.col(col) + F.col("__rep") * F.lit(stride)).cast(df.schema[col].dataType)
         )
+    if table == "customer":
+        # distinct, near-dup-safe names per replica (see _name_suffix:
+        # pairwise edit distance >= 3 between any two replica codes, so
+        # the fuzzy-linkage true-match count scales ~linearly with reps
+        # instead of collapsing to the base grain or exploding ~reps^2)
+        suffixes = F.array(*[F.lit("-" + _name_suffix(r)) for r in range(reps)])
+        out = out.withColumn(
+            "c_name",
+            F.concat(F.col("c_name"), F.element_at(suffixes, F.col("__rep") + 1)),
+        )
     if table == "documents":
         # per-replica vowel rotation: replicas are no longer near-dups of
         # each other, so LSH candidate pairs scale ~linearly like a real
         # corpus (replica 0 keeps the original text verbatim)
-        if reps > 25:
-            raise ValueError("tiling supports at most 25 replicas (25 distinct translations)")
+        budget = len(_VOWELS) * len(_CONSONANTS)
+        if reps > budget:
+            raise ValueError(
+                f"tiling supports at most {budget} replicas "
+                f"({budget} distinct translations)"
+            )
         txt = F.col("text")
         for r in range(1, reps):
             src, dst = _rep_translation(r)
@@ -122,25 +179,49 @@ def _tile(df: DataFrame, keys: dict[str, int], reps: int, table: str) -> DataFra
             ).otherwise(txt)
         out = out.withColumn("text", txt).withColumn("n_chars", F.length("text"))
     if table == "embeddings":
-        # per-replica circular dimension shift: a small additive nudge
+        # per-replica dimension permutation: a small additive nudge
         # keeps replicas semantically near-identical (cosine ~1), which
         # grows the true duplicate-pair graph ~reps^2 and falsely brands
-        # SemDeDup/cosine-dedup super-linear; rotating the dimensions
+        # SemDeDup/cosine-dedup super-linear; permuting the dimensions
         # makes replicas of the same base vector mutually near-orthogonal
         # (like a real 10x corpus) while each replica keeps the base
         # value distribution exactly. rep 0 is the identity.
         dim_row = df.select(F.size("embedding").alias("d")).first()
         dim = int(dim_row["d"])
+        if reps > 2 * dim:
+            raise ValueError(
+                f"embedding tiling supports at most {2 * dim} replicas "
+                "(dihedral transform budget)"
+            )
         emb = F.col("embedding")
         shifted = emb
         for r in range(1, reps):
-            k = (r * 13) % dim or 1
-            shifted = F.when(
-                F.col("__rep") == r,
-                F.concat(F.slice(emb, k + 1, dim - k), F.slice(emb, 1, k)),
-            ).otherwise(shifted)
+            k, reflect = _emb_transform(r, dim)
+            expr = (
+                F.concat(F.slice(emb, k + 1, dim - k), F.slice(emb, 1, k))
+                if k
+                else emb
+            )
+            if reflect:
+                expr = F.reverse(expr)
+            shifted = F.when(F.col("__rep") == r, expr).otherwise(shifted)
         out = out.withColumn("embedding", shifted)
     return out.drop("__rep")
+
+
+def _emb_transform(rep: int, dim: int) -> tuple[int, bool]:
+    """Per-replica dihedral dimension permutation: (rotation k, reflect?).
+
+    Rotations alone run out at ``dim`` replicas — for dim=64 and
+    reps=100, replicas 64..99 would repeat the shifts of 0..35, making
+    those replica pairs byte-identical vectors of the same base row
+    (exactly the reps^2 dup-pair inflation the shift exists to prevent).
+    The second lap therefore composes the rotation with a reversal:
+    rotations and reflections are distinct permutations for dim > 2, so
+    the dihedral family gives 2*dim distinct transforms, injective in
+    rep for rep < 2*dim (gcd(13, 64) = 1 keeps each lap's rotations
+    distinct). rep 0 is the identity."""
+    return (rep * 13) % dim, (rep // dim) % 2 == 1
 
 
 def generate_scaled(
@@ -149,11 +230,13 @@ def generate_scaled(
     out_dir: str,
     reps: int,
     tables: set[str] | None = None,
+    reuse: bool = False,
 ) -> None:
     """``tables`` restricts tiling to a subset (plus the copied dims) —
-    the 100x tier only needs the relational tables its three probe
-    queries touch, and reps=100 exceeds the 25-translation budget the
-    documents tiling requires anyway."""
+    the 100x tier only needs the tables its probe queries touch.
+    ``reuse=True`` skips any table whose output directory already exists
+    (generation is minutes at reps=100; reruns after a partial failure
+    should not redo finished tables)."""
     strides = {}
     for dom, (tbl, key) in _DOMAIN_KEY.items():
         mx = (
@@ -165,11 +248,15 @@ def generate_scaled(
     os.makedirs(out_dir, exist_ok=True)
     n_wide = spark.sparkContext.defaultParallelism
     for tbl in _COPY_TABLES:
+        if reuse and os.path.isdir(f"{out_dir}/{tbl}.parquet"):
+            continue
         spark.read.parquet(f"{base_dir}/{tbl}.parquet").write.mode("overwrite").parquet(
             f"{out_dir}/{tbl}.parquet"
         )
     for tbl, keys in _KEY_DOMAINS.items():
         if tables is not None and tbl not in tables:
+            continue
+        if reuse and os.path.isdir(f"{out_dir}/{tbl}.parquet"):
             continue
         # the base files are single-row-group -> the explode would run on
         # one core; spread the source rows first (order-independent)
@@ -243,30 +330,46 @@ suspicious ratio was re-measured in isolation before acting. Findings:
 
 SF10_DIR = os.environ.get("SPARK_GRAFT_SCALE100_DIR", "/tmp/spark_graft_scale/sf10")
 
-# The three heaviest-shuffle headline queries, probed one more decade out
-# (round-5 verdict task 6): does the 10x trend hold at 100x?
+# The heaviest-shuffle headline queries, probed one more decade out
+# (round-5 verdict task 6): does the 10x trend hold at 100x? Round 6
+# extends the tier to the document/embedding families (round-6 verdict
+# task 1) — the doc-family probes are the three heaviest non-relational
+# plans: complete-neighborhood fuzzy linkage, banded-LSH transitive
+# groups, and IVF-cell SemDeDup with pointer-jumping closure.
 _100X_QUERIES = [
     "q18_large_volume_customers",
     "q5_regional_revenue",
     "median_quantiles",
+    "fuzzy_match_customer_names",
+    "dedup_minhash_groups",
+    "dedup_semantic_clusters",
 ]
-_100X_TABLES = {"customer", "orders", "lineitem", "supplier", "part"}
+_100X_TABLES = {
+    "customer",
+    "orders",
+    "lineitem",
+    "supplier",
+    "part",
+    "documents",
+    "embeddings",
+}
 
 
 def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
-    """Generate a 100x tile (sf10-equivalent, ~60M lineitem rows, well
-    under the 128 GiB budget) for the relational tables only and measure
-    the second decade: ratio t(sf10)/t(sf1) against 10x data, flagged by
-    the same rule as the main ramp (ratio > 1.5x data ratio while
-    materially data-bound). Writes scale_ramp_100x.json and appends/
-    replaces the "## 100x tier" section of SCALE.md."""
-    if not os.path.isdir(SCALED_DIR):
-        generate_scaled(spark, base, SCALED_DIR, 10)
-    if not skip_gen or not os.path.isdir(SF10_DIR):
-        t0 = time.time()
-        generate_scaled(spark, base, SF10_DIR, 100, tables=_100X_TABLES)
-        print(f"generated {SF10_DIR} in {round(time.time() - t0, 1)}s", file=sys.stderr)
-    for n in _100X_QUERIES[:2]:
+    """Generate a 100x tile (sf10-equivalent: ~60M lineitem rows, 500k
+    documents, 200k embeddings — well under the 128 GiB budget) for the
+    tables the probe queries touch and measure the second decade: ratio
+    t(sf10)/t(sf1) against 10x data, flagged by the same rule as the
+    main ramp (ratio > 1.5x data ratio while materially data-bound).
+    Writes scale_ramp_100x.json and appends/replaces the "## 100x tier"
+    section of SCALE.md. ``skip_gen`` reuses any already-generated table
+    directory (per-table, so adding a probe family regenerates only its
+    tables)."""
+    generate_scaled(spark, base, SCALED_DIR, 10, reuse=skip_gen)
+    t0 = time.time()
+    generate_scaled(spark, base, SF10_DIR, 100, tables=_100X_TABLES, reuse=skip_gen)
+    print(f"generated {SF10_DIR} in {round(time.time() - t0, 1)}s", file=sys.stderr)
+    for n in _100X_QUERIES:
         _materialize(REGISTRY[n].spark(spark, "/root/testdata/sf0.001"))
     r_sf1 = time_suite(spark, SCALED_DIR, _100X_QUERIES)
     r_sf10 = time_suite(spark, SF10_DIR, _100X_QUERIES)
@@ -293,13 +396,20 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
         )
     sec = [
         "",
-        "## 100x tier: the second decade (round 5)",
+        "## 100x tier: the second decade (rounds 5-6)",
         "",
-        "sf10 tier = sf0.1 tiled x100 (relational tables only; the three",
-        "probe queries touch no documents/embeddings). Ratio =",
-        "t(sf10)/t(sf1) against 10x data — the same flag rule as above,",
-        "applied one decade further out to confirm the 10x trend is a",
-        "trend and not a plateau artifact.",
+        "sf10 tier = sf0.1 tiled x100. Round 6 extends the tier from the",
+        "three heaviest relational probes to the document/embedding",
+        "families (fuzzy linkage, MinHash-LSH transitive groups, SemDeDup)",
+        "after a tiling-fidelity fix: customer names now get a per-replica",
+        "Reed-Solomon [4,2,3] suffix (pairwise edit distance >= 3 between",
+        "replica codes), so fuzzy's dedupe-first grain genuinely scales",
+        "with reps instead of collapsing to the base corpus; the document",
+        "translation budget grew to 100 (20-consonant rotation) and the",
+        "embedding permutation family to 2*dim=128 (dihedral: rotations +",
+        "reflections). Ratio = t(sf10)/t(sf1) against 10x data — the same",
+        "flag rule as above, applied one decade further out to confirm",
+        "the 10x trend is a trend and not a plateau artifact.",
         "",
         "| query | sf1 s | sf10 s | ratio (10x data) | flag |",
         "|---|---|---|---|---|",

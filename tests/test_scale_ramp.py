@@ -52,10 +52,91 @@ def test_suite_ratio_roughly_linear(ramp):
 def test_replica_translations_injective():
     """Every replica's character translation must be distinct (a collision
     makes two replicas byte-identical text, inflating dedup candidate
-    pairs at the big tier), and replica 0 must be the identity."""
+    pairs at the big tier), and replica 0 must be the identity. The 100x
+    documents tier needs the full 100-translation budget."""
     from scripts.scale_ramp import _rep_translation
 
-    seen = {_rep_translation(r) for r in range(25)}
-    assert len(seen) == 25
+    seen = {_rep_translation(r) for r in range(100)}
+    assert len(seen) == 100
     src, dst = _rep_translation(0)
     assert src == dst
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _lcs(a: str, b: str) -> int:
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        for j, cb in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if ca == cb else max(prev[j], cur[-1]))
+        prev = cur
+    return prev[-1]
+
+
+def test_name_suffix_code_edit_distance_and_lcs():
+    """The customer-name replica codes must sit pairwise at EDIT distance
+    >= 3 (any pair closer puts same-base replica names inside the fuzzy
+    query's distance-2 threshold, inflating true matches ~reps^2) AND at
+    LCS <= len-3 (an LCS of len-2 means two replicas share a 2-deletion
+    variant, so every same-base cross-replica pair becomes a FALSE
+    candidate the verify stage must reject — a ~reps^2 cost term).
+    Hamming-distance codes fail the first property via shift pairs
+    ("0123"/"1234" = Levenshtein 2); verified exhaustively."""
+    from scripts.scale_ramp import _name_suffix
+
+    codes = [_name_suffix(r) for r in range(100)]
+    assert len(set(codes)) == 100
+    n = len(codes[0])
+    for i in range(100):
+        for j in range(i + 1, 100):
+            assert _levenshtein(codes[i], codes[j]) >= 3, (codes[i], codes[j])
+            assert _lcs(codes[i], codes[j]) <= n - 3, (codes[i], codes[j])
+
+
+def test_embedding_transforms_injective():
+    """The dihedral dimension-permutation family must be injective for
+    rep < 2*dim — a collision makes two replicas byte-identical vectors
+    of the same base row, the exact reps^2 dup-pair inflation the
+    transform exists to prevent. rep 0 must be the identity."""
+    from scripts.scale_ramp import _emb_transform
+
+    dim = 64
+    seen = {_emb_transform(r, dim) for r in range(2 * dim)}
+    assert len(seen) == 2 * dim
+    assert _emb_transform(0, dim) == (0, False)
+
+
+@pytest.fixture(scope="module")
+def ramp100():
+    artifact = os.path.join(REPO, "scale_ramp_100x.json")
+    if not os.path.exists(artifact):
+        pytest.skip("scale_ramp_100x.json not generated yet (scale_ramp.py --tier100)")
+    with open(artifact) as f:
+        return json.load(f)
+
+
+def test_tier100_covers_doc_and_embedding_families(ramp100):
+    """The second-decade tier must probe the heaviest relational AND
+    document/embedding plans (round-6 verdict task 1)."""
+    for q in (
+        "q18_large_volume_customers",
+        "q5_regional_revenue",
+        "median_quantiles",
+        "fuzzy_match_customer_names",
+        "dedup_minhash_groups",
+        "dedup_semantic_clusters",
+    ):
+        assert q in ramp100["queries"], q
+
+
+def test_tier100_nothing_super_linear(ramp100):
+    assert ramp100["flagged"] == [], ramp100["flagged"]
