@@ -210,7 +210,6 @@ def fuzzy_pairs_by_deletion(
     block_cols: list[str],
     name_col: str,
     max_distance: int = 2,
-    persist: bool = False,
     widen: bool = True,
 ) -> DataFrame:
     """COMPLETE candidate pairs at ``levenshtein <= max_distance`` (<= 2)
@@ -221,15 +220,27 @@ def fuzzy_pairs_by_deletion(
     values, and candidate generation must scale with DISTINCT names).
     Returns one row per unordered distinct-name pair: block cols,
     ``name_a < name_b``, ``cnt_a``, ``cnt_b``, ``distance`` — verified
-    with the real ``levenshtein`` so the deletion-neighborhood join's
-    false positives are filtered (sharing a variant is necessary, not
-    sufficient).
+    with the real ``levenshtein`` so the deletion-neighborhood
+    candidates' false positives are filtered (sharing a variant is
+    necessary, not sufficient).
 
-    Scale: cost is the variant equi-join — sum of squared variant-group
-    sizes, which tracks the number of TRUE near-matches, not block²;
-    candidates dedupe on (block, name_a, name_b) before the verify.
-    ``persist=True`` eagerly localCheckpoints the exploded variant frame
-    so its substr-splice CPU cost is paid once, not once per join side."""
+    Shape (r6): explode the ~1+L+C(L,2) deletion variants ONCE, shuffle
+    the slim (block, variant-hash, name, cnt) rows into a per-(block,
+    variant) collect_list aggregate, and emit intra-group pairs from the
+    sorted group array. One explode pass and one spillable shuffle-agg —
+    nothing corpus-x-neighborhood is ever MATERIALIZED. The r5 shape
+    (eagerly localCheckpoint the exploded frame, equi-join it against
+    itself) stored corpus x ~326 deserialized rows in executor memory;
+    the round-6 100x scale tier killed it on a 48 GiB heap at 1.5M names
+    (~490M checkpointed rows) — caching a frame that is a constant
+    factor LARGER than the corpus is the anti-pattern, not an
+    optimization. Per-(block, variant) groups are bounded by the true
+    near-match cluster size, so the collect_list state is small and the
+    object-hash aggregate spills long before any group hurts.
+
+    Scale: cost is sum of squared variant-group sizes, which tracks the
+    number of TRUE near-matches, not block²; candidates dedupe on
+    (block, name_a, name_b) before the verify."""
     # Round-5 fix for the 10.8 s profile constant: AQE coalesces the tiny
     # dedupe aggregate's output to ONE post-shuffle partition (it sizes
     # partitions by shuffle bytes, not downstream CPU), which serialized
@@ -257,29 +268,44 @@ def fuzzy_pairs_by_deletion(
             )
         ).alias("__var"),
     )
-    if persist:
-        # both join sides consume the exploded variant frame; an eager
-        # localCheckpoint computes the substr-splice explosion ONCE (the
-        # fault-tolerance trade-off is documented in operators/graph.py);
-        # dominant CPU cost) and its blocks drop with the returned plan —
-        # no persist/unpersist lifetime to manage across the lazy return
-        v = v.localCheckpoint(eager=True)
-    a = v.select(
-        *block_cols,
-        F.col(name_col).alias("__na"),
-        F.col("cnt").alias("cnt_a"),
-        "__var",
+    # one row per (block, variant): the sorted group of distinct names
+    # sharing that variant (each name contributes a variant at most once
+    # — deletion_variants dedupes — so group members are distinct and
+    # array_sort gives strict name_a < name_b below). Groups of size 1
+    # (the overwhelming majority) are dropped before any pair math.
+    g = (
+        v.groupBy(*block_cols, "__var")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(name_col).alias("n"), F.col("cnt").alias("c"))
+                )
+            ).alias("__g")
+        )
+        .where(F.size("__g") >= 2)
     )
-    b = v.select(
-        *block_cols,
-        F.col(name_col).alias("__nb"),
-        F.col("cnt").alias("cnt_b"),
-        "__var",
+    sz = F.size(F.col("__g"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), sz - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, sz),
+                lambda j: F.struct(
+                    F.element_at(F.col("__g"), i).alias("a"),
+                    F.element_at(F.col("__g"), j).alias("b"),
+                ),
+            ),
+        )
     )
     cand = (
-        a.join(b, [*block_cols, "__var"])
-        .where(F.col("__na") < F.col("__nb"))
-        .select(*block_cols, "__na", "__nb", "cnt_a", "cnt_b")
+        g.select(*block_cols, F.explode(pair_structs).alias("__p"))
+        .select(
+            *block_cols,
+            F.col("__p.a.n").alias("__na"),
+            F.col("__p.b.n").alias("__nb"),
+            F.col("__p.a.c").alias("cnt_a"),
+            F.col("__p.b.c").alias("cnt_b"),
+        )
         .distinct()
     )
     # bounded verify: the 3-arg levenshtein abandons a row's DP as soon as

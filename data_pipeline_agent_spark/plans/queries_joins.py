@@ -343,11 +343,13 @@ def fuzzy_match_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. dedupe to distinct (nation, name) with multiplicities — candidate
        generation must scale with distinct names, and equal-name pairs
        (distance 0) fall out of the multiplicity algebra for free;
-    2. complete candidate generation via the 2-deletion-neighborhood
-       equi-join (``operators.joins.fuzzy_pairs_by_deletion``):
-       ed(a,b) <= 2 guarantees a shared <=2-deletion variant, so joining
-       exploded variants on (nation, variant) finds every qualifying
-       pair while the join cost tracks TRUE near-matches, not block²;
+    2. complete candidate generation via the 2-deletion neighborhood
+       (``operators.joins.fuzzy_pairs_by_deletion``): ed(a,b) <= 2
+       guarantees a shared <=2-deletion variant, so grouping exploded
+       variants on (nation, variant) and pairing within each tiny group
+       finds every qualifying pair while the cost tracks TRUE
+       near-matches, not block² — and nothing corpus-x-neighborhood is
+       ever materialized (one explode pass, one spillable shuffle-agg);
     3. verify candidates with the real JVM ``levenshtein`` (variant
        sharing is necessary, not sufficient) and weight each distinct
        pair by cnt_a*cnt_b.
@@ -360,7 +362,7 @@ def fuzzy_match_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nk"), F.col("c_name").alias("nm"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    pairs = fuzzy_pairs_by_deletion(names, ["nk"], "nm", max_distance=2, persist=True)
+    pairs = fuzzy_pairs_by_deletion(names, ["nk"], "nm", max_distance=2)
     cross = pairs.groupBy("distance").agg(
         F.sum(F.col("cnt_a") * F.col("cnt_b")).cast("long").alias("n_pairs")
     )
