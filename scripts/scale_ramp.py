@@ -402,9 +402,12 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
         "three heaviest relational probes to the document/embedding",
         "families (fuzzy linkage, MinHash-LSH transitive groups, SemDeDup)",
         "after a tiling-fidelity fix: customer names now get a per-replica",
-        "Reed-Solomon [4,2,3] suffix (pairwise edit distance >= 3 between",
-        "replica codes), so fuzzy's dedupe-first grain genuinely scales",
-        "with reps instead of collapsing to the base corpus; the document",
+        "6-char alternating disjoint-alphabet suffix code (pairwise EDIT",
+        "distance >= 3 and LCS <= 3 between replica codes — Hamming-3",
+        "codes like Reed-Solomon [4,2,3] fail via shift pairs at",
+        "Levenshtein 2; see _name_suffix), so fuzzy's dedupe-first grain",
+        "genuinely scales with reps instead of collapsing to the base",
+        "corpus; the document",
         "translation budget grew to 100 (20-consonant rotation) and the",
         "embedding permutation family to 2*dim=128 (dihedral: rotations +",
         "reflections). Ratio = t(sf10)/t(sf1) against 10x data — the same",
