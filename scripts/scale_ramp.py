@@ -295,11 +295,30 @@ suspicious ratio was re-measured in isolation before acting. Findings:
 - `fuzzy_match_customer_names` was genuinely super-linear (~30x on 10x
   data: nation-only blocking = n^2/25 levenshtein pairs). Fixed with
   complete 2-deletion-neighborhood candidate generation
-  (`operators/joins.py:fuzzy_pairs_by_deletion`); now ~flat across the
-  tiers and output-proportional at scale. Oracle unchanged, hash-green.
+  (`operators/joins.py:fuzzy_pairs_by_deletion`); output-proportional at
+  scale. Oracle unchanged, hash-green. (The "~flat across the tiers"
+  this round originally measured was partly an artifact of the pre-r6
+  tiling, whose replicas carried byte-identical names — with name
+  fidelity fixed the honest 10x step is sf0.1 2.4 s -> sf1 42.5 s,
+  which decomposes into 10x distinct grain x ~1.9x variant-neighborhood
+  width from the longer suffixed names, and the 100x tier measures
+  4.94x per further 10x. R6 also reshaped the operator itself: the r5
+  localCheckpoint of the corpus-x-~326 variant explosion OOMed a 48 GiB
+  heap at the sf10 tile; candidates now come from an explode-once
+  per-(block, variant) group-pairing aggregate that never materializes
+  a corpus-x-neighborhood frame.)
 - `median_quantiles` was memory-unbounded (exact F.percentile buffers the
   column on one reducer). Replaced with scan-only distributed selection
-  (`operators/ranking.py:exact_percentiles`).
+  (`operators/ranking.py:exact_percentiles`). R6 floor note (the r5
+  verdict's 1.5 s target): the multi-column request is two linear
+  scan-side aggregate passes, but the sf0.1 testdata lineitem is ONE
+  parquet row group, so every pass serializes onto a single task and
+  pays the full ~0.6 s local job floor — measured best-of-3 is 2.12 s on
+  the driver's single-row-group file vs 1.51 s on the same rows
+  repartitioned into 32 files. The residual above 1.5 s is the
+  single-file layout, not the plan; at any real multi-row-group scale
+  the passes parallelize across splits (the 100x tier measures the
+  query at 2.0x per 10x data).
 - Round 4: the tiling proxy itself had two fidelity bugs — the vowel
   rotation repeated every 5 replicas (byte-identical replica pairs
   inflating exact-dup counts) and the embedding nudge left replicas at
@@ -311,10 +330,14 @@ suspicious ratio was re-measured in isolation before acting. Findings:
   exposed min-label propagation's O(diameter) round bound. Fixed with
   pointer jumping in `operators/graph.py` (O(log diameter) rounds):
   321 s -> 21.6 s at the sf1 tier, ratio ~1.1x.
-- Remaining >5x-per-10x entries are model fits (MLlib RF/ALS iterations),
-  exact multi-column distinct (the documented expand-based plan whose
-  100 TB fallback is the HLL sketch queries), and sub-second
-  plan-compile-bound queries.
+- Remaining >5x-per-10x entries are model fits (MLlib RF/ALS iterations)
+  and sub-second plan-compile-bound queries. Exact multi-column distinct
+  (`distinct_counts`) left the list in round 6: the single
+  multi-count_distinct aggregate Catalyst rewrote into an Expand x4 of
+  the lineitem scan is now four per-column two-stage distinct aggregates
+  meeting in 1-row scalar joins — isolated best-of-2 re-measure: sf0.1
+  0.68 s -> sf1 1.53 s, ratio 2.26x on 10x data (oracle unchanged). The
+  100 TB fallback for exact nunique remains the HLL sketch queries.
 - Round-4 headline recheck: the sweep's two highest ratios
   (`json_extract_props` 13.8x, `q4_order_priority` 8.7x) re-measured in
   isolation at 5.5x and 4.0x on 10x data — dilation-inflated sweep
@@ -343,6 +366,13 @@ _100X_QUERIES = [
     "fuzzy_match_customer_names",
     "dedup_minhash_groups",
     "dedup_semantic_clusters",
+    # round-6 breadth: one probe per remaining heavy machinery family —
+    # agg-based survivorship over dup groups, chunked GK-banded grouped
+    # percentiles, and grouped_ordered_prefix (the range-partition +
+    # offset-join + partition-local-window shape behind shard export)
+    "dedup_survivor_best_quality",
+    "grouped_percentiles_totalprice",
+    "corpus_shuffle_shards",
 ]
 _100X_TABLES = {
     "customer",
@@ -410,7 +440,11 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
         "corpus; the document",
         "translation budget grew to 100 (20-consonant rotation) and the",
         "embedding permutation family to 2*dim=128 (dihedral: rotations +",
-        "reflections). Ratio = t(sf10)/t(sf1) against 10x data — the same",
+        "reflections). A second round-6 pass added one probe per",
+        "remaining heavy machinery family: agg-based survivorship,",
+        "chunked GK-banded grouped percentiles, and grouped_ordered_prefix",
+        "(range-partition + offset-join + partition-local windows — the",
+        "shard-export shape). Ratio = t(sf10)/t(sf1) against 10x data — the same",
         "flag rule as above, applied one decade further out to confirm",
         "the 10x trend is a trend and not a plateau artifact.",
         "",
@@ -508,9 +542,19 @@ def main() -> None:
         "",
     ]
     repo = os.path.join(os.path.dirname(__file__), "..")
-    with open(os.path.join(repo, "SCALE.md"), "w") as f:
+    # preserve the 100x-tier section (written by run_tier100) so the two
+    # generators compose in either order instead of clobbering each other
+    scale_md = os.path.join(repo, "SCALE.md")
+    tier100_sec = ""
+    if os.path.exists(scale_md):
+        old = open(scale_md).read()
+        marker = "\n## 100x tier: the second decade"
+        if marker in old:
+            tier100_sec = old[old.index(marker) :]
+    with open(scale_md, "w") as f:
         f.write("\n".join(md))
         f.write(AUDIT_APPENDIX)
+        f.write(tier100_sec)
     with open(os.path.join(repo, "scale_ramp.json"), "w") as f:
         json.dump(
             {

@@ -134,6 +134,9 @@ def test_tier100_covers_doc_and_embedding_families(ramp100):
         "fuzzy_match_customer_names",
         "dedup_minhash_groups",
         "dedup_semantic_clusters",
+        "dedup_survivor_best_quality",
+        "grouped_percentiles_totalprice",
+        "corpus_shuffle_shards",
     ):
         assert q in ramp100["queries"], q
 
