@@ -162,6 +162,16 @@ def test_fuzzy_match_is_blocked_equijoin(spark):
     txt = _formatted(REGISTRY["fuzzy_match_customer_names"].spark(spark, SF_DIR))
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+    # r6 OOM-class regression gate: the r5 shape eagerly localCheckpointed
+    # the corpus-x-~326 deletion-variant explosion (a checkpoint scan shows
+    # up as an ExistingRDD leaf) and died on a 48 GiB heap at the 100x
+    # tier's 1.5M names. Candidates must come from the explode-once
+    # group-pairing aggregate — no build-time materialization of anything
+    # corpus-x-neighborhood sized.
+    assert "ExistingRDD" not in txt, (
+        "fuzzy plan scans a checkpointed frame again — the variant "
+        "explosion must never be materialized"
+    )
 
 
 def test_decile_has_no_global_sort_window(spark):
