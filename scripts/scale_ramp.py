@@ -461,11 +461,17 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
     sec.append("")
     scale_md = os.path.join(repo, "SCALE.md")
     txt = open(scale_md).read() if os.path.exists(scale_md) else ""
+    # preserve the streaming-probe section (scripts/stream_probe.py owns
+    # it); it lives after the 100x section, which this rewrite replaces
+    stream_marker = "\n## Streaming throughput & state probe"
+    stream_sec = ""
+    if stream_marker in txt:
+        stream_sec = txt[txt.index(stream_marker) :]
     marker = "\n## 100x tier: the second decade"
     if marker in txt:
         txt = txt[: txt.index(marker)]
     with open(scale_md, "w") as f:
-        f.write(txt + "\n".join(sec))
+        f.write(txt + "\n".join(sec) + stream_sec)
     print(json.dumps({"tier100_flagged": flagged, "rows": rows}))
 
 

@@ -1,0 +1,237 @@
+"""Streaming throughput & state-boundedness probe -> stream_probe.json.
+
+The streaming operators' CORRECTNESS is covered by the stream==batch
+equivalence tests (tests/test_streaming.py); this probe supplies the
+SCALE evidence the batch families get from scripts/scale_ramp.py: does
+each operator sustain throughput under a saturating rate source, and —
+the part that decides survival on an unbounded 100 TB/day stream — does
+the watermark actually EVICT state, so state plateaus at
+O(rate x horizon) instead of growing with everything ever seen?
+
+Method: drive each operator from the built-in ``rate`` source (32
+partitions, intentionally saturating rows/s so processedRowsPerSecond
+measures engine capacity, not the generator), noop sink, and sample
+StreamingQueryProgress per micro-batch. After a warm-up prefix we
+record median processed rows/s and the state-row series; boundedness =
+the stateOperators[].numRowsTotal series plateaus (last-third growth
+rate <= 30% of the first third, or a flat tail), while the unbounded
+counterfactual keeps its head-slope the whole run. The stateful probe (applyInPandasWithState)
+keys on a bounded user domain, so its plateau is the domain size — its
+number is the honest Arrow-round-trip cost of the Python path vs the
+JVM-side windowed aggregates.
+
+Artifact: stream_probe.json (gated in tests/test_scale_ramp.py) and the
+"## Streaming throughput & state probe" section of SCALE.md (preserved
+by both scale_ramp.py generators).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_pipeline_agent_spark.session import get_spark  # noqa: E402
+from data_pipeline_agent_spark.streaming.stateful import user_lifetime_stats  # noqa: E402
+from data_pipeline_agent_spark.streaming.windows import (  # noqa: E402
+    dedup_stream,
+    sliding_counts,
+    tumbling_counts,
+)
+
+RUN_SECONDS = int(os.environ.get("STREAM_PROBE_SECONDS", "45"))
+WARMUP_BATCHES = 3
+
+
+def _state_bounded(series: list[int]) -> bool:
+    """Plateau detector: state growth in the last third must have fallen
+    to <= 30% of the first-third growth rate (watermark eviction caught
+    up with arrivals), or the tail must be flat outright. A series still
+    climbing linearly — eviction not observed inside the run — fails,
+    which is the honest answer on a too-short run (a naive max<=1.5x*min
+    tail check calls a straight line 'bounded' whenever the run is short
+    relative to the slope)."""
+    if len(series) < 6:
+        return len(set(series)) <= 2
+    third = max(2, len(series) // 3)
+    head, tail = series[:third], series[-third:]
+    head_slope = (head[-1] - head[0]) / (len(head) - 1)
+    tail_slope = (tail[-1] - tail[0]) / (len(tail) - 1)
+    flat_tail = max(tail) <= 1.05 * max(1, min(tail))
+    return flat_tail or tail_slope <= 0.3 * max(head_slope, 1.0)
+
+
+def _rate_events(spark: SparkSession, rows_per_sec: int, dup_ids: bool) -> DataFrame:
+    """Synthetic event stream off the rate source. ``dup_ids=True`` maps
+    two rate rows onto each event_id (50% duplicates) to exercise dedup."""
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_sec)
+        .option("numPartitions", 32)
+        .load()
+    )
+    ev_id = (F.col("value") / 2).cast("long") if dup_ids else F.col("value")
+    return src.select(
+        F.col("timestamp").alias("ts"),
+        ev_id.alias("event_id"),
+        (F.col("value") % 100_000).alias("user_id"),
+        F.concat(F.lit("type_"), (F.col("value") % 8).cast("string")).alias(
+            "event_type"
+        ),
+        (F.col("value") % 997).cast("double").alias("value"),
+    )
+
+
+def _run_probe(
+    spark: SparkSession,
+    name: str,
+    out_df: DataFrame,
+    output_mode: str,
+    run_s: int = RUN_SECONDS,
+) -> dict:
+    ckpt = tempfile.mkdtemp(prefix=f"stream_probe_{name}_")
+    q = (
+        out_df.writeStream.format("noop")
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        time.sleep(run_s)
+        progresses = [p for p in q.recentProgress if p is not None]
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    body = progresses[WARMUP_BATCHES:] or progresses
+    rates = [
+        p["processedRowsPerSecond"]
+        for p in body
+        if p.get("processedRowsPerSecond")
+    ]
+    state_rows = [
+        sum(op["numRowsTotal"] for op in p.get("stateOperators", []))
+        for p in body
+        if p.get("stateOperators")
+    ]
+    bounded = _state_bounded(state_rows)
+    return {
+        "n_batches": len(progresses),
+        "rows_per_sec": round(statistics.median(rates), 1) if rates else 0.0,
+        "input_rows_total": int(sum(p.get("numInputRows", 0) for p in body)),
+        "state_rows_series": state_rows,
+        "state_bounded": bounded,
+    }
+
+
+def main() -> None:
+    spark = get_spark("stream_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {}
+
+    # JVM-side windowed aggregate: 1-minute tumbling windows, 30 s
+    # watermark — state is open-windows x 8 event types, tiny and evicted
+    results["tumbling_counts"] = _run_probe(
+        spark,
+        "tumbling",
+        tumbling_counts(
+            _rate_events(spark, 5_000_000, dup_ids=False),
+            width="1 minute",
+            delay="30 seconds",
+        ),
+        "update",
+    )
+
+    # overlapping windows: each event lands in width/slide = 4 windows
+    results["sliding_counts"] = _run_probe(
+        spark,
+        "sliding",
+        sliding_counts(
+            _rate_events(spark, 5_000_000, dup_ids=False),
+            width="1 minute",
+            slide="15 seconds",
+            delay="30 seconds",
+        ),
+        "update",
+    )
+
+    # watermark-bounded dedup: state = distinct ids inside the 15 s
+    # horizon (O(rate x horizon)); the plateau IS the scale claim, so
+    # this probe runs long enough (180 s) for the eviction equilibrium
+    # (~7.7M ids at 250k ids/s x ~15 s horizon + batch lag) to be the tail
+    results["dedup_stream"] = _run_probe(
+        spark,
+        "dedup",
+        dedup_stream(
+            _rate_events(spark, 500_000, dup_ids=True),
+            id_cols=("event_id",),
+            delay="15 seconds",
+        ),
+        "append",
+        run_s=max(RUN_SECONDS, 180),
+    )
+
+    # Python stateful path (applyInPandasWithState): bounded 100k-user
+    # domain; rate sized down — the probe records the honest Arrow cost
+    results["user_lifetime_stats"] = _run_probe(
+        spark,
+        "stateful",
+        user_lifetime_stats(
+            _rate_events(spark, 50_000, dup_ids=False).select(
+                "user_id", "ts", "value"
+            )
+        ),
+        "update",
+        run_s=max(RUN_SECONDS, 120),
+    )
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(repo, "stream_probe.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+    sec = [
+        "",
+        "## Streaming throughput & state probe (round 6)",
+        "",
+        "Saturating rate source (32 partitions), noop sink, "
+        f"{RUN_SECONDS} s per probe (dedup 180 s to cross its eviction",
+        "equilibrium; the Python stateful path 120 s);",
+        "median processedRowsPerSecond after a "
+        f"{WARMUP_BATCHES}-batch warm-up. state_bounded",
+        "= the state-row series plateaus (last-third growth rate <= 30%",
+        "of the first third, or a flat tail) — the watermark-eviction",
+        "check that decides survival on an unbounded stream.",
+        "Regenerate with `python scripts/stream_probe.py`.",
+        "",
+        "| probe | rows/s (processed) | batches | state rows (last) | bounded |",
+        "|---|---|---|---|---|",
+    ]
+    for n, r in results.items():
+        last_state = r["state_rows_series"][-1] if r["state_rows_series"] else 0
+        sec.append(
+            f"| {n} | {r['rows_per_sec']} | {r['n_batches']} | "
+            f"{last_state} | {r['state_bounded']} |"
+        )
+    sec.append("")
+    scale_md = os.path.join(repo, "SCALE.md")
+    txt = open(scale_md).read() if os.path.exists(scale_md) else ""
+    marker = "\n## Streaming throughput & state probe"
+    if marker in txt:
+        txt = txt[: txt.index(marker)]
+    with open(scale_md, "w") as f:
+        f.write(txt + "\n".join(sec))
+    print(json.dumps({n: r["rows_per_sec"] for n, r in results.items()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -143,3 +143,37 @@ def test_tier100_covers_doc_and_embedding_families(ramp100):
 
 def test_tier100_nothing_super_linear(ramp100):
     assert ramp100["flagged"] == [], ramp100["flagged"]
+
+
+@pytest.fixture(scope="module")
+def stream_probe():
+    artifact = os.path.join(REPO, "stream_probe.json")
+    if not os.path.exists(artifact):
+        pytest.skip("stream_probe.json not generated yet (scripts/stream_probe.py)")
+    with open(artifact) as f:
+        return json.load(f)
+
+
+def test_stream_probe_covers_operator_families(stream_probe):
+    """Throughput + state evidence for every streaming operator family:
+    JVM windowed aggs (tumbling/sliding), watermark-bounded dedup, and
+    the Python stateful path (round 6 — the batch families' scale story,
+    extended to streams)."""
+    for p in (
+        "tumbling_counts",
+        "sliding_counts",
+        "dedup_stream",
+        "user_lifetime_stats",
+    ):
+        assert p in stream_probe, p
+        r = stream_probe[p]
+        assert r["n_batches"] >= 5, (p, r["n_batches"])
+        assert r["rows_per_sec"] > 0, p
+
+
+def test_stream_probe_state_is_watermark_bounded(stream_probe):
+    """The claim that decides survival on an unbounded stream: every
+    stateful probe's state-row series must plateau (watermark eviction
+    observed inside the run), never keep growing linearly."""
+    for p, r in stream_probe.items():
+        assert r["state_bounded"], (p, r["state_rows_series"])
