@@ -338,6 +338,15 @@ suspicious ratio was re-measured in isolation before acting. Findings:
   meeting in 1-row scalar joins — isolated best-of-2 re-measure: sf0.1
   0.68 s -> sf1 1.53 s, ratio 2.26x on 10x data (oracle unchanged). The
   100 TB fallback for exact nunique remains the HLL sketch queries.
+- R6 checkpoint-width audit (after the fuzzy OOM): every remaining eager
+  localCheckpoint site was re-audited for per-row width x grain. All are
+  either corpus-x-1 NARROW frames (single/double scalar columns, e.g.
+  source_token_stats' 16 B/doc (source, n_tokens), the sketches' 8 B/row
+  l_extendedprice slice, grouped_ordered_prefix's post-aggregation grain)
+  or bounded-domain aggregates (per-source rows, per-(col,value) counts).
+  The fuzzy variant frame was the only corpus-x-K materialization in the
+  repo and is gone; a plan gate (no ExistingRDD leaf in the fuzzy plan)
+  pins the class shut.
 - Round-4 headline recheck: the sweep's two highest ratios
   (`json_extract_props` 13.8x, `q4_order_priority` 8.7x) re-measured in
   isolation at 5.5x and 4.0x on 10x data — dilation-inflated sweep
