@@ -43,6 +43,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     strict: bool = True,
+    rows_per_partition: int = 500_000,
 ) -> DataFrame:
     """Return (node, comp) where comp is the MIN node id reachable from
     ``node`` over the undirected edge set — a deterministic component
@@ -59,6 +60,36 @@ def connected_components(
     e_in = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
         eager=True
     )
+    # Closure shuffle-width sizing (r7): each round materializes via eager
+    # localCheckpoint, and RDD materialization compiles its plan WITHOUT
+    # AQE's post-shuffle coalescing — so every one of the O(log D) rounds
+    # would run its joins/aggregates at the session's full static shuffle
+    # width no matter how small the label table is. Post-threshold
+    # duplicate graphs are orders of magnitude smaller than the corpus
+    # (sf0.1 semantic pairs: 292 edges from 2000 vectors; measured
+    # ~0.5 s/round at width 32 vs ~0.1 s at width 1 on local[32]), so
+    # size the closure's shuffles from the ACTUAL edge count — about
+    # ``rows_per_partition`` symmetrized edges per partition, never wider
+    # than the static setting (a billion-edge graph on a real cluster
+    # keeps full width; only the tiny-graph case narrows). The conf is
+    # session-global, so it is restored in ``finally``; the returned
+    # label frame is checkpointed, so downstream consumers compile under
+    # the caller's width.
+    spark = edges.sparkSession
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    n_edges = e_in.count()
+    width = max(
+        1,
+        min(int(old_width), (2 * n_edges + rows_per_partition - 1) // rows_per_partition),
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        return _cc_rounds(e_in, max_iter, strict)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_width)
+
+
+def _cc_rounds(e_in: DataFrame, max_iter: int, strict: bool) -> DataFrame:
     e = (
         e_in.union(e_in.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()

@@ -284,27 +284,35 @@ def fuzzy_pairs_by_deletion(
         )
         .where(F.size("__g") >= 2)
     )
+    # Two-stage pair emission (r7, ADVICE r6): explode the OUTER index
+    # first — one row per (group, i) — then generate and explode only the
+    # inner j-suffix per row. The r6 shape flattened all C(n,2) pair
+    # structs of a group into ONE array value in a single row before
+    # exploding; a hot variant group (many short names sharing a 1-char
+    # deletion variant, or a large true near-dup cluster) built a
+    # quadratic-size array in one row — executor OOM / the 2 GB
+    # array-element ceiling — where this streams pairs at O(group) peak
+    # per-row memory, the same order as the collect_list state itself.
     sz = F.size(F.col("__g"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), sz - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, sz),
-                lambda j: F.struct(
-                    F.element_at(F.col("__g"), i).alias("a"),
-                    F.element_at(F.col("__g"), j).alias("b"),
-                ),
-            ),
-        )
+    ei = g.select(
+        *block_cols,
+        F.col("__g"),
+        F.explode(F.sequence(F.lit(1), sz - 1)).alias("__i"),
     )
     cand = (
-        g.select(*block_cols, F.explode(pair_structs).alias("__p"))
+        ei.select(
+            *block_cols,
+            F.element_at(F.col("__g"), F.col("__i")).alias("__pa"),
+            F.explode(
+                F.slice(F.col("__g"), F.col("__i") + 1, F.size("__g"))
+            ).alias("__pb"),
+        )
         .select(
             *block_cols,
-            F.col("__p.a.n").alias("__na"),
-            F.col("__p.b.n").alias("__nb"),
-            F.col("__p.a.c").alias("cnt_a"),
-            F.col("__p.b.c").alias("cnt_b"),
+            F.col("__pa.n").alias("__na"),
+            F.col("__pb.n").alias("__nb"),
+            F.col("__pa.c").alias("cnt_a"),
+            F.col("__pb.c").alias("cnt_b"),
         )
         .distinct()
     )

@@ -8,6 +8,7 @@ from data_pipeline_agent_spark.plans import (  # noqa: F401
     queries_dedup,
     queries_joins,
     queries_ml,
+    queries_multimodal,
     queries_relational,
     queries_sketches,
     queries_similarity,

@@ -1,0 +1,146 @@
+"""Multimodal contract queries — the correctness surface for
+``operators/multimodal.py`` (r6 verdict task 2: the only first-class
+family that had no CORRECTNESS entry).
+
+The reference has no media pipeline; these are brief-mandated extensions
+("multimodal columns: image/audio/video as opaque binary columns").  The
+container has no PIL/soundfile/pyav, so the registered queries run the
+documented deterministic fake featureizer (``fake=True`` — md5-derived,
+stable across runs/partitions); the REAL part under test is the Spark-side
+plumbing the brief asks for: binary-column schema, Arrow-batched
+``mapInPandas``, per-row frame/window fan-out, narrow feature output.
+
+Oracle pattern (the r4 sketch/ML contract style): every SQL-derivable
+output value is emitted for the driver's exact hash compare — ``n_bytes``
+(UTF-8 byte length of the synthetic blob), ``n_windows`` (window count at
+the fixed stride), ``frame_idx`` (the sampled-frame fan-out, reproduced in
+DuckDB via ``unnest(range(0, n_frames, every_n))``) — plus in-row booleans
+computed GENUINELY from the feature arrays JVM-side (dimension == 16,
+every component finite and in [0,1]); the oracle emits literal TRUEs, so a
+wrong dimension, NaN, out-of-range component, wrong fan-out, or dropped
+row turns the driver hash red.
+
+Scale notes: blobs are synthesized executor-side from the documents scan
+(encode(text) — never collected), features stream through Arrow batches,
+and output rows are narrow (id + scalars + booleans).  At 100 TB the same
+plan holds with real media bytes: ``maxPartitionBytes`` bounds per-task
+blob volume and the mapInPandas stage is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_agent_spark.operators.multimodal import (
+    audio_features,
+    frame_sample,
+    image_features,
+)
+from data_pipeline_agent_spark.plans.registry import register, table
+
+FEATURE_DIM = 16
+
+
+def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic media table: one blob per document, the
+    UTF-8 bytes of its text standing in for decoded media content.  Shape
+    matches ``operators.multimodal.MEDIA_SCHEMA``; byte lengths (48-600 at
+    test SFs) give a real spread of window/frame counts."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("png").alias("meta_format"),
+        F.lit(64).cast("long").alias("meta_width"),
+        F.lit(64).cast("long").alias("meta_height"),
+    )
+
+
+def _feature_contract_cols():
+    """Booleans computed from the feature array itself, JVM-side."""
+    return [
+        (F.size("feature") == FEATURE_DIM).alias("dim_ok"),
+        F.forall(
+            "feature",
+            lambda v: v.isNotNull() & ~F.isnan(v) & (v >= 0.0) & (v <= 1.0),
+        ).alias("in_range_ok"),
+    ]
+
+
+@register(
+    "mm_image_features",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               TRUE AS dim_ok,
+               TRUE AS in_range_ok
+        FROM documents
+    """,
+    description="Multimodal image featurization contract: Arrow-batched "
+    "mapInPandas over binary blobs; n_bytes exact-matched against the "
+    "oracle's octet_length, feature dim/finiteness/range booleans computed "
+    "JVM-side from the returned arrays",
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = image_features(_media_frame(spark, sf_dir), fake=True)
+    return feats.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        *_feature_contract_cols(),
+    )
+
+
+@register(
+    "mm_audio_features",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(ceil(greatest(octet_length(encode(text)), 1) / 128.0)
+                    AS BIGINT) AS n_windows,
+               TRUE AS dim_ok,
+               TRUE AS in_range_ok
+        FROM documents
+    """,
+    description="Multimodal audio featurization contract: fixed-stride "
+    "(128-byte) windowing + mean-pooled per-window features; n_bytes AND "
+    "the window count are exact-matched (ceil(len/128) in the oracle), "
+    "pooled-feature dim/range booleans computed JVM-side",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = audio_features(_media_frame(spark, sf_dir), window_bytes=128, fake=True)
+    return feats.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+        *_feature_contract_cols(),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+        SELECT media_id,
+               CAST(unnest(range(0, nf, 2)) AS BIGINT) AS frame_idx,
+               TRUE AS dim_ok,
+               TRUE AS in_range_ok
+        FROM (
+            SELECT doc_id AS media_id,
+                   greatest(1, octet_length(encode(text)) // 64) AS nf
+            FROM documents
+        )
+    """,
+    description="Multimodal video frame sampling contract: one row per "
+    "sampled frame (64-byte 'frames', every 2nd sampled); the exact "
+    "per-media frame_idx fan-out is reproduced by the oracle via "
+    "unnest(range(0, n_frames, 2)) — a missing/extra/misindexed frame row "
+    "turns the hash red; per-frame feature booleans computed JVM-side",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = frame_sample(_media_frame(spark, sf_dir), every_n=2, fake=True)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        *_feature_contract_cols(),
+    )

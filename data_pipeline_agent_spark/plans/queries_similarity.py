@@ -385,10 +385,15 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True),
         ).alias("group_sizes_ok"),
     )
-    ok_membership = (
-        groups.groupBy("vec_id")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .agg(F.coalesce(F.every(F.col("__c") == 1), F.lit(True)).alias("membership_unique_ok"))
+    # r7 fusion: "every vec_id appears exactly once" ⟺ count == exact
+    # distinct count — one global aggregate (partial-agg friendly) over
+    # the checkpointed groups frame instead of a groupBy-per-vec shuffle
+    # plus a second aggregate. Empty frame: 0 == 0 → TRUE, same as the
+    # old coalesce.
+    ok_membership = groups.agg(
+        (F.count(F.lit(1)) == F.count_distinct(F.col("vec_id"))).alias(
+            "membership_unique_ok"
+        )
     )
     ok_pairs = pairs.agg(
         F.coalesce(

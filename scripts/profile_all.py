@@ -72,6 +72,35 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             ann_out[n] = min(ann_out.get(n, float("inf")), dt)
             spark.catalog.clearCache()
+
+    # ANN tile entries (r7, VERDICT r6 task 7): time the same operators
+    # at the 10x/100x scale-ramp tiles when present. The PQ plan's
+    # expression size is data-independent (m x kc literal tables), so a
+    # near-linear tile ratio here is the measured evidence that the ADC
+    # scoring pass scales with the scan, not with a recompiled when-chain
+    # (the compiled-expression hazard the grouped-percentile chunking
+    # solved at operators/ranking.py).
+    for tile, tag in (
+        ("/tmp/spark_graft_scale/sf1", "sf1_tile"),
+        ("/tmp/spark_graft_scale/sf10", "sf10_tile"),
+    ):
+        if not os.path.isdir(os.path.join(tile, "embeddings.parquet")):
+            continue
+        temb = table(spark, tile, "embeddings")
+        tanch = temb.where(F.col("vec_id") < 10)
+        tile_builders = {
+            f"sim_ivf_topk@{tag}": lambda e=temb, a=tanch: S.ivf_topk(
+                e, a, k=5, n_centroids=16, nprobe=4
+            ),
+            f"sim_pq_topk@{tag}": lambda e=temb, a=tanch: S.pq_topk(e, a, k=20),
+        }
+        for n, build in tile_builders.items():
+            for _ in range(2):
+                t0 = time.perf_counter()
+                mat(build())
+                dt = round(time.perf_counter() - t0, 3)
+                ann_out[n] = min(ann_out.get(n, float("inf")), dt)
+                spark.catalog.clearCache()
     repo = os.path.join(os.path.dirname(__file__), "..")
     with open(os.path.join(repo, "profile_ann_only.json"), "w") as f:
         json.dump(ann_out, f, indent=1)

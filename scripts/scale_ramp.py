@@ -77,6 +77,13 @@ _DOMAIN_KEY = {
 }
 _COPY_TABLES = ("region", "nation")
 
+# Tiling-scheme version, stamped into every generated table dir and
+# checked by --skip-gen reuse (r7). BUMP THIS whenever any tiling
+# transform changes semantics (translations, name suffixes, embedding
+# transforms, key strides) — a stale stamp forces regeneration instead of
+# silently measuring fidelity-broken data.
+TILE_SCHEME = "v2-r6:namesfx6+rot100+dihedral-emb"
+
 _VOWELS = "aeiou"
 # 20 consonants x 5 vowels = 100 distinct translations — the 100x tier
 # tiles documents with reps=100 (round 6; was "bcdfg" = 25 translations)
@@ -247,22 +254,46 @@ def generate_scaled(
         strides[dom] = int(mx) + 1
     os.makedirs(out_dir, exist_ok=True)
     n_wide = spark.sparkContext.defaultParallelism
+
+    # Scheme-version marker per generated table dir (r7, ADVICE r6):
+    # ``reuse`` used to skip ANY existing directory, silently measuring
+    # against tiles from an older fidelity-broken scheme (pre-r6: no name
+    # suffixes, 25-translation rotation, shift-only embeddings) or a
+    # partially-failed write (no marker — it is written only AFTER a
+    # completed parquet write). The underscore prefix makes Spark's
+    # parquet reader ignore the marker file, like _SUCCESS.
+    def _marker(tbl: str) -> str:
+        return f"{out_dir}/{tbl}.parquet/_TILE_SCHEME"
+
+    def _fresh(tbl: str) -> bool:
+        try:
+            with open(_marker(tbl)) as fh:
+                return fh.read().strip() == f"{TILE_SCHEME} reps={reps}"
+        except OSError:
+            return False
+
+    def _stamp(tbl: str) -> None:
+        with open(_marker(tbl), "w") as fh:
+            fh.write(f"{TILE_SCHEME} reps={reps}")
+
     for tbl in _COPY_TABLES:
-        if reuse and os.path.isdir(f"{out_dir}/{tbl}.parquet"):
+        if reuse and _fresh(tbl):
             continue
         spark.read.parquet(f"{base_dir}/{tbl}.parquet").write.mode("overwrite").parquet(
             f"{out_dir}/{tbl}.parquet"
         )
+        _stamp(tbl)
     for tbl, keys in _KEY_DOMAINS.items():
         if tables is not None and tbl not in tables:
             continue
-        if reuse and os.path.isdir(f"{out_dir}/{tbl}.parquet"):
+        if reuse and _fresh(tbl):
             continue
         # the base files are single-row-group -> the explode would run on
         # one core; spread the source rows first (order-independent)
         df = spark.read.parquet(f"{base_dir}/{tbl}.parquet").repartition(n_wide)
         tiled = _tile(df, {c: strides[d] for c, d in keys.items()}, reps, tbl)
         tiled.write.mode("overwrite").parquet(f"{out_dir}/{tbl}.parquet")
+        _stamp(tbl)
 
 
 def time_suite(
@@ -394,6 +425,38 @@ _100X_TABLES = {
 }
 
 
+_T100_MARKER = "\n## 100x tier: the second decade"
+_STREAM_MARKER = "\n## Streaming throughput & state probe"
+
+
+def _split_sections(txt: str) -> tuple[str, str, str]:
+    """Split SCALE.md text into (base, tier100_sec, stream_sec).
+
+    Each owned section is extracted whole and REMOVED from the base
+    regardless of the order it appears in, so the two generators here and
+    scripts/stream_probe.py compose in any run order (r7, ADVICE r6: the
+    old splices assumed stream-always-after-100x; a stream_probe run
+    before any 100x section existed got its section duplicated by
+    run_tier100 and dropped by main). Writers re-append as
+    base + [100x] + [stream], normalizing the order."""
+
+    def _extract(txt: str, marker: str) -> tuple[str, str]:
+        if marker not in txt:
+            return txt, ""
+        i = txt.index(marker)
+        ends = [
+            j
+            for m in (_T100_MARKER, _STREAM_MARKER)
+            if (j := txt.find(m, i + 1)) != -1
+        ]
+        j = min(ends) if ends else len(txt)
+        return txt[:i] + txt[j:], txt[i:j]
+
+    txt, t100 = _extract(txt, _T100_MARKER)
+    txt, stream = _extract(txt, _STREAM_MARKER)
+    return txt, t100, stream
+
+
 def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
     """Generate a 100x tile (sf10-equivalent: ~60M lineitem rows, 500k
     documents, 200k embeddings — well under the 128 GiB budget) for the
@@ -435,7 +498,7 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
         )
     sec = [
         "",
-        "## 100x tier: the second decade (rounds 5-6)",
+        "## 100x tier: the second decade (rounds 5-7)",
         "",
         "sf10 tier = sf0.1 tiled x100. Round 6 extends the tier from the",
         "three heaviest relational probes to the document/embedding",
@@ -453,7 +516,12 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
         "remaining heavy machinery family: agg-based survivorship,",
         "chunked GK-banded grouped percentiles, and grouped_ordered_prefix",
         "(range-partition + offset-join + partition-local windows — the",
-        "shard-export shape). Ratio = t(sf10)/t(sf1) against 10x data — the same",
+        "shard-export shape). Round 7: tiles are regenerated under the",
+        "scheme-version stamp (stale/partial tiles can no longer be",
+        "silently reused), fuzzy pair emission is the two-stage explode",
+        "(O(group) per-row arrays, see operators/joins.py), and the CC",
+        "closure sizes its per-round shuffles from the edge count.",
+        "Ratio = t(sf10)/t(sf1) against 10x data — the same",
         "flag rule as above, applied one decade further out to confirm",
         "the 10x trend is a trend and not a plateau artifact.",
         "",
@@ -470,17 +538,11 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
     sec.append("")
     scale_md = os.path.join(repo, "SCALE.md")
     txt = open(scale_md).read() if os.path.exists(scale_md) else ""
-    # preserve the streaming-probe section (scripts/stream_probe.py owns
-    # it); it lives after the 100x section, which this rewrite replaces
-    stream_marker = "\n## Streaming throughput & state probe"
-    stream_sec = ""
-    if stream_marker in txt:
-        stream_sec = txt[txt.index(stream_marker) :]
-    marker = "\n## 100x tier: the second decade"
-    if marker in txt:
-        txt = txt[: txt.index(marker)]
+    # replace the 100x section this writer owns, preserve the streaming
+    # section (scripts/stream_probe.py owns it) wherever it was
+    base_txt, _old_t100, stream_sec = _split_sections(txt)
     with open(scale_md, "w") as f:
-        f.write(txt + "\n".join(sec) + stream_sec)
+        f.write(base_txt + "\n".join(sec) + stream_sec)
     print(json.dumps({"tier100_flagged": flagged, "rows": rows}))
 
 
@@ -557,19 +619,18 @@ def main() -> None:
         "",
     ]
     repo = os.path.join(os.path.dirname(__file__), "..")
-    # preserve the 100x-tier section (written by run_tier100) so the two
-    # generators compose in either order instead of clobbering each other
+    # preserve the 100x-tier section (run_tier100's) AND the streaming
+    # section (stream_probe.py's) so the three writers compose in any
+    # run order instead of clobbering each other
     scale_md = os.path.join(repo, "SCALE.md")
-    tier100_sec = ""
+    tier100_sec, stream_sec = "", ""
     if os.path.exists(scale_md):
-        old = open(scale_md).read()
-        marker = "\n## 100x tier: the second decade"
-        if marker in old:
-            tier100_sec = old[old.index(marker) :]
+        _base, tier100_sec, stream_sec = _split_sections(open(scale_md).read())
     with open(scale_md, "w") as f:
         f.write("\n".join(md))
         f.write(AUDIT_APPENDIX)
         f.write(tier100_sec)
+        f.write(stream_sec)
     with open(os.path.join(repo, "scale_ramp.json"), "w") as f:
         json.dump(
             {

@@ -59,7 +59,14 @@ def _state_bounded(series: list[int]) -> bool:
     climbing linearly — eviction not observed inside the run — fails,
     which is the honest answer on a too-short run (a naive max<=1.5x*min
     tail check calls a straight line 'bounded' whenever the run is short
-    relative to the slope)."""
+    relative to the slope).
+
+    An EMPTY or near-empty series fails outright (r7, ADVICE r6): no
+    stateOperators entries in the progress records means eviction was
+    never OBSERVED — returning True there let a probe with missing state
+    metrics vacuously pass the boundedness gate."""
+    if len(series) < 3:
+        return False
     if len(series) < 6:
         return len(set(series)) <= 2
     third = max(2, len(series) // 3)
@@ -224,11 +231,14 @@ def main() -> None:
     sec.append("")
     scale_md = os.path.join(repo, "SCALE.md")
     txt = open(scale_md).read() if os.path.exists(scale_md) else ""
-    marker = "\n## Streaming throughput & state probe"
-    if marker in txt:
-        txt = txt[: txt.index(marker)]
+    # same order-agnostic section splitter as scale_ramp.py's two writers
+    # (r7): replace this writer's stream section, keep the 100x section
+    # wherever it was, normalize to base + 100x + stream
+    from scripts.scale_ramp import _split_sections
+
+    base_txt, tier100_sec, _old_stream = _split_sections(txt)
     with open(scale_md, "w") as f:
-        f.write(txt + "\n".join(sec))
+        f.write(base_txt + tier100_sec + "\n".join(sec))
     print(json.dumps({n: r["rows_per_sec"] for n, r in results.items()}))
     spark.stop()
 

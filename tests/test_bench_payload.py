@@ -1,0 +1,56 @@
+"""The driver-facing bench line must stay under the capture-buffer budget.
+
+BENCH_r01 and BENCH_r06 both came back ``parsed: null`` because the single
+output line outgrew the driver's capture buffer (r1: full per-query dict;
+r6: per-query sweep samples).  ``bench.build_payloads`` now routes sweep
+detail to a side file; this test pins the driver-facing line under the
+r1-safe budget with worst-case-shaped inputs so the failure mode cannot
+recur silently.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench
+
+
+def _fake_inputs(n_registry: int, n_resweeps: int):
+    headline = list(bench.HEADLINE)
+    extras = [f"registry_query_with_a_long_name_{i:03d}" for i in range(n_registry)]
+    names = headline + extras
+    # worst-case float widths: three samples each, full precision survives
+    # min() but timings are already rounded to 3dp by _time_one
+    samples = {n: [123.456, 234.567, 345.678] for n in names}
+    resweeps = names[:n_resweeps]
+    return headline, names, samples, resweeps
+
+
+def test_driver_line_under_budget():
+    headline, names, samples, resweeps = _fake_inputs(
+        n_registry=200, n_resweeps=200
+    )
+    payload, side = bench.build_payloads(headline, names, samples, resweeps, "0.1")
+    line = json.dumps(payload)
+    assert len(line) < bench.LINE_BUDGET, (
+        f"driver-facing bench line is {len(line)} bytes, "
+        f"budget {bench.LINE_BUDGET} — BENCH would come back parsed:null"
+    )
+    # the detail the line no longer carries must be in the side payload
+    assert set(side["sweeps"]) == set(names)
+    assert side["resweeps"] == resweeps
+
+
+def test_payload_fields_present():
+    headline, names, samples, resweeps = _fake_inputs(n_registry=5, n_resweeps=2)
+    payload, _ = bench.build_payloads(headline, names, samples, resweeps, "0.1")
+    for key in ("metric", "value", "unit", "queries", "n_resweeps",
+                "full_total", "n_queries", "sf"):
+        assert key in payload
+    assert payload["sf"] == 0.1
+    assert payload["n_queries"] == len(names)
+    assert set(payload["queries"]) == set(headline)
+    # timings are min-of-samples
+    assert payload["queries"][headline[0]] == 123.456

@@ -172,6 +172,20 @@ def test_fuzzy_match_is_blocked_equijoin(spark):
         "fuzzy plan scans a checkpointed frame again — the variant "
         "explosion must never be materialized"
     )
+    # r7 OOM-class gate (ADVICE r6): pair emission must be the two-stage
+    # explode (outer index row, then the O(group)-sized j-suffix via
+    # slice(__g, i+1, ...)) — the r6 shape flattened all C(n,2) pair
+    # structs of a variant group into ONE array value in a single row,
+    # quadratic per-row memory on a hot variant group (2 GB array-element
+    # ceiling / executor OOM).
+    opt = _optimized(REGISTRY["fuzzy_match_customer_names"].spark(spark, SF_DIR))
+    assert "slice(__g" in opt, "pair emission lost the O(group) j-suffix shape"
+    for line in opt.splitlines():
+        if "__g" in line:
+            assert "flatten" not in line, (
+                "a flatten over the variant group rebuilds the quadratic "
+                f"one-row all-pairs array:\n{line}"
+            )
 
 
 def test_decile_has_no_global_sort_window(spark):

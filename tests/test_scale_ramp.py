@@ -174,6 +174,44 @@ def test_stream_probe_covers_operator_families(stream_probe):
 def test_stream_probe_state_is_watermark_bounded(stream_probe):
     """The claim that decides survival on an unbounded stream: every
     stateful probe's state-row series must plateau (watermark eviction
-    observed inside the run), never keep growing linearly."""
+    observed inside the run), never keep growing linearly. The series
+    must be NON-EMPTY (r7, ADVICE r6): a probe whose progress records
+    lack stateOperators entries observed nothing and must not pass."""
     for p, r in stream_probe.items():
+        assert len(r["state_rows_series"]) >= 3, (p, "state series too short")
         assert r["state_bounded"], (p, r["state_rows_series"])
+
+
+def test_split_sections_order_agnostic():
+    """The three SCALE.md writers (main ramp, run_tier100, stream_probe)
+    must compose in ANY run order (r7, ADVICE r6: the old splices assumed
+    stream-always-after-100x, duplicating or dropping sections when
+    stream_probe ran first)."""
+    from scripts.scale_ramp import _split_sections
+
+    base = "# SCALE\nbody\n"
+    t100 = "\n## 100x tier: the second decade\nt100 body\n"
+    stream = "\n## Streaming throughput & state probe (round 6)\nstream body\n"
+    for txt in (base + t100 + stream, base + stream + t100, base + t100,
+                base + stream, base):
+        b, t, s = _split_sections(txt)
+        assert b == base, repr(txt)
+        assert t == (t100 if t100 in txt else "")
+        assert s == (stream if stream in txt else "")
+    # round-trip: re-appending normalizes to base + 100x + stream
+    b, t, s = _split_sections(base + stream + t100)
+    assert b + t + s == base + t100 + stream
+
+
+def test_state_bounded_rejects_empty_series():
+    """Unit gate on the detector itself: empty/short series = not
+    observed = not bounded (the r6 vacuous-pass hole)."""
+    from scripts.stream_probe import _state_bounded
+
+    assert _state_bounded([]) is False
+    assert _state_bounded([5]) is False
+    assert _state_bounded([5, 5]) is False
+    assert _state_bounded([5, 5, 5]) is True      # short but flat
+    assert _state_bounded([1, 2, 3, 4, 5]) is False  # short and climbing
+    assert _state_bounded(list(range(20))) is False  # linear growth
+    assert _state_bounded([10, 20, 30, 32, 32, 32, 32, 32, 32]) is True
