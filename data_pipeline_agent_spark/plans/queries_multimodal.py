@@ -69,25 +69,54 @@ def _feature_contract_cols():
     ]
 
 
+def _oracle_feature_byte(i: int) -> str:
+    """DuckDB twin of ``_fake_feature_src``'s component ``i`` (i < 16, the
+    salt-0 digest): byte ``i`` of md5(b'\\x00' + utf8(text)) / 255, rounded
+    to 6 decimals.  ``chr(0) || text`` hashes byte-identically to the
+    Python ``b'\\x00' + content`` prefix (verified: digests match), so the
+    oracle reproduces the actual float the executor-side featureizer
+    emits — not just a range boolean."""
+    return (
+        f"round(CAST('0x' || substr(md5(chr(0) || text), {2 * i + 1}, 2) "
+        f"AS INT) / 255.0, 6)"
+    )
+
+
 @register(
     "mm_image_features",
-    oracle="""
+    oracle=f"""
         SELECT doc_id AS media_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               {_oracle_feature_byte(0)} AS f0,
+               {_oracle_feature_byte(7)} AS f7,
+               {_oracle_feature_byte(15)} AS f15,
                TRUE AS dim_ok,
                TRUE AS in_range_ok
         FROM documents
     """,
     description="Multimodal image featurization contract: Arrow-batched "
     "mapInPandas over binary blobs; n_bytes exact-matched against the "
-    "oracle's octet_length, feature dim/finiteness/range booleans computed "
-    "JVM-side from the returned arrays",
+    "oracle's octet_length, three feature components (first/middle/last "
+    "digest byte) exact-matched against DuckDB's md5 of the same salted "
+    "bytes, and feature dim/finiteness/range booleans computed JVM-side "
+    "from the returned arrays",
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = image_features(_media_frame(spark, sf_dir), fake=True)
+
+    def probe(i: int):
+        # stored as float32; re-round after the double cast to recover the
+        # exact 6-dp decimal the featureizer (and the oracle) computed
+        return F.round(
+            F.element_at("feature", i + 1).cast("double"), 6
+        ).alias(f"f{i}")
+
     return feats.select(
         "media_id",
         F.col("n_bytes").cast("long").alias("n_bytes"),
+        probe(0),
+        probe(7),
+        probe(15),
         *_feature_contract_cols(),
     )
 
@@ -120,27 +149,42 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_frame_sample",
+    # per-frame digest input is content + frame_idx.to_bytes(4, 'big');
+    # chr() of each suffix byte reproduces it as long as frame_idx < 128
+    # (single-byte UTF-8) — testdata frames top out near 10 per doc, and
+    # the Spark side would emit the same row either way, so a violation
+    # shows up as a hash mismatch, never silently
     oracle="""
         SELECT media_id,
-               CAST(unnest(range(0, nf, 2)) AS BIGINT) AS frame_idx,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               round(CAST('0x' || substr(md5(chr(0) || text || chr(0) ||
+                     chr(0) || chr(0) || chr(CAST(frame_idx AS INT))), 1, 2)
+                     AS INT) / 255.0, 6) AS f0,
                TRUE AS dim_ok,
                TRUE AS in_range_ok
         FROM (
             SELECT doc_id AS media_id,
-                   greatest(1, octet_length(encode(text)) // 64) AS nf
+                   text,
+                   unnest(range(0,
+                       greatest(1, octet_length(encode(text)) // 64),
+                       2)) AS frame_idx
             FROM documents
         )
     """,
     description="Multimodal video frame sampling contract: one row per "
     "sampled frame (64-byte 'frames', every 2nd sampled); the exact "
     "per-media frame_idx fan-out is reproduced by the oracle via "
-    "unnest(range(0, n_frames, 2)) — a missing/extra/misindexed frame row "
-    "turns the hash red; per-frame feature booleans computed JVM-side",
+    "unnest(range(0, n_frames, 2)) and each frame's first feature "
+    "component is exact-matched against DuckDB's md5 of the same "
+    "content+frame-index bytes — a missing/extra/misindexed frame or a "
+    "wrong per-frame digest turns the hash red; dim/range booleans "
+    "computed JVM-side",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = frame_sample(_media_frame(spark, sf_dir), every_n=2, fake=True)
     return frames.select(
         "media_id",
         F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
         *_feature_contract_cols(),
     )
