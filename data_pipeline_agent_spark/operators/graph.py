@@ -43,7 +43,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     strict: bool = True,
-    rows_per_partition: int = 500_000,
+    rows_per_partition: int = 50_000,
 ) -> DataFrame:
     """Return (node, comp) where comp is the MIN node id reachable from
     ``node`` over the undirected edge set — a deterministic component
@@ -71,10 +71,15 @@ def connected_components(
     # size the closure's shuffles from the ACTUAL edge count — about
     # ``rows_per_partition`` symmetrized edges per partition, never wider
     # than the static setting (a billion-edge graph on a real cluster
-    # keeps full width; only the tiny-graph case narrows). The conf is
-    # session-global, so it is restored in ``finally``; the returned
-    # label frame is checkpointed, so downstream consumers compile under
-    # the caller's width.
+    # keeps full width; only the small-graph case narrows). The target is
+    # CPU-work-sized, not memory-sized: closure rounds are join/agg CPU
+    # over the label table, so partitions far above ~50k rows idle the
+    # other cores (measured on the 25k-edge sf10 minhash graph: 2.5 s at
+    # a 500k-row target/width 1 vs 1.6 s at 50k/width 2; the 292-edge
+    # sf0.1 graph stays width 1 either way). The conf is session-global,
+    # so it is restored in ``finally``; the returned label frame is
+    # checkpointed, so downstream consumers compile under the caller's
+    # width.
     spark = edges.sparkSession
     old_width = spark.conf.get("spark.sql.shuffle.partitions")
     n_edges = e_in.count()

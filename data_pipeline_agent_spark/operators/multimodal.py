@@ -88,6 +88,9 @@ def image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     batching, partitioning) is exercised end to end.
     """
     featurize = _fake_feature_src()
+    # prune BEFORE the Arrow exchange: the featureizer reads only id +
+    # blob, so media_type/meta_* must not ride through the Python worker
+    df = df.select("media_id", "content")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd
@@ -116,6 +119,7 @@ def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = False) -> DataFr
     """Video frame sampling stub: emits one row per sampled frame with a
     frame index and per-frame fake feature. Real decode would use pyav."""
     featurize = _fake_feature_src()
+    df = df.select("media_id", "content")  # prune before the Arrow exchange
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd
@@ -161,6 +165,7 @@ def audio_features(
     windows are computed per row inside the batch iterator, output is a
     narrow feature row per clip."""
     featurize = _fake_feature_src()
+    df = df.select("media_id", "content")  # prune before the Arrow exchange
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd

@@ -303,16 +303,29 @@ def time_suite(
     wall-clock-dilation episodes that can inflate a contiguous block of
     queries 10x+ in a single sweep (observed and re-measured in
     isolation); the min of two independent sweeps rejects any episode
-    shorter than a whole sweep."""
-    out: dict[str, float] = {}
+    shorter than a whole sweep.
+
+    r7: bench.py's resweep rule, ported here after an sf10 tier run where
+    one episode covered BOTH samples of the two longest queries (fuzzy
+    read 282 s vs 151 s in a clean run minutes earlier) — any query whose
+    sweep samples disagree by >30% gets a third isolated sample, so a
+    single episode cannot decide a long query's recorded time."""
+    samples: dict[str, list[float]] = {n: [] for n in names}
+
+    def one(n: str) -> float:
+        t0 = time.perf_counter()
+        _materialize(REGISTRY[n].spark(spark, sf_dir))
+        dt = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        return dt
+
     for _ in range(sweeps):
         for n in names:
-            t0 = time.perf_counter()
-            _materialize(REGISTRY[n].spark(spark, sf_dir))
-            dt = round(time.perf_counter() - t0, 3)
-            out[n] = min(out.get(n, float("inf")), dt)
-            spark.catalog.clearCache()
-    return out
+            samples[n].append(one(n))
+    for n in names:
+        if max(samples[n]) > 1.3 * min(samples[n]):
+            samples[n].append(one(n))
+    return {n: min(s) for n, s in samples.items()}
 
 
 AUDIT_APPENDIX = """
@@ -330,10 +343,21 @@ suspicious ratio was re-measured in isolation before acting. Findings:
   scale. Oracle unchanged, hash-green. (The "~flat across the tiers"
   this round originally measured was partly an artifact of the pre-r6
   tiling, whose replicas carried byte-identical names — with name
-  fidelity fixed the honest 10x step is sf0.1 2.4 s -> sf1 42.5 s,
-  which decomposes into 10x distinct grain x ~1.9x variant-neighborhood
-  width from the longer suffixed names, and the 100x tier measures
-  4.94x per further 10x. R6 also reshaped the operator itself: the r5
+  fidelity fixed the honest 10x step decomposes into 10x distinct grain
+  x the variant-neighborhood width from the longer suffixed names. R7
+  reconciliation (the r6 prose quoted an isolated re-measure, 4.94x,
+  that contradicted the committed tier artifact): the current tier
+  artifact (scale_ramp_100x.json) measures the second decade at
+  ~10-12x per 10x data (12.45x in the committed min-of-3 artifact;
+  10.05x in the cleanest same-day run — residual spread is the host's
+  documented dilation, not the plan), and the r7 decomposition run
+  shows that ratio is data-intrinsic — distinct (nation, name) grain 150,000 -> 1,500,000
+  (exactly 10x), avg name length 25 at both tiles (constant ~326-variant
+  neighborhood), and true output pairs 1,633,830 -> 16,338,300 (exactly
+  10.0x: the synthetic Customer#NNN name space is dense, so verify and
+  output are the dominant linear terms). Runtime tracking the grain and
+  output exactly is the intended operator shape; sub-10x would require
+  the work to NOT scale with names. R6 also reshaped the operator: the r5
   localCheckpoint of the corpus-x-~326 variant explosion OOMed a 48 GiB
   heap at the sf10 tile; candidates now come from an explode-once
   per-(block, variant) group-pairing aggregate that never materializes
@@ -348,8 +372,11 @@ suspicious ratio was re-measured in isolation before acting. Findings:
   the driver's single-row-group file vs 1.51 s on the same rows
   repartitioned into 32 files. The residual above 1.5 s is the
   single-file layout, not the plan; at any real multi-row-group scale
-  the passes parallelize across splits (the 100x tier measures the
-  query at 2.0x per 10x data).
+  the passes parallelize across splits (the 100x tier artifact,
+  scale_ramp_100x.json, measures the query at ~3-4x per 10x data —
+  sub-linear against the flag rule's 15x bound; the r6 prose quoted an
+  isolated 2.0x re-measure that contradicted the committed artifact,
+  reconciled here to cite the artifact itself).
 - Round 4: the tiling proxy itself had two fidelity bugs — the vowel
   rotation repeated every 5 replicas (byte-identical replica pairs
   inflating exact-dup counts) and the embedding nudge left replicas at
