@@ -109,6 +109,81 @@ def lsh_bucketed_topk(
     )
 
 
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int | None = None,
+    target_bucket: int = 500,
+) -> DataFrame:
+    """k-NN GRAPH: top-k cosine neighbors for EVERY vector (not a small
+    anchor set) — the building block for graph-based curation (SemDeDup
+    variants, density/novelty scoring, label propagation over near-dup
+    clusters).
+
+    Anchor-broadcast plans don't apply here (the anchor set IS the
+    corpus), so the scale shape is a sign-LSH bucketed SELF-join: both
+    sides shuffle once on the bucket key (co-partitioned sort-merge
+    join — no broadcast, no driver collect), candidates are only
+    within-bucket, and the per-query top-k window's input is bounded by
+    the query's bucket size. Cost is sum of squared bucket sizes — the
+    same regime every LSH stage in this package runs — versus the N^2/p
+    all-pairs a cross join would cost. Recall is bucket-granularity
+    bound (same trade as ``lsh_bucketed_topk``, whose recall floor is
+    oracle-gated); callers needing higher recall union multiple
+    rotations' buckets before the window.
+
+    ``bits=None`` (the scale default) sizes the bucket key from the
+    corpus: cost is sum(bucket_size^2) ~= N * (N / 2^bits), so a FIXED
+    bit width turns quadratic as N grows — exactly the regime SemDeDup's
+    n/750 cell sizing avoids. Growing bits with log2(N / target_bucket)
+    holds the expected bucket size (and therefore per-query candidate
+    count) ~constant, keeping total cost ~linear in N. The registered
+    oracle twin pins ``bits=SIGN_BITS`` instead: the DuckDB oracle is a
+    static SQL string and must compute the identical bucket key."""
+    if bits is None:
+        import math
+
+        n = emb.count()
+        bits = max(4, min(16, math.ceil(math.log2(max(n, 1) / target_bucket + 1))))
+    b = fan_out(emb).select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), bits).alias("__bkt"),
+    )
+    a = b.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col("__bkt"),
+    )
+    e = b.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__ev"),
+        F.col("__bkt"),
+    )
+    # both sides derive from the same projected scan; the equi-join keys
+    # them on the bucket, so Catalyst plans one shuffle per side (or a
+    # size-based broadcast at small SF) — never a cross join
+    scored = (
+        a.join(e, "__bkt")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__ev")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim", F.col("rk").cast("long").alias("rk")
+        )
+    )
+
+
 def int8_quantize(v: Column) -> Column:
     """Symmetric per-vector int8 quantization: q_i = round_half_up(x_i * s)
     with s = 127 / max|x|.

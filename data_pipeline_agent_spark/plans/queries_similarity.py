@@ -52,6 +52,36 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_knn_graph",
+    oracle=f"""
+        WITH b AS (SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bkt
+                   FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 round({_sql_cos('a.embedding', 'e.embedding')}, 6) AS cos_sim
+          FROM b a JOIN b e ON e.bkt = a.bkt AND e.vec_id != a.vec_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+        FROM scored
+        QUALIFY rk <= 3
+    """,
+    description="all-points k-NN graph (top-3 cosine neighbors for EVERY "
+    "vector) via sign-LSH bucketed SELF-join — no anchor broadcast, both "
+    "sides shuffle once on the bucket key; the building block for "
+    "graph-based curation (density/novelty scoring, label propagation); "
+    "exact within-bucket, so the DuckDB twin hash-matches bit-for-bit",
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bits pinned to SIGN_BITS so the static oracle computes the same
+    # bucket key; the operator's scale default (bits=None) sizes the
+    # width from the corpus instead — see knn_graph's docstring
+    emb = table(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, k=3, bits=SIGN_BITS)
+
+
+@register(
     "sim_lsh_bucketed_topk",
     oracle=f"""
         WITH b AS (SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bkt

@@ -188,6 +188,19 @@ def test_fuzzy_match_is_blocked_equijoin(spark):
             )
 
 
+def test_knn_graph_is_bucketed_equijoin_with_topk_pushdown(spark):
+    # all-points kNN must never be the corpus-squared cross join: the
+    # self-join is an equi-join on the sign bucket (AQE may pick a
+    # broadcast build at test SF — that's size-based, not a hint; at
+    # scale it degrades to sort-merge on __bkt), and the per-query top-k
+    # must carry the WindowGroupLimit pushdown so only k rows per query
+    # survive each partition before the final window sort.
+    txt = _formatted(REGISTRY["sim_knn_graph"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "WindowGroupLimit" in txt, "top-k lost the rank-limit pushdown"
+
+
 def test_decile_has_no_global_sort_window(spark):
     # the whole point vs ntile: no Window node anywhere (the only
     # SinglePartition exchange allowed is the 1-row cutoffs aggregate)

@@ -152,3 +152,65 @@ def test_sim_pq_topk_contract_rows(spark):
         (r.query_id, r.neighbor_id, r.rk, r.cos_sim) for r in exact
     )
     assert all(r.recall_ok for r in out)
+
+
+def test_knn_graph_exact_within_bucket_and_adaptive_bits(spark):
+    """All-points kNN graph: (a) the within-bucket result is EXACT — for
+    any query, its reported neighbors are the true cosine top-k among the
+    vectors sharing its sign bucket (cross-checked against a brute-force
+    per-bucket computation); (b) the scale default sizes the bucket width
+    from the corpus (small corpus -> the 4-bit floor), keeping expected
+    bucket size ~constant as N grows instead of going quadratic at a
+    fixed width."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.similarity import (
+        cosine,
+        knn_graph,
+        sign_bucket,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = knn_graph(emb, k=3, bits=4).collect()
+    assert got, "expected neighbors on this corpus"
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) <= 3
+        assert [r["rk"] for r in sorted(rows, key=lambda r: r["rk"])] == list(
+            range(1, len(rows) + 1)
+        )
+
+    # brute-force per-bucket cross-check (50 vectors — cheap)
+    b = emb.select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding"), 4).alias("bkt")
+    )
+    a = b.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bkt"
+    )
+    e = b.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("ev"), "bkt"
+    )
+    truth = {}
+    for r in (
+        a.join(e, "bkt")
+        .where(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.round(cosine(F.col("qv"), F.col("ev")), 6).alias("c"))
+        .collect()
+    ):
+        truth.setdefault(r["qid"], []).append((r["c"], r["nid"]))
+    for q, rows in by_q.items():
+        want = sorted(truth[q], key=lambda t: (-t[0], t[1]))[: len(rows)]
+        got_pairs = [
+            (r["cos_sim"], r["neighbor_id"])
+            for r in sorted(rows, key=lambda r: r["rk"])
+        ]
+        assert got_pairs == want, (q, got_pairs, want)
+
+    # adaptive width: 50 vectors / target 500 -> the 4-bit floor, so the
+    # default path must equal the explicit bits=4 result
+    auto = knn_graph(emb, k=3).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in auto} == {
+        (r["query_id"], r["neighbor_id"]) for r in got
+    }
