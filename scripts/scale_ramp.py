@@ -332,7 +332,9 @@ AUDIT_APPENDIX = """
 ## Full-registry audit at the 10x tier (rounds 3-4)
 
 All 130 registry queries were additionally run at the sf1 tier: zero
-errors. Because the host shows intermittent wall-clock-dilation episodes
+errors — re-confirmed in round 7 on the grown registry: all 134 queries
+(including the new multimodal contract and all-points kNN-graph entries)
+ran at the sf1 tile with zero errors, 275.7 s single-sweep total. Because the host shows intermittent wall-clock-dilation episodes
 (a contiguous block of queries can read 10x+ slow in one sweep), every
 suspicious ratio was re-measured in isolation before acting. Findings:
 
