@@ -82,6 +82,54 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_knn_density",
+    oracle=f"""
+        WITH b AS (SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bkt
+                   FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 round({_sql_cos('a.embedding', 'e.embedding')}, 6) AS cos_sim
+          FROM b a JOIN b e ON e.bkt = a.bkt AND e.vec_id != a.vec_id
+        ),
+        knn AS (
+          SELECT query_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+          FROM scored QUALIFY rk <= 3
+        )
+        SELECT CAST(query_id AS BIGINT) AS vec_id,
+               CAST(count(*) AS BIGINT) AS n_neighbors,
+               round(sum(cos_sim), 6) AS sum_neighbor_cos,
+               round(sum(cos_sim), 6) >= 0.25 * count(*) AS redundant
+        FROM knn GROUP BY query_id
+    """,
+    description="kNN-density redundancy score: summed cosine to each "
+    "vector's top-3 bucket neighbors (composed on sim_knn_graph; the "
+    "mean is sum/n_neighbors) — the per-document redundancy/novelty "
+    "signal used for density-aware curation (downweight dense near-dup "
+    "regions, keep sparse novel ones); one extra groupBy over the kNN "
+    "edge list. The hash-compared aggregate is the SUM, not the mean: "
+    "summed 6-dp values have an exact 6-dp decimal total, so an "
+    "order-of-addition ulp cannot cross a rounding boundary, where a "
+    "mean of two 6-dp values lands exactly on a 7th-digit midpoint half "
+    "the time and Spark/DuckDB resolve the tie differently (observed at "
+    "sf0.001: 0.1082715 rounded 0.108271 vs 0.108272)",
+)
+def sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    g = S.knn_graph(table(spark, sf_dir, "embeddings"), k=3, bits=SIGN_BITS)
+    return g.groupBy(F.col("query_id").cast("long").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        F.round(F.sum("cos_sim"), 6).alias("sum_neighbor_cos"),
+        (
+            F.round(F.sum("cos_sim"), 6)
+            >= F.lit(0.25) * F.count(F.lit(1))
+        ).alias("redundant"),
+    )
+
+
+@register(
     "sim_lsh_bucketed_topk",
     oracle=f"""
         WITH b AS (SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bkt

@@ -9,6 +9,13 @@ Conventions that make the driver's order-insensitive value-hash match:
 - float outputs of AGGREGATES are rounded to 6 decimals on both sides
   (Spark and DuckDB sum in different orders; per-row arithmetic is left
   exact since IEEE doubles agree bit-for-bit on identical expressions);
+- never AVERAGE already-rounded values into a hash-compared column: the
+  mean of n 6-dp values lands exactly on a 7th-digit midpoint whenever n
+  divides the last digit's sum (half the time for n=2), and Spark/DuckDB
+  resolve the double-midpoint tie differently (observed: 0.1082715 ->
+  0.108271 vs 0.108272). SUM the rounded values instead — a sum of 6-dp
+  decimals has an exact 6-dp total, so an order-of-addition ulp cannot
+  cross a rounding boundary — and derive the mean downstream if needed;
 - integer outputs are cast to BIGINT on both sides.
 """
 
