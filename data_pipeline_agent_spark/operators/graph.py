@@ -60,48 +60,55 @@ def connected_components(
     e_in = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
         eager=True
     )
-    # Closure shuffle-width sizing (r7): each round materializes via eager
-    # localCheckpoint, and RDD materialization compiles its plan WITHOUT
-    # AQE's post-shuffle coalescing — so every one of the O(log D) rounds
-    # would run its joins/aggregates at the session's full static shuffle
-    # width no matter how small the label table is. Post-threshold
-    # duplicate graphs are orders of magnitude smaller than the corpus
-    # (sf0.1 semantic pairs: 292 edges from 2000 vectors; measured
-    # ~0.5 s/round at width 32 vs ~0.1 s at width 1 on local[32]), so
-    # size the closure's shuffles from the ACTUAL edge count — about
-    # ``rows_per_partition`` symmetrized edges per partition, never wider
-    # than the static setting (a billion-edge graph on a real cluster
-    # keeps full width; only the small-graph case narrows). The target is
-    # CPU-work-sized, not memory-sized: closure rounds are join/agg CPU
-    # over the label table, so partitions far above ~50k rows idle the
-    # other cores (measured on the 25k-edge sf10 minhash graph: 2.5 s at
-    # a 500k-row target/width 1 vs 1.6 s at 50k/width 2; the 292-edge
-    # sf0.1 graph stays width 1 either way). The conf is session-global,
-    # so it is restored in ``finally``; the returned label frame is
-    # checkpointed, so downstream consumers compile under the caller's
-    # width.
-    spark = edges.sparkSession
-    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+    # Closure shuffle-width sizing (r7, de-globalized r8): each round
+    # materializes via eager localCheckpoint, and RDD materialization
+    # compiles its plan WITHOUT AQE's post-shuffle coalescing — so every
+    # one of the O(log D) rounds would run its joins/aggregates at the
+    # session's full static shuffle width no matter how small the label
+    # table is. Post-threshold duplicate graphs are orders of magnitude
+    # smaller than the corpus (sf0.1 semantic pairs: 292 edges from 2000
+    # vectors; measured ~0.5 s/round at width 32 vs ~0.1 s at width 1 on
+    # local[32]), so size the closure's shuffles from the ACTUAL edge
+    # count — about ``rows_per_partition`` symmetrized edges per
+    # partition, never wider than the session's static setting (a
+    # billion-edge graph on a real cluster keeps full width; only the
+    # small-graph case narrows). The target is CPU-work-sized, not
+    # memory-sized: closure rounds are join/agg CPU over the label table,
+    # so partitions far above ~50k rows idle the other cores (measured on
+    # the 25k-edge sf10 minhash graph: 2.5 s at a 500k-row target/width 1
+    # vs 1.6 s at 50k/width 2; the 292-edge sf0.1 graph stays width 1
+    # either way). r8 (verdict task 3): the width is applied as explicit
+    # ``repartition(width, key)`` on each closure frame — scoped to THIS
+    # plan — instead of mutating the session-global shuffle-partitions
+    # conf, which silently narrowed any plan compiled concurrently in the
+    # same session (parallel job thread, streaming micro-batch) for the
+    # duration of the closure. Each repartition IS the stage's shuffle:
+    # the downstream join/aggregate sees its clustering requirement
+    # already satisfied at ``width`` and adds no second exchange.
     n_edges = e_in.count()
-    width = max(
-        1,
-        min(int(old_width), (2 * n_edges + rows_per_partition - 1) // rows_per_partition),
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    width = max(1, (2 * n_edges + rows_per_partition - 1) // rows_per_partition)
     try:
-        return _cc_rounds(e_in, max_iter, strict)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_width)
+        static_width = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        static_width = None  # non-integer conf (e.g. 'auto') -> no cap
+    if static_width is not None:
+        width = min(width, static_width)
+    return _cc_rounds(e_in, max_iter, strict, width)
 
 
-def _cc_rounds(e_in: DataFrame, max_iter: int, strict: bool) -> DataFrame:
+def _cc_rounds(e_in: DataFrame, max_iter: int, strict: bool, width: int) -> DataFrame:
     e = (
         e_in.union(e_in.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(width, "u", "v")  # distinct's clustering, at width
         .distinct()
+        .repartition(width, "u")  # the propagate join's key layout
         .persist()
     )
     labels = (
         e.select(F.col("u").alias("node"))
+        .repartition(width, "node")  # distinct's clustering, at width
         .distinct()
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
@@ -119,11 +126,16 @@ def _cc_rounds(e_in: DataFrame, max_iter: int, strict: bool) -> DataFrame:
     prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iter):
-        prop = e.join(labels, e.u == labels.node).select(
+        # labels is a checkpointed RDD each round: re-cluster it on the
+        # join key at the closure width so the propagate join compiles
+        # co-partitioned with e (no session-width exchange on either side)
+        lbl = labels.repartition(width, "node")
+        prop = e.join(lbl, e.u == lbl.node).select(
             F.col("v").alias("node"), F.col("comp")
         )
         new = (
             labels.unionByName(prop)
+            .repartition(width, "node")  # the min-agg's shuffle, at width
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
@@ -133,8 +145,9 @@ def _cc_rounds(e_in: DataFrame, max_iter: int, strict: bool) -> DataFrame:
         # the lookup join always hits; taking it each round doubles the
         # shortcut depth and turns O(diameter) convergence into O(log).
         l2 = new.select(F.col("node").alias("c_node"), F.col("comp").alias("c_comp"))
+        jl = new.repartition(width, "comp")  # lookup-join layout, at width
         new = (
-            new.join(l2, new.comp == l2.c_node, "left")
+            jl.join(l2, jl.comp == l2.c_node, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("c_comp", "comp")).alias("comp"),

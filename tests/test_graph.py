@@ -67,6 +67,21 @@ def test_duplicate_groups_survivor_semantics(spark):
     assert len(kept) == 2
 
 
+def test_cc_never_mutates_session_conf(spark, monkeypatch):
+    """r8 (verdict task 3): the closure sizes its shuffles via explicit
+    repartition(width, key) scoped to its own plan — a concurrent plan
+    compiled in the same session must never see a narrowed
+    spark.sql.shuffle.partitions. Gate: any conf.set during the closure
+    fails the test."""
+
+    def _boom(*a, **kw):
+        raise AssertionError(f"session conf mutated during CC: {a}")
+
+    monkeypatch.setattr(type(spark.conf), "set", _boom)
+    got = _cc(spark, [(1, 2), (2, 3), (8, 9)])
+    assert got == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
 def test_connected_components_matches_naive_closure_property(spark):
     """Property test: on random small graphs, the distributed min-label
     propagation must agree with a driver-side union-find ground truth."""
