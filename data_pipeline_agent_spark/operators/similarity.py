@@ -45,11 +45,18 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
-def sign_bucket(v: Column, bits: int = SIGN_BITS) -> Column:
-    """Deterministic LSH bucket: bit i set iff v[i+1] > 0."""
+def sign_bucket(v: Column, bits: int = SIGN_BITS, offset: int = 0) -> Column:
+    """Deterministic LSH bucket: bit i set iff v[offset+i+1] > 0.
+
+    ``offset`` selects a disjoint block of dimensions as the hyperplane
+    set — rotation r of a multi-probe scheme uses offset r*bits, so
+    callers must keep offset+bits <= dim (element_at past the array end
+    is NULL, which would silently zero the high bits)."""
     out = F.lit(0).cast("long")
     for i in range(bits):
-        out = out + F.when(F.element_at(v, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        out = out + F.when(
+            F.element_at(v, offset + i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
     return out
 
 
@@ -116,6 +123,7 @@ def knn_graph(
     vec_col: str = "embedding",
     bits: int | None = None,
     target_bucket: int = 500,
+    rotations: int = 1,
 ) -> DataFrame:
     """k-NN GRAPH: top-k cosine neighbors for EVERY vector (not a small
     anchor set) — the building block for graph-based curation (SemDeDup
@@ -124,24 +132,36 @@ def knn_graph(
 
     Anchor-broadcast plans don't apply here (the anchor set IS the
     corpus), so the scale shape is a sign-LSH bucketed SELF-join: both
-    sides shuffle once on the bucket key (co-partitioned sort-merge
-    join — no broadcast, no driver collect), candidates are only
-    within-bucket, and the per-query top-k window's input is bounded by
-    the query's bucket size. Cost is sum of squared bucket sizes — the
-    same regime every LSH stage in this package runs — versus the N^2/p
-    all-pairs a cross join would cost. Recall is bucket-granularity
-    bound (same trade as ``lsh_bucketed_topk``, whose recall floor is
-    oracle-gated); callers needing higher recall union multiple
-    rotations' buckets before the window.
+    sides shuffle once on the (rotation, bucket) key (co-partitioned
+    sort-merge join — no broadcast, no driver collect), candidates are
+    only within-bucket, and the per-query top-k window's input is
+    bounded by the query's bucket sizes. Cost is sum of squared bucket
+    sizes per rotation — the same regime every LSH stage in this package
+    runs — versus the N^2/p all-pairs a cross join would cost.
+
+    Recall is bucket-granularity bound: a single sign projection
+    recovers only ~2x the random-collision base rate of the true top-k
+    on unstructured vectors (measured 0.12-0.15 at test SFs vs a 1/16
+    base; the registered ``sim_knn_graph_recall`` contract gates the
+    number). ``rotations=R`` unions R disjoint sign-plane blocks
+    (rotation r buckets on dims [r*bits, (r+1)*bits)) before the top-k
+    window — candidate volume and recall both grow ~R-fold (measured
+    0.41-0.49 at R=4), cost stays linear in N. Callers must keep
+    rotations*bits <= dim.
 
     ``bits=None`` (the scale default) sizes the bucket key from the
     corpus: cost is sum(bucket_size^2) ~= N * (N / 2^bits), so a FIXED
     bit width turns quadratic as N grows — exactly the regime SemDeDup's
     n/750 cell sizing avoids. Growing bits with log2(N / target_bucket)
     holds the expected bucket size (and therefore per-query candidate
-    count) ~constant, keeping total cost ~linear in N. The registered
-    oracle twin pins ``bits=SIGN_BITS`` instead: the DuckDB oracle is a
-    static SQL string and must compute the identical bucket key."""
+    count) ~constant, keeping total cost ~linear in N. The 16-bit
+    adaptive ceiling bounds that linear regime at ~2^16 * target_bucket
+    (~33M vectors at the default target); past it, pass explicit
+    ``bits`` up to dim/rotations (the 64-dim testdata supports 16 bits x
+    4 rotations exactly) — expected bucket size then grows with
+    N / 2^bits again. The registered oracle twin pins ``bits=SIGN_BITS``
+    instead: the DuckDB oracle is a static SQL string and must compute
+    the identical bucket key."""
     if bits is None:
         import math
 
@@ -150,23 +170,32 @@ def knn_graph(
     b = fan_out(emb).select(
         F.col(id_col),
         F.col(vec_col),
-        sign_bucket(F.col(vec_col), bits).alias("__bkt"),
+        F.posexplode(
+            F.array(
+                *[
+                    sign_bucket(F.col(vec_col), bits, r * bits)
+                    for r in range(rotations)
+                ]
+            )
+        ).alias("__rot", "__bkt"),
     )
     a = b.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        F.col("__rot"),
         F.col("__bkt"),
     )
     e = b.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__ev"),
+        F.col("__rot"),
         F.col("__bkt"),
     )
     # both sides derive from the same projected scan; the equi-join keys
-    # them on the bucket, so Catalyst plans one shuffle per side (or a
-    # size-based broadcast at small SF) — never a cross join
+    # them on (rotation, bucket), so Catalyst plans one shuffle per side
+    # (or a size-based broadcast at small SF) — never a cross join
     scored = (
-        a.join(e, "__bkt")
+        a.join(e, ["__rot", "__bkt"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -174,6 +203,11 @@ def knn_graph(
             F.round(cosine(F.col("__qv"), F.col("__ev")), 6).alias("cos_sim"),
         )
     )
+    if rotations > 1:
+        # a pair can collide in several rotations; dedupe on the narrow
+        # (ids, score) grain — the vectors never enter this shuffle, and
+        # cos_sim is deterministic per pair so distinct cannot split one
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

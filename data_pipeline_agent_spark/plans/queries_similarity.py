@@ -129,6 +129,82 @@ def sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Aggregate-recall floor for the kNN graph in its SCALE-DEFAULT mode
+# (adaptive bits, rotations=4). Measured recall of each probe vector's
+# true top-3 (vs brute force): rotations=1 0.12-0.15, rotations=2
+# 0.21-0.29, rotations=4 0.41-0.49 across sf0.001/0.01/0.1 (all land at
+# the 4-bit adaptive floor -> 16 buckets). The 4-rotation random base
+# rate is 1-(1-1/16)^4 ~= 0.23, so 0.3 separates "the bucketed self-join
+# recovers genuine neighbors" from "collisions are chance" with margin
+# on both sides — the sim_ivf_topk floor pattern.
+KNN_GRAPH_RECALL_FLOOR = 0.3
+KNN_GRAPH_ROTATIONS = 4
+
+
+@register(
+    "sim_knn_graph_recall",
+    materializes_on_build=True,
+    oracle=f"""
+        WITH a AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 50),
+        scored AS (
+          SELECT a.query_id, e.vec_id AS neighbor_id,
+                 round({_sql_cos('a.qv', 'e.embedding')}, 6) AS cos_sim
+          FROM embeddings e, a WHERE e.vec_id != a.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk,
+               TRUE AS recall_ok
+        FROM scored
+        QUALIFY rk <= 3
+    """,
+    description="kNN graph in its SCALE-DEFAULT mode (adaptive bucket bits, "
+    "4 sign-plane rotations) under the r4 sketch contract: the "
+    "hash-comparable rows are the exact brute-force top-3 for 50 probe "
+    "vectors, plus an in-row boolean gating the adaptive graph's aggregate "
+    "recall of those exact slots at >= 0.3 (4-rotation random base ~0.23, "
+    "measured 0.41-0.49) — the r7 gap where sim_knn_density's signal "
+    "quality was unmeasured",
+)
+def sim_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph's answer set is bucket-placement-specific (and, in
+    adaptive mode, corpus-size-specific), so — exactly like sim_ivf_topk —
+    the hash-comparable output is the exact top-3 of a bounded probe set
+    and the graph machinery is gated by an in-row aggregate-recall
+    boolean. The graph is still computed over the WHOLE corpus (that IS
+    the operator's cost shape); only the recall measurement restricts to
+    the 50 probes. A recall collapse (broken rotation buckets, lost
+    candidates, mis-keyed self-join) flips the boolean and the driver's
+    value-hash goes red."""
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 50)
+    exact = S.brute_force_topk(emb, probes, k=3).localCheckpoint(eager=True)
+    g = S.knn_graph(emb, k=3, bits=None, rotations=KNN_GRAPH_ROTATIONS).where(
+        F.col("query_id") < 50
+    )
+    hits = exact.join(
+        g.select(
+            F.col("query_id").alias("__aq"), F.col("neighbor_id").alias("__an")
+        ),
+        (exact["query_id"] == F.col("__aq"))
+        & (exact["neighbor_id"] == F.col("__an")),
+        "left_semi",
+    )
+    rec = (
+        hits.agg(F.count(F.lit(1)).alias("__nh"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("__nt")))
+        .select(
+            (F.col("__nh") >= F.lit(KNN_GRAPH_RECALL_FLOOR) * F.col("__nt")).alias(
+                "recall_ok"
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(rec))
+
+
 @register(
     "sim_lsh_bucketed_topk",
     oracle=f"""
