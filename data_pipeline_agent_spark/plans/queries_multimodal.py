@@ -152,8 +152,9 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-frame digest input is content + frame_idx.to_bytes(4, 'big');
     # chr() of each suffix byte reproduces it as long as frame_idx < 128
     # (single-byte UTF-8) — testdata frames top out near 10 per doc, and
-    # the Spark side would emit the same row either way, so a violation
-    # shows up as a hash mismatch, never silently
+    # the bound is ASSERTED inside the query's f0 expression (r8): a
+    # bigger-documents corpus fails loud with the fix named instead of
+    # going red on an oracle artifact
     oracle="""
         SELECT media_id,
                CAST(frame_idx AS BIGINT) AS frame_idx,
@@ -185,6 +186,34 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id",
         F.col("frame_idx").cast("long").alias("frame_idx"),
-        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        _guarded_f0(),
         *_feature_contract_cols(),
     )
+
+
+def _guarded_f0():
+    """f0 with the oracle's byte contract asserted IN the expression (r8,
+    verdict task 6): the DuckDB twin rebuilds the 4-byte big-endian frame
+    index with chr(), which is only byte-identical to the Python
+    ``to_bytes`` suffix for frame_idx < 128 (single-byte UTF-8). Today's
+    testdata tops out near frame 10, but a bigger-documents tile would
+    cross 128 and the hash would go red on an ORACLE artifact, not an
+    engine bug — so the bound fails LOUD with a message naming the fix.
+    The assert lives inside the consumed f0 column (assert_true returns
+    NULL on pass, so ``+ coalesce(guard, 0)`` is value-neutral), making it
+    arithmetically required — column pruning can never drop it, and
+    Catalyst cannot collapse it the way an identical-branch CASE WHEN
+    would be (SimplifyConditionals folded the first form of this guard
+    clean out of the plan)."""
+    guard = F.assert_true(
+        F.col("frame_idx") < 128,
+        F.lit(
+            "mm_frame_sample oracle contract violated: frame_idx >= 128 "
+            "cannot be rebuilt with single-byte chr() in the DuckDB twin "
+            "(blob >= ~8.2 KB at 64-byte frames) — extend the oracle to "
+            "multi-byte index encoding before raising the bound; the "
+            "engine-side frame_sample output itself is correct"
+        ),
+    )
+    f0 = F.round(F.element_at("feature", 1).cast("double"), 6)
+    return (f0 + F.coalesce(guard.cast("double"), F.lit(0.0))).alias("f0")

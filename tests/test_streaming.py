@@ -149,6 +149,46 @@ def test_multimodal_image_features(spark):
     assert frames.count() > 10  # multiple frames per video
 
 
+def test_mm_frame_sample_guard_fails_loud_past_oracle_byte_bound(spark):
+    """r8 (verdict task 6): the registered mm_frame_sample query's oracle
+    rebuilds the frame-index suffix with single-byte chr(), valid only for
+    frame_idx < 128. A blob big enough to cross that (>= 8256 bytes at
+    64-byte frames) must fail LOUD with the fix named — never go red on a
+    silent oracle hash mismatch. The guard lives inside the consumed f0
+    column, so column pruning can't drop it."""
+    from data_pipeline_agent_spark.operators.multimodal import frame_sample
+    from data_pipeline_agent_spark.plans.queries_multimodal import (
+        _feature_contract_cols,
+        _guarded_f0,
+    )
+
+    big = spark.createDataFrame(
+        [(1, "video", b"x" * 9000, "mp4", 8, 8)],
+        "media_id long, media_type string, content binary, meta_format string, meta_width long, meta_height long",
+    )
+    frames = frame_sample(big, every_n=2, fake=True)
+    guarded = frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        _guarded_f0(),
+        *_feature_contract_cols(),
+    )
+    with pytest.raises(Exception, match="oracle contract violated"):
+        guarded.collect()
+    # below the bound the same select is clean
+    small = spark.createDataFrame(
+        [(1, "video", b"x" * 640, "mp4", 8, 8)],
+        "media_id long, media_type string, content binary, meta_format string, meta_width long, meta_height long",
+    )
+    ok = frame_sample(small, every_n=2, fake=True).select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        _guarded_f0(),
+        *_feature_contract_cols(),
+    )
+    assert ok.count() == 5
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Append mode + 10-min watermark: a row arriving AFTER its window's
     state was finalized and evicted must be dropped (bounded state is what
