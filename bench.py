@@ -79,6 +79,9 @@ HEADLINE = [
     "q9_profit_by_nation",
     "q13_order_distribution",
     "q18_large_volume_customers",
+    # r8: the round's new operator family — span-level dedup (the one
+    # headline over documents; also rides the 10x scale ramp via HEADLINE)
+    "dedup_duplicated_spans",
 ]
 
 

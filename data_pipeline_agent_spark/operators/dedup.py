@@ -242,3 +242,97 @@ def normalized_exact_duplicates(
         F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
         (F.col(id_col) == F.min(id_col).over(w)).alias("is_kept"),
     )
+
+
+SPAN_GRAM_N = 8  # span granularity: duplicated runs >= 8 tokens are detected
+
+
+def duplicated_spans(
+    df: DataFrame,
+    n: int = SPAN_GRAM_N,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level (span) dedup — the document-level families (exact /
+    normalized / MinHash / SimHash / semantic) miss boilerplate repeated
+    INSIDE otherwise-distinct documents. Method per Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" (public),
+    re-expressed Spark-first: positional word n-gram anchors; a gram
+    occurring >= ``min_count`` times anywhere in the corpus (cross-doc or
+    within-doc) marks all its positions; a per-doc gaps-and-islands pass
+    (break when the next anchor starts more than n tokens later) merges
+    overlapping/adjacent anchors into maximal duplicated regions. Any
+    duplicated run of >= n tokens contains a duplicated n-gram at every
+    start offset, so detection is exact at n-token granularity — and
+    never a suffix-array single reducer.
+
+    Returns one row per maximal span: (doc_id, span_start, span_end,
+    span_tokens, n_grams), token positions 1-based inclusive.
+
+    Plan shape / scale: ONE corpus scan. Dup detection + marking is a
+    count window over the gram key (one shuffle, corpus-token-sized;
+    equivalent bytes to the groupBy+semi-join form but without a second
+    scan of the shingling stage) — per-gram work is a counter, O(group),
+    so a hot boilerplate gram costs its occurrence count, never
+    occurrences^2 (no pair emission anywhere). The island merge shuffles
+    once per doc; the final (doc, island) aggregate reuses the window's
+    doc clustering (subset partitioning — no third shuffle). At 100 TB
+    the gram join key would be a 64/128-bit fingerprint (xxhash64) to cut
+    shuffle bytes, accepting a vanishing false-positive-span probability;
+    the registered oracle twin keys on the gram TEXT so both engines stay
+    exact. Tokenization is the package-wide convention (split \\s+ on
+    trimmed text, functions/text_hash.py) so the DuckDB twin matches
+    byte-for-byte."""
+    toks = tokens(F.col(text_col))
+    # token array staged as its own attribute: subexpression elimination
+    # does not reach inside higher-order-function lambdas (see shingles)
+    staged = fan_out(df).select(F.col(id_col), toks.alias("__tk"))
+    grams = F.when(
+        F.size("__tk") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__tk") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("__tk", i + off) for off in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = staged.select(
+        F.col(id_col), F.posexplode(grams).alias("__p0", "__gram")
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "__gram")
+    wg = Window.partitionBy("__gram")
+    marked = (
+        occ.withColumn("__cnt", F.count(F.lit(1)).over(wg))
+        .where(F.col("__cnt") >= min_count)
+        .select(id_col, "pos")
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(wd)
+    isl = marked.withColumn(
+        "__brk",
+        F.when(prev.isNull() | (F.col("pos") - prev > n), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "__grp",
+        F.sum("__brk").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy(F.col(id_col), F.col("__grp"))
+        .agg(
+            F.min("pos").alias("__s"),
+            F.max("pos").alias("__e"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__s").cast("long").alias("span_start"),
+            (F.col("__e") + (n - 1)).cast("long").alias("span_end"),
+            (F.col("__e") + (n - 1) - F.col("__s") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+            "n_grams",
+        )
+    )

@@ -300,3 +300,119 @@ def dedup_survivor_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_size",
         )
     )
+
+
+def _span_cte(n: int) -> str:
+    """The span-dedup pipeline as a CTE chain (shared by both span
+    queries): positional n-gram anchors -> corpus-duplicated anchors
+    (total occurrences >= 2, within- or cross-doc) -> per-doc
+    gaps-and-islands merge into maximal spans. Mirrors
+    operators/dedup.py::duplicated_spans step for step on the package
+    tokenization convention."""
+    return f"""
+toks AS (SELECT doc_id, {sql_tokens('text')} AS tk FROM documents),
+pos_t AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, greatest(len(tk) - {n - 1}, 0))) AS pos
+  FROM toks
+),
+occ AS (
+  SELECT doc_id, pos, array_to_string(tk[pos:pos+{n - 1}], ' ') AS gram
+  FROM pos_t
+),
+marked AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY gram) AS cnt
+        FROM occ)
+  WHERE cnt >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > {n}
+              THEN 1 ELSE 0 END AS brk
+  FROM marked
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM isl
+),
+spans AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + {n - 1} AS BIGINT) AS span_end,
+         CAST(max(pos) + {n - 1} - min(pos) + 1 AS BIGINT) AS span_tokens,
+         CAST(count(*) AS BIGINT) AS n_grams
+  FROM isl2 GROUP BY doc_id, grp
+)
+"""
+
+
+@register(
+    "dedup_duplicated_spans",
+    oracle=f"""
+        WITH {_span_cte(D.SPAN_GRAM_N)}
+        SELECT doc_id, span_start, span_end, span_tokens, n_grams
+        FROM spans
+    """,
+    description="substring-level (span) dedup, Lee et al. 2022 method: "
+    "maximal duplicated regions >= 8 tokens per document via positional "
+    "8-gram anchors (corpus occurrence >= 2) + per-doc gaps-and-islands "
+    "merge — one corpus scan, one gram-keyed count window (O(group) per "
+    "anchor, no pair emission), one per-doc window; the dedup modality "
+    "that catches boilerplate repeated INSIDE otherwise-unique documents",
+)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.duplicated_spans(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_span_share",
+    oracle=f"""
+        WITH {_span_cte(D.SPAN_GRAM_N)},
+        doc_tok AS (
+          SELECT doc_id, CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        per_doc AS (
+          SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+          FROM spans GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.n_tokens,
+               CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               round(coalesce(p.dup_tokens, 0) / d.n_tokens, 6) AS dup_share,
+               coalesce(p.dup_tokens, 0) >= 0.5 * d.n_tokens AS mostly_dup
+        FROM doc_tok d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    description="per-document duplicated-token share from the span-dedup "
+    "pass (spans are maximal and non-overlapping, so the sum is a true "
+    "coverage count): the doc-level removal/trimming signal Lee et al. "
+    "derive from span dedup — docs with zero spans kept via left join",
+)
+def dedup_span_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.functions.text_hash import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    spans = D.duplicated_spans(docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").cast("long").alias("dup_tokens")
+    )
+    doc_tok = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return doc_tok.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_share"),
+        (
+            F.coalesce("dup_tokens", F.lit(0)) >= F.lit(0.5) * F.col("n_tokens")
+        ).alias("mostly_dup"),
+    )

@@ -1,0 +1,86 @@
+"""duplicated_spans unit tests (operators/dedup.py, r8): handcrafted
+corpora pin the semantics the sf-corpus oracle check can't isolate —
+cross-doc vs within-doc repeats, island merging of overlapping/adjacent
+anchors, the n-token detection floor, and sub-n documents."""
+
+from pyspark.sql import functions as F
+
+from data_pipeline_agent_spark.operators.dedup import duplicated_spans
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _spans(spark, rows, **kw):
+    out = duplicated_spans(_docs(spark, rows), **kw).collect()
+    return sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_grams) for r in out
+    )
+
+
+W = " ".join  # token helper
+
+
+def test_cross_doc_duplicated_run_detected_exactly(spark):
+    # 10 shared tokens inside distinct docs -> one span of 10 in each,
+    # at the right offsets (doc 1: positions 3-12; doc 2: positions 1-10)
+    shared = [f"s{i}" for i in range(10)]
+    rows = [
+        (1, W(["a1", "a2"] + shared + ["a3"])),
+        (2, W(shared + ["b1", "b2", "b3"])),
+    ]
+    got = _spans(spark, rows, n=8)
+    assert got == [(1, 3, 12, 10, 3), (2, 1, 10, 10, 3)]
+
+
+def test_run_shorter_than_n_not_detected(spark):
+    # 7 shared tokens < n=8 -> no duplicated 8-gram exists -> no spans
+    shared = [f"s{i}" for i in range(7)]
+    rows = [
+        (1, W(shared + [f"a{i}" for i in range(8)])),
+        (2, W(shared + [f"b{i}" for i in range(8)])),
+    ]
+    assert _spans(spark, rows, n=8) == []
+
+
+def test_within_doc_repeat_counts_as_duplicated(spark):
+    # the same 8 tokens twice INSIDE one doc (Lee et al. count any
+    # corpus repeat): both occurrences marked, separated by > n gap
+    run = [f"r{i}" for i in range(8)]
+    gap = [f"g{i}" for i in range(12)]
+    rows = [(1, W(run + gap + run))]
+    got = _spans(spark, rows, n=8)
+    assert got == [(1, 1, 8, 8, 1), (1, 21, 28, 8, 1)]
+
+
+def test_adjacent_anchors_merge_into_one_maximal_span(spark):
+    # a 20-token shared run -> 13 overlapping 8-gram anchors -> ONE
+    # maximal span covering all 20 tokens, not 13 fragments
+    shared = [f"s{i}" for i in range(20)]
+    rows = [(1, W(shared)), (2, W(shared))]
+    got = _spans(spark, rows, n=8)
+    assert got == [(1, 1, 20, 20, 13), (2, 1, 20, 20, 13)]
+
+
+def test_docs_below_n_tokens_emit_nothing(spark):
+    rows = [(1, "a b c"), (2, "a b c")]
+    assert _spans(spark, rows, n=8) == []
+
+
+def test_span_plan_has_no_cartesian_and_no_pair_emission(spark):
+    """Plan gate (verdict task 4): never a cross join, and the gram stage
+    must stay O(group) — a count window over the gram key, not a
+    gram-keyed self-join emitting occurrence pairs."""
+    from data_pipeline_agent_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    df = REGISTRY["dedup_duplicated_spans"].spark(spark, SF_DIR)
+    txt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    # exactly one generator (the positional posexplode); a second explode
+    # would signal a pair/variant materialization creeping in
+    assert txt.count("Generate") <= 2  # node + its detail line
