@@ -137,27 +137,35 @@ def _als_recommendations(
     Returns (recs, inter): recs = top-``k`` UNSEEN parts per probe
     customer (custkey, rk, partkey, score); inter = the (cust, part, qty)
     interaction frame the model was fit on. Implicit ALS ranks a user's
-    own history highly, so the model scores a candidate list per probe
-    user and the seen pairs are anti-joined out before the final top-k —
-    the standard serving-time filter. The candidate pool is sized FROM
-    the data (r6, advice item): ``k + max probe-user history count``
-    guarantees >= k unseen survivors per probe user at ANY SF (a fixed
-    pool=20 went under water once history size outgrew it).
+    own history highly, so every item is scored per probe user and the
+    seen pairs are anti-joined out before the final top-k — the standard
+    serving-time filter.
 
     Scale notes: the interaction aggregate is one shuffle on (cust, part),
-    eagerly localCheckpointed — the fit, the probe/pool scalars, the seen
+    eagerly localCheckpointed — the fit, the probe scalar, the seen
     anti-join, and the caller's contract pass all reuse the materialized
     frame instead of re-running the join+agg lineage (r6; same
     blast-radius trade as documented in operators/graph.py: an executor
     loss fails the query and the outer retry recomputes). ALS itself
     alternates block solves partitioned by user/item block — both sides
-    stay distributed. recommendForUserSubset scores only the 5-customer
-    probe set (never the full cross product), so the seen anti-join is
-    5 x pool rows vs the probe users' history. The 15-row recs output is
-    localCheckpointed too: consumers (tests, the registry contract pass)
-    iterate over it without re-triggering the scoring joins over the
-    factor frames. rank/maxIter are deliberately small: quality saturates
-    fast on implicit data and the fit is the only iterative stage."""
+    stay distributed. Scoring (r8, verdict task 5): the 5 probe users'
+    factor vectors broadcast as literals against ONE scan of the
+    distributed itemFactors table — dot products as codegen'd
+    zip_with/aggregate, per-user top-k via the WindowGroupLimit-pushdown
+    window. This is the standard batch-serving plan at any corpus size
+    (queries broadcast, item factors partitioned) and replaced
+    recommendForUserSubset's blockify + block-cross + per-block topK
+    machinery, which was the query's single heaviest non-fit stage
+    (~1.5 s warm / 3.4 s cold at sf0.1 for 5 users); it also removes the
+    r6 data-sized candidate-pool scalar entirely — the anti-join now
+    runs before the top-k, so >= k unseen survivors per user is
+    guaranteed by construction at any SF. maxIter=3 (was 5): implicit-
+    feedback quality saturates within a few alternations and the fit is
+    the only iterative stage (measured 1.7 -> 1.1 s warm; the contract
+    booleans and seeded determinism are unaffected). The 15-row recs
+    output is localCheckpointed too: consumers (tests, the registry
+    contract pass) iterate over it without re-triggering the scoring
+    scan."""
     from pyspark.ml.recommendation import ALS
     from pyspark.sql import Window
 
@@ -174,7 +182,7 @@ def _als_recommendations(
     )
     als = ALS(
         rank=8,
-        maxIter=5,
+        maxIter=3,
         seed=42,
         implicitPrefs=True,
         alpha=1.0,
@@ -189,17 +197,38 @@ def _als_recommendations(
         r["cust"]
         for r in inter.select("cust").distinct().orderBy("cust").limit(5).collect()
     ]
-    probe = spark.createDataFrame([(c,) for c in probe_keys], "cust int")
-    # probe-user history: bounded at 5 users x their parts; drives both
-    # the pool size and the unseen filter (checkpointed inter -> cheap)
+    # probe-user history: bounded at 5 users x their parts; the unseen
+    # filter (checkpointed inter -> cheap)
     hist = inter.where(F.col("cust").isin(probe_keys)).select("cust", "part")
-    max_hist = hist.groupBy("cust").count().agg(F.max("count")).first()[0]
-    pool = k + int(max_hist or 0)
-    scored = (
-        model.recommendForUserSubset(probe, pool)
-        .select(F.col("cust"), F.explode("recommendations").alias("rec"))
-        .select("cust", F.col("rec.part").alias("part"), F.col("rec.rating").alias("rating"))
-    )
+    # 5 probe factor vectors -> literals (rank doubles each; tiny); the
+    # implicit-ALS score is the plain user.item dot product, identical to
+    # what recommendForUserSubset computes blockwise
+    ufac = {
+        r["id"]: [float(x) for x in r["features"]]
+        for r in model.userFactors.where(F.col("id").isin(probe_keys)).collect()
+    }
+    scored = model.itemFactors.select(
+        F.col("id").cast("int").alias("part"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).cast("int").alias("cust"),
+                        F.aggregate(
+                            F.zip_with(
+                                F.lit(ufac[c]),
+                                F.col("features"),
+                                lambda a, b: a * b.cast("double"),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        ).cast("float").alias("rating"),
+                    )
+                    for c in probe_keys
+                ]
+            )
+        ).alias("s"),
+    ).select(F.col("s.cust").alias("cust"), "part", F.col("s.rating").alias("rating"))
     unseen = scored.join(hist, ["cust", "part"], "left_anti")
     w = Window.partitionBy("cust").orderBy(F.col("rating").desc(), F.col("part").asc())
     recs = (
