@@ -442,6 +442,15 @@ _100X_QUERIES = [
     "dedup_survivor_best_quality",
     "grouped_percentiles_totalprice",
     "corpus_shuffle_shards",
+    # round-8 (r7 verdict task 2): the round-7/8 operators in their SCALE
+    # modes — the kNN graph probe runs adaptive bits + 4 rotations over
+    # the whole corpus (sim_knn_graph_recall wraps exactly that, plus a
+    # bounded 50-anchor brute-force recall stage), mm_image_features is
+    # the Arrow mapInPandas media representative, and the new span dedup
+    # rides its first second-decade measurement
+    "sim_knn_graph_recall",
+    "mm_image_features",
+    "dedup_duplicated_spans",
 ]
 _100X_TABLES = {
     "customer",
@@ -550,6 +559,12 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
         "silently reused), fuzzy pair emission is the two-stage explode",
         "(O(group) per-row arrays, see operators/joins.py), and the CC",
         "closure sizes its per-round shuffles from the edge count.",
+        "Round 8: three probes for the newest operators in their SCALE",
+        "modes — the all-points kNN graph with corpus-adaptive bucket",
+        "bits and 4 sign-plane rotations (sim_knn_graph_recall also",
+        "carries its brute-force recall gate, a bounded 50-anchor",
+        "stage), the Arrow-batched multimodal featurizer, and the",
+        "span-level dedup (gram-keyed count window + per-doc islands).",
         "Ratio = t(sf10)/t(sf1) against 10x data — the same",
         "flag rule as above, applied one decade further out to confirm",
         "the 10x trend is a trend and not a plateau artifact.",
