@@ -45,6 +45,25 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def row_norm(v: Column) -> Column:
+    """``sqrt(dot(v, v))`` as a per-ROW column (r8). ``cosine()`` spends
+    2 of its 3 dot products recomputing the two operands' norms for EVERY
+    candidate pair — at the kNN graph's sum-of-squared-bucket-sizes pair
+    count that tripled the dominant stage's FLOPs (measured 38+ min on
+    the 200k-vector sf10 tile before the factoring). Computing each row's
+    norm once in the projection and carrying it through the join is
+    BIT-IDENTICAL to the fused form (same expression over the same input;
+    the pair stage then multiplies the two carried doubles exactly as
+    ``cosine`` would), so every oracle hash is unchanged."""
+    return F.sqrt(dot(v, v))
+
+
+def cosine_pre(dot_ab: Column, na: Column, nb: Column) -> Column:
+    """cosine from a pair dot product and the two carried row norms —
+    the factored twin of ``cosine()`` (identical arithmetic/order)."""
+    return F.try_divide(dot_ab, na * nb)
+
+
 def sign_bucket(v: Column, bits: int = SIGN_BITS, offset: int = 0) -> Column:
     """Deterministic LSH bucket: bit i set iff v[offset+i+1] > 0.
 
@@ -70,13 +89,23 @@ def brute_force_topk(
     """Exact top-k neighbors for each anchor row. anchors must be small
     (broadcast); corpus stays distributed."""
     a = anchors.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        row_norm(F.col(vec_col)).alias("__qn"),
     )
-    pairs = fan_out(emb).join(F.broadcast(a), F.col(id_col) != F.col("query_id"))
+    corpus = fan_out(emb).select(
+        F.col(id_col), F.col(vec_col), row_norm(F.col(vec_col)).alias("__en")
+    )
+    pairs = corpus.join(F.broadcast(a), F.col(id_col) != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("__qv"), F.col(vec_col)), 6).alias("cos_sim"),
+        F.round(
+            cosine_pre(
+                dot(F.col("__qv"), F.col(vec_col)), F.col("__qn"), F.col("__en")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -96,17 +125,28 @@ def lsh_bucketed_topk(
     """Approximate top-k: candidates limited to the anchor's sign bucket.
     Same output shape as brute_force_topk; recall depends on bucket
     granularity (documented scale path)."""
-    bucketed = fan_out(emb).withColumn("__bkt", sign_bucket(F.col(vec_col)))
+    bucketed = fan_out(emb).select(
+        F.col(id_col),
+        F.col(vec_col),
+        row_norm(F.col(vec_col)).alias("__en"),
+        sign_bucket(F.col(vec_col)).alias("__bkt"),
+    )
     a = anchors.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        row_norm(F.col(vec_col)).alias("__qn"),
         sign_bucket(F.col(vec_col)).alias("__bkt"),
     )
     pairs = bucketed.join(F.broadcast(a), "__bkt").where(F.col(id_col) != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("__qv"), F.col(vec_col)), 6).alias("cos_sim"),
+        F.round(
+            cosine_pre(
+                dot(F.col("__qv"), F.col(vec_col)), F.col("__qn"), F.col("__en")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -170,6 +210,7 @@ def knn_graph(
     b = fan_out(emb).select(
         F.col(id_col),
         F.col(vec_col),
+        row_norm(F.col(vec_col)).alias("__nrm"),
         F.posexplode(
             F.array(
                 *[
@@ -182,25 +223,34 @@ def knn_graph(
     a = b.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        F.col("__nrm").alias("__qn"),
         F.col("__rot"),
         F.col("__bkt"),
     )
     e = b.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__ev"),
+        F.col("__nrm").alias("__en"),
         F.col("__rot"),
         F.col("__bkt"),
     )
     # both sides derive from the same projected scan; the equi-join keys
     # them on (rotation, bucket), so Catalyst plans one shuffle per side
-    # (or a size-based broadcast at small SF) — never a cross join
+    # (or a size-based broadcast at small SF) — never a cross join. Norms
+    # ride the projection (row_norm), so the pair stage is ONE dot per
+    # candidate instead of three.
     scored = (
         a.join(e, ["__rot", "__bkt"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__ev")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(
+                    dot(F.col("__qv"), F.col("__ev")), F.col("__qn"), F.col("__en")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     if rotations > 1:
@@ -249,15 +299,22 @@ def quantized_topk(
     corpus and re-ranks the top candidates against the full-precision
     vectors (re-rank step omitted here — the quantized scores ARE the
     output so the quantization error is observable and oracle-checked)."""
-    q = fan_out(emb).select(F.col(id_col), int8_quantize(F.col(vec_col)).alias("__q"))
+    q = fan_out(emb).select(
+        F.col(id_col), int8_quantize(F.col(vec_col)).alias("__q")
+    ).select(F.col(id_col), "__q", row_norm(F.col("__q")).alias("__en"))
     a = anchors.select(
         F.col(id_col).alias("query_id"), int8_quantize(F.col(vec_col)).alias("__qa")
-    )
+    ).select("query_id", "__qa", row_norm(F.col("__qa")).alias("__qn"))
     pairs = q.join(F.broadcast(a), F.col(id_col) != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("__qa"), F.col("__q")), 6).alias("qcos_sim"),
+        F.round(
+            cosine_pre(
+                dot(F.col("__qa"), F.col("__q")), F.col("__qn"), F.col("__en")
+            ),
+            6,
+        ).alias("qcos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("qcos_sim"), F.asc("neighbor_id"))
     return (
@@ -270,13 +327,35 @@ def quantized_topk(
 def embedding_near_dup_pairs(emb: DataFrame, topk: int = 10) -> DataFrame:
     """Embedding-cosine near-dup candidates: within-sign-bucket pairs,
     ranked by cosine. The dedup-by-embedding member of the dedup family."""
-    b = fan_out(emb).withColumn("__bkt", sign_bucket(F.col("embedding")))
-    l = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "__bkt")
-    r = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "__bkt")
+    b = fan_out(emb).select(
+        "vec_id",
+        "embedding",
+        row_norm(F.col("embedding")).alias("__nrm"),
+        sign_bucket(F.col("embedding")).alias("__bkt"),
+    )
+    l = b.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("__nrm").alias("__na"),
+        "__bkt",
+    )
+    r = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("__nrm").alias("__nb"),
+        "__bkt",
+    )
     pairs = l.join(r, "__bkt").where(F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
-            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_pre(
+                    dot(F.col("va"), F.col("vb")), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
         .limit(topk)
@@ -361,13 +440,26 @@ def ivf_topk(
         .where(F.col("__pr") <= nprobe)
         .select("query_id", "__qv", F.col("cell").alias("__cell"))
     )
-    pairs = assigned.join(F.broadcast(probes), "__cell").where(
+    # per-pair work = one dot: corpus norms carried from the assignment
+    # projection, anchor norms carried on the (tiny) probe frame
+    a_norm = probes.select(
+        "query_id", "__qv", "__cell", row_norm(F.col("__qv")).alias("__qn")
+    )
+    e_norm = assigned.select(
+        id_col, vec_col, "__cell", row_norm(F.col(vec_col)).alias("__en")
+    )
+    pairs = e_norm.join(F.broadcast(a_norm), "__cell").where(
         F.col(id_col) != F.col("query_id")
     )
     scored = pairs.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("__qv"), F.col(vec_col)), 6).alias("cos_sim"),
+        F.round(
+            cosine_pre(
+                dot(F.col("__qv"), F.col(vec_col)), F.col("__qn"), F.col("__en")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -395,11 +487,20 @@ def semantic_dup_pairs(
     straddle a cluster boundary (the documented SemDeDup trade-off); raise
     n_clusters for speed or lower it for recall."""
     assigned, _ = ivf_assign(emb, n_clusters, seed, id_col, vec_col)
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__cell"
+    withn = assigned.select(
+        id_col, vec_col, "__cell", row_norm(F.col(vec_col)).alias("__nrm")
     )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__cell"
+    a = withn.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__nrm").alias("__na"),
+        "__cell",
+    )
+    b = withn.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+        "__cell",
     )
     return (
         a.join(b, "__cell")
@@ -407,7 +508,12 @@ def semantic_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(
+                    dot(F.col("__va"), F.col("__vb")), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -129,6 +129,56 @@ def sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_knn_graph_adaptive",
+    oracle="""
+        WITH p AS (
+          SELECT greatest(4, least(16,
+                 CAST(ceil(log2(count(*) / 500.0 + 1)) AS INT))) AS bits
+          FROM embeddings
+        ),
+        rots AS (SELECT unnest([0, 1, 2, 3]) AS rot),
+        b AS (
+          SELECT e.vec_id, e.embedding, rots.rot,
+                 CAST(list_sum(list_transform(generate_series(0, p.bits - 1),
+                      i -> CASE WHEN e.embedding[rots.rot * p.bits + i + 1] > 0
+                                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+                      AS BIGINT) AS bkt
+          FROM embeddings e, p, rots
+        ),
+        scored AS (
+          SELECT DISTINCT a.vec_id AS query_id, e2.vec_id AS neighbor_id,
+                 round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(e2.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                 AS cos_sim
+          FROM b a JOIN b e2
+            ON e2.rot = a.rot AND e2.bkt = a.bkt AND e2.vec_id != a.vec_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+        FROM scored
+        QUALIFY rk <= 3
+    """,
+    description="the kNN graph in its SCALE-DEFAULT mode as a first-class "
+    "exact-hash query (r8): adaptive bucket bits computed from the corpus "
+    "size INSIDE the oracle SQL (greatest(4, least(16, ceil(log2(n/500+1)))) "
+    "— the same formula the operator evaluates), 4 sign-plane rotations "
+    "unioned with cross-rotation dedup; unlike sim_knn_graph_recall (whose "
+    "probe filter Catalyst pushes below the window, pruning the graph to 50 "
+    "anchors) this computes and hash-checks the FULL all-points graph — the "
+    "100x-tier probe for the adaptive-bits linearity claim",
+)
+def sim_knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.knn_graph(
+        table(spark, sf_dir, "embeddings"), k=3, bits=None, rotations=4
+    )
+
+
 # Aggregate-recall floor for the kNN graph in its SCALE-DEFAULT mode
 # (adaptive bits, rotations=4). Measured recall of each probe vector's
 # true top-3 (vs brute force): rotations=1 0.12-0.15, rotations=2
@@ -172,11 +222,14 @@ def sim_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptive mode, corpus-size-specific), so — exactly like sim_ivf_topk —
     the hash-comparable output is the exact top-3 of a bounded probe set
     and the graph machinery is gated by an in-row aggregate-recall
-    boolean. The graph is still computed over the WHOLE corpus (that IS
-    the operator's cost shape); only the recall measurement restricts to
-    the 50 probes. A recall collapse (broken rotation buckets, lost
-    candidates, mis-keyed self-join) flips the boolean and the driver's
-    value-hash goes red."""
+    boolean. Cost note (r8): Catalyst pushes the ``query_id < 50`` filter
+    below the top-k window (query_id is the window's partition key) into
+    the self-join's query side, so THIS plan computes the graph only for
+    the 50 probes — which is the right cost for a recall GATE, but means
+    this query is not a full-graph scale probe; ``sim_knn_graph_adaptive``
+    is the full all-points plan (exact-hash-checked, 100x-tier-probed).
+    A recall collapse (broken rotation buckets, lost candidates, mis-keyed
+    self-join) flips the boolean and the driver's value-hash goes red."""
     from pyspark.sql import functions as F
 
     emb = table(spark, sf_dir, "embeddings")

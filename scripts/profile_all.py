@@ -61,6 +61,12 @@ def main() -> None:
             emb, anchors, k=5, n_centroids=16, nprobe=4
         ),
         "sim_pq_topk@ann_only": lambda: S.pq_topk(emb, anchors, k=20),
+        # r8: the all-points graph in its scale-default mode (adaptive
+        # bits, 4 rotations) WITHOUT the recall contract's brute-force
+        # probe stage — the operator's own cost
+        "sim_knn_graph@ann_only": lambda: S.knn_graph(
+            emb, k=3, bits=None, rotations=4
+        ),
     }
     # separate artifact: profile.json's total is compared against
     # bench.py's full_total (<=15% target), which has no ANN-only entries
@@ -94,6 +100,14 @@ def main() -> None:
             ),
             f"sim_pq_topk@{tag}": lambda e=temb, a=tanch: S.pq_topk(e, a, k=20),
         }
+        if tag == "sf1_tile":
+            # the full graph at the sf10 tile is a ~312M-candidate
+            # computation (measured in minutes even after the r8 norm
+            # factoring) — that decade belongs to the tier100 harness
+            # (sim_knn_graph_adaptive), not a per-round best-of-2 profiler
+            tile_builders[f"sim_knn_graph@{tag}"] = lambda e=temb: S.knn_graph(
+                e, k=3, bits=None, rotations=4
+            )
         for n, build in tile_builders.items():
             for _ in range(2):
                 t0 = time.perf_counter()

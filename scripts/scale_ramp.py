@@ -443,12 +443,13 @@ _100X_QUERIES = [
     "grouped_percentiles_totalprice",
     "corpus_shuffle_shards",
     # round-8 (r7 verdict task 2): the round-7/8 operators in their SCALE
-    # modes — the kNN graph probe runs adaptive bits + 4 rotations over
-    # the whole corpus (sim_knn_graph_recall wraps exactly that, plus a
-    # bounded 50-anchor brute-force recall stage), mm_image_features is
+    # modes — sim_knn_graph_adaptive IS the full all-points graph with
+    # corpus-adaptive bits + 4 rotations (NOT sim_knn_graph_recall, whose
+    # probe filter Catalyst pushes below the window, pruning the graph to
+    # 50 anchors — a 50-anchor plan probes nothing), mm_image_features is
     # the Arrow mapInPandas media representative, and the new span dedup
     # rides its first second-decade measurement
-    "sim_knn_graph_recall",
+    "sim_knn_graph_adaptive",
     "mm_image_features",
     "dedup_duplicated_spans",
 ]
