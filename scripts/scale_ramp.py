@@ -417,6 +417,38 @@ suspicious ratio was re-measured in isolation before acting. Findings:
   `decile_customer_acctbal`, `skew_profile_order_custkey`) trade a
   fixed ~1-2 s plan/materialization constant at test scale for plans
   with no per-group reducer sort or value-list buffer at any scale.
+- Round 8: (a) pairwise cosine factored — row norms computed once per
+  side's projection and carried through the join instead of recomputed
+  per candidate pair (bit-identical arithmetic, every oracle hash
+  unchanged; the pair stage drops from 3 dot products to 1). Measured:
+  the 200k-vector full kNN graph (sum-of-squared-buckets ~312M
+  candidates) went from a killed 38+-minute stage to ~185 s in the tier
+  sweep, and `dedup_semantic_clusters` at the sf10 tile re-measured
+  58.5-66.3 s isolated vs 77.8 s in the r7 artifact. (b) the first r8
+  tier sweep read the CC-consuming queries 30-55% above r7
+  (semantic 130.8 s) AND the untouched fuzzy probe 41% high — the
+  isolated re-measure rule attributed it to a dilation episode spanning
+  the sf10 block, not a plan change (semantic isolated: 58.5 s, i.e.
+  FASTER than r7); the committed tier table is the clean re-run.
+  (c) the 100x kNN probe was replaced: `sim_knn_graph_recall`'s probe
+  filter pushes below the top-k window into the self-join (Catalyst
+  partition-key pushdown), so that plan only ever computes a 50-anchor
+  graph — `sim_knn_graph_adaptive` (full graph, adaptive bits, 4
+  rotations, dynamic-bits DuckDB twin) is the honest probe; its
+  measured second decade is ~11-12x per 10x data, and the ratio is
+  decomposed from the DATA, not argued: the true candidate-pair count
+  (sum of squared bucket sizes over all 4 rotations, measured on the
+  tiles) is 25,065,718 at sf1 and 313,385,862 at sf10 — exactly 12.50x
+  per 10x data, within 0.3% of the uniform-bucket estimate (no skew;
+  max bucket 477 vs 390 expected at sf10). The 12.5x constant is the
+  ceil() quantization of the adaptive bit width (bits = ceil(log2(
+  n/target+1)) jumps 6 -> 9 across this decade; the expected bucket can
+  sit up to 2x below target on one tier and near it on the other,
+  bounding the per-decade ratio at <= ~12.5x, never compounding). A
+  sweep whose sf1 sample lands clean while an sf10 sample lands in a
+  dilation episode reads >15x and trips the flag on a plan whose work
+  ratio is measured at 12.50x from the bucket histogram itself — hence
+  the tier-alternating flag-candidate re-measure.
 """
 
 
@@ -514,11 +546,43 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
         _materialize(REGISTRY[n].spark(spark, "/root/testdata/sf0.001"))
     r_sf1 = time_suite(spark, SCALED_DIR, _100X_QUERIES)
     r_sf10 = time_suite(spark, SF10_DIR, _100X_QUERIES)
+
+    def _flag(t1: float, t10: float) -> tuple[float, bool]:
+        ratio = round(t10 / t1, 2) if t1 > 0 else float("inf")
+        return ratio, (ratio > 15.0 and t10 > 2.0)
+
+    # Flag-candidate re-measure (r8): the host's dilation episodes only
+    # ever INFLATE a sample, so min-of-N converges to the true time as N
+    # grows — and a cross-tier ratio built from one lucky sf1 sample and
+    # one dilated sf10 sample flags a plan that is provably
+    # output-proportional (fuzzy's r7 decomposition). Queries whose
+    # first-pass ratio crosses the flag rule get two more dedicated
+    # samples per tier (both tiers, so the re-measure cannot bias the
+    # ratio's direction) before a SUPER-LINEAR verdict is recorded.
+    for n in _100X_QUERIES:
+        _r, fl = _flag(r_sf1[n], r_sf10[n])
+        if not fl:
+            continue
+        # tier-ALTERNATING extra samples: a single contiguous dilation
+        # episode then cannot cover every sample of one tier while
+        # leaving the other tier's samples clean (which is exactly the
+        # mix that manufactures a >15x ratio out of a ~12x plan)
+        for sf_dir, store in (
+            (SCALED_DIR, r_sf1),
+            (SF10_DIR, r_sf10),
+            (SCALED_DIR, r_sf1),
+            (SF10_DIR, r_sf10),
+            (SCALED_DIR, r_sf1),
+            (SF10_DIR, r_sf10),
+        ):
+            t0 = time.time()
+            _materialize(REGISTRY[n].spark(spark, sf_dir))
+            store[n] = min(store[n], round(time.time() - t0, 3))
+            spark.catalog.clearCache()
     rows, flagged = [], []
     for n in _100X_QUERIES:
         t1, t10 = r_sf1[n], r_sf10[n]
-        ratio = round(t10 / t1, 2) if t1 > 0 else float("inf")
-        fl = ratio > 15.0 and t10 > 2.0
+        ratio, fl = _flag(t1, t10)
         if fl:
             flagged.append(n)
         rows.append((n, t1, t10, ratio, fl))
@@ -561,14 +625,19 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
         "(O(group) per-row arrays, see operators/joins.py), and the CC",
         "closure sizes its per-round shuffles from the edge count.",
         "Round 8: three probes for the newest operators in their SCALE",
-        "modes — the all-points kNN graph with corpus-adaptive bucket",
-        "bits and 4 sign-plane rotations (sim_knn_graph_recall also",
-        "carries its brute-force recall gate, a bounded 50-anchor",
-        "stage), the Arrow-batched multimodal featurizer, and the",
-        "span-level dedup (gram-keyed count window + per-doc islands).",
+        "modes — the FULL all-points kNN graph with corpus-adaptive",
+        "bucket bits and 4 sign-plane rotations (sim_knn_graph_adaptive;",
+        "the recall query is NOT the probe — its anchor filter pushes",
+        "below the top-k window and prunes the graph to 50 probes), the",
+        "Arrow-batched multimodal featurizer, and the span-level dedup",
+        "(gram-keyed count window + per-doc islands).",
         "Ratio = t(sf10)/t(sf1) against 10x data — the same",
         "flag rule as above, applied one decade further out to confirm",
-        "the 10x trend is a trend and not a plateau artifact.",
+        "the 10x trend is a trend and not a plateau artifact. Flag",
+        "candidates get two extra dedicated samples per tier (min-of-N;",
+        "dilation only ever inflates, and the re-measure covers BOTH",
+        "tiers so it cannot bias the ratio's direction) before a",
+        "SUPER-LINEAR verdict is recorded (r8).",
         "",
         "| query | sf1 s | sf10 s | ratio (10x data) | flag |",
         "|---|---|---|---|---|",
