@@ -601,7 +601,7 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
         )
     sec = [
         "",
-        "## 100x tier: the second decade (rounds 5-7)",
+        "## 100x tier: the second decade (rounds 5-8)",
         "",
         "sf10 tier = sf0.1 tiled x100. Round 6 extends the tier from the",
         "three heaviest relational probes to the document/embedding",
