@@ -79,9 +79,15 @@ def main() -> None:
             sdf = spec.spark(spark, args.sf_dir).toPandas()
             rec["spark_rows"] = len(sdf)
             if spec.oracle is None:
-                # rows-only check, mirroring the driver's weaker gate
-                rec["rows_match"] = len(sdf) >= 0
-                rec["schema_match"] = True
+                # No DuckDB twin exists: the query RAN (that much is
+                # verified — an exception would land in ``err``) but its
+                # values are NOT hash-checked. Recorded as a distinct
+                # status so the artifact cannot report oracle-grade green
+                # for a query someone registers without an oracle (r9,
+                # ADVICE r8 item 2).
+                rec["status"] = "unverified"
+                rec["rows_match"] = None
+                rec["schema_match"] = None
                 rec["hash_match"] = None
             else:
                 odf = con.execute(spec.oracle).df()
@@ -93,30 +99,28 @@ def main() -> None:
                 rec["hash_match"] = s_rows == o_rows
         except Exception as exc:  # record, never abort the sweep
             rec["err"] = f"{type(exc).__name__}: {exc}"[:500]
+        if "status" not in rec:
+            rec["status"] = (
+                "err" if rec["err"] else ("ok" if rec["hash_match"] else "fail")
+            )
         out[name] = rec
-        flag = (
-            "OK"
-            if (rec["hash_match"] or (rec["hash_match"] is None and rec["rows_match"]))
-            else "FAIL"
-        )
+        flag = {"ok": "OK", "unverified": "UNVERIFIED"}.get(rec["status"], "FAIL")
         print(f"{flag} {name} spark={rec['spark_rows']} oracle={rec['oracle_rows']}")
 
     repo = os.path.join(os.path.dirname(__file__), "..")
     with open(os.path.join(repo, args.out), "w") as f:
         json.dump(out, f, indent=1)
     n_oracle = sum(1 for r in out.values() if r["oracle"])
-    n_green = sum(1 for r in out.values() if r["hash_match"])
-    n_fail = sum(
-        1
-        for r in out.values()
-        if r["err"] or (r["oracle"] and not r["hash_match"])
-    )
+    n_green = sum(1 for r in out.values() if r["status"] == "ok")
+    n_unverified = sum(1 for r in out.values() if r["status"] == "unverified")
+    n_fail = sum(1 for r in out.values() if r["status"] in ("fail", "err"))
     print(
         json.dumps(
             {
                 "total": len(out),
                 "oracle_backed": n_oracle,
                 "hash_green": n_green,
+                "unverified": n_unverified,
                 "failed": n_fail,
                 "sf_dir": args.sf_dir,
             }

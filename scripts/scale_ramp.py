@@ -297,7 +297,11 @@ def generate_scaled(
 
 
 def time_suite(
-    spark: SparkSession, sf_dir: str, names: list[str], sweeps: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str],
+    sweeps: int = 2,
+    counts_out: dict[str, int] | None = None,
 ) -> dict[str, float]:
     """Per-query best-of-``sweeps`` — the host shows intermittent
     wall-clock-dilation episodes that can inflate a contiguous block of
@@ -325,6 +329,10 @@ def time_suite(
     for n in names:
         if max(samples[n]) > 1.3 * min(samples[n]):
             samples[n].append(one(n))
+    if counts_out is not None:
+        # per-query sample count, so downstream tables can mark which rows
+        # are min-of-2 vs min-of-N after resweeps/re-measures (ADVICE r8)
+        counts_out.update({n: len(s) for n, s in samples.items()})
     return {n: min(s) for n, s in samples.items()}
 
 
@@ -544,8 +552,10 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
     print(f"generated {SF10_DIR} in {round(time.time() - t0, 1)}s", file=sys.stderr)
     for n in _100X_QUERIES:
         _materialize(REGISTRY[n].spark(spark, "/root/testdata/sf0.001"))
-    r_sf1 = time_suite(spark, SCALED_DIR, _100X_QUERIES)
-    r_sf10 = time_suite(spark, SF10_DIR, _100X_QUERIES)
+    n_sf1: dict[str, int] = {}
+    n_sf10: dict[str, int] = {}
+    r_sf1 = time_suite(spark, SCALED_DIR, _100X_QUERIES, counts_out=n_sf1)
+    r_sf10 = time_suite(spark, SF10_DIR, _100X_QUERIES, counts_out=n_sf10)
 
     def _flag(t1: float, t10: float) -> tuple[float, bool]:
         ratio = round(t10 / t1, 2) if t1 > 0 else float("inf")
@@ -567,17 +577,18 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
         # episode then cannot cover every sample of one tier while
         # leaving the other tier's samples clean (which is exactly the
         # mix that manufactures a >15x ratio out of a ~12x plan)
-        for sf_dir, store in (
-            (SCALED_DIR, r_sf1),
-            (SF10_DIR, r_sf10),
-            (SCALED_DIR, r_sf1),
-            (SF10_DIR, r_sf10),
-            (SCALED_DIR, r_sf1),
-            (SF10_DIR, r_sf10),
+        for sf_dir, store, cnts in (
+            (SCALED_DIR, r_sf1, n_sf1),
+            (SF10_DIR, r_sf10, n_sf10),
+            (SCALED_DIR, r_sf1, n_sf1),
+            (SF10_DIR, r_sf10, n_sf10),
+            (SCALED_DIR, r_sf1, n_sf1),
+            (SF10_DIR, r_sf10, n_sf10),
         ):
             t0 = time.time()
             _materialize(REGISTRY[n].spark(spark, sf_dir))
             store[n] = min(store[n], round(time.time() - t0, 3))
+            cnts[n] = cnts.get(n, 0) + 1
             spark.catalog.clearCache()
     rows, flagged = [], []
     for n in _100X_QUERIES:
@@ -585,14 +596,23 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
         ratio, fl = _flag(t1, t10)
         if fl:
             flagged.append(n)
-        rows.append((n, t1, t10, ratio, fl))
+        rows.append((n, t1, t10, ratio, fl, n_sf1.get(n, 0), n_sf10.get(n, 0)))
     repo = os.path.join(os.path.dirname(__file__), "..")
     with open(os.path.join(repo, "scale_ramp_100x.json"), "w") as f:
         json.dump(
             {
                 "queries": {
-                    n: {"sf1": t1, "sf10": t10, "ratio": ratio}
-                    for n, t1, t10, ratio, _fl in rows
+                    n: {
+                        "sf1": t1,
+                        "sf10": t10,
+                        "ratio": ratio,
+                        # per-tier sample counts behind each min (ADVICE
+                        # r8: a re-measured min-of-7 row is not
+                        # like-for-like with a min-of-2 row; mark it)
+                        "samples_sf1": c1,
+                        "samples_sf10": c10,
+                    }
+                    for n, t1, t10, ratio, _fl, c1, c10 in rows
                 },
                 "flagged": flagged,
             },
@@ -634,17 +654,20 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
         "Ratio = t(sf10)/t(sf1) against 10x data — the same",
         "flag rule as above, applied one decade further out to confirm",
         "the 10x trend is a trend and not a plateau artifact. Flag",
-        "candidates get two extra dedicated samples per tier (min-of-N;",
+        "candidates get three extra dedicated samples per tier (min-of-N;",
         "dilation only ever inflates, and the re-measure covers BOTH",
         "tiers so it cannot bias the ratio's direction) before a",
-        "SUPER-LINEAR verdict is recorded (r8).",
+        "SUPER-LINEAR verdict is recorded (r8). The samples column marks",
+        "how many samples each tier's min came from (r9, ADVICE r8): rows",
+        "whose counts exceed 2-3 were flag-candidate re-measured and are",
+        "min-of-N, not like-for-like with single-resweep rows.",
         "",
-        "| query | sf1 s | sf10 s | ratio (10x data) | flag |",
-        "|---|---|---|---|---|",
+        "| query | sf1 s | sf10 s | ratio (10x data) | samples (sf1/sf10) | flag |",
+        "|---|---|---|---|---|---|",
     ]
-    for n, t1, t10, ratio, fl in rows:
+    for n, t1, t10, ratio, fl, c1, c10 in rows:
         sec.append(
-            f"| {n} | {t1} | {t10} | {ratio} | "
+            f"| {n} | {t1} | {t10} | {ratio} | {c1}/{c10} | "
             f"{'**SUPER-LINEAR**' if fl else ''} |"
         )
     sec.append("")

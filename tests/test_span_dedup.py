@@ -82,5 +82,10 @@ def test_span_plan_has_no_cartesian_and_no_pair_emission(spark):
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
     # exactly one generator (the positional posexplode); a second explode
-    # would signal a pair/variant materialization creeping in
-    assert txt.count("Generate") <= 2  # node + its detail line
+    # would signal a pair/variant materialization creeping in. Count the
+    # formatted-plan NODE HEADERS ("(<id>) Generate") rather than raw
+    # substring occurrences — the detail-line count is a formatting
+    # implementation detail that shifts across Spark versions (ADVICE r8)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Generate\b", txt)) == 1
