@@ -132,12 +132,18 @@ def sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_knn_graph_adaptive",
     oracle="""
-        WITH p AS (
+        WITH p0 AS (
           SELECT greatest(4, least(16,
-                 CAST(ceil(log2(count(*) / 500.0 + 1)) AS INT))) AS bits
+                 CAST(ceil(log2(count(*) / 500.0 + 1)) AS INT))) AS bits,
+                 min(len(embedding)) AS dim
           FROM embeddings
         ),
-        rots AS (SELECT unnest([0, 1, 2, 3]) AS rot),
+        p AS (
+          SELECT bits,
+                 greatest(1, least(8, CAST(dim // bits AS INT))) AS nrot
+          FROM p0
+        ),
+        rots AS (SELECT unnest(generate_series(0, nrot - 1)) AS rot FROM p),
         b AS (
           SELECT e.vec_id, e.embedding, rots.rot,
                  CAST(list_sum(list_transform(generate_series(0, p.bits - 1),
@@ -165,30 +171,41 @@ def sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUALIFY rk <= 3
     """,
     description="the kNN graph in its SCALE-DEFAULT mode as a first-class "
-    "exact-hash query (r8): adaptive bucket bits computed from the corpus "
-    "size INSIDE the oracle SQL (greatest(4, least(16, ceil(log2(n/500+1)))) "
-    "— the same formula the operator evaluates), 4 sign-plane rotations "
-    "unioned with cross-rotation dedup; unlike sim_knn_graph_recall (whose "
-    "probe filter Catalyst pushes below the window, pruning the graph to 50 "
-    "anchors) this computes and hash-checks the FULL all-points graph — the "
-    "100x-tier probe for the adaptive-bits linearity claim",
+    "exact-hash query (r8, rotations adaptive r9): adaptive bucket bits "
+    "computed from the corpus size INSIDE the oracle SQL (greatest(4, "
+    "least(16, ceil(log2(n/500+1)))) — the same formula the operator "
+    "evaluates) and the rotation count from bits and the embedding dim "
+    "(greatest(1, least(8, dim // bits))), all rotations unioned with "
+    "cross-rotation dedup; unlike sim_knn_graph_recall (whose probe filter "
+    "Catalyst pushes below the window, pruning the graph to 50 anchors) "
+    "this computes and hash-checks the FULL all-points graph — the "
+    "100x-tier probe for the adaptive-bits linearity claim. The corpus "
+    "size comes from parquet footer metadata (table_num_rows), not a "
+    "count() scan",
 )
 def sim_knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_agent_spark.plans.registry import table_num_rows
+
     return S.knn_graph(
-        table(spark, sf_dir, "embeddings"), k=3, bits=None, rotations=4
+        table(spark, sf_dir, "embeddings"),
+        k=3,
+        bits=None,
+        rotations=None,
+        n_hint=table_num_rows(sf_dir, "embeddings"),
+        dim_hint=EMB_DIM,
     )
 
 
 # Aggregate-recall floor for the kNN graph in its SCALE-DEFAULT mode
-# (adaptive bits, rotations=4). Measured recall of each probe vector's
-# true top-3 (vs brute force): rotations=1 0.12-0.15, rotations=2
-# 0.21-0.29, rotations=4 0.41-0.49 across sf0.001/0.01/0.1 (all land at
-# the 4-bit adaptive floor -> 16 buckets). The 4-rotation random base
-# rate is 1-(1-1/16)^4 ~= 0.23, so 0.3 separates "the bucketed self-join
+# (adaptive bits, adaptive rotations — r9, judge task 1). Measured recall
+# of each probe vector's true top-3 (vs brute force): rotations=1
+# 0.12-0.15, rotations=4 (the r8 default) 0.41-0.49, and the r9 adaptive
+# default R = min(8, dim//bits) = 8 at the 4-bit floor: 0.787 / 0.687 /
+# 0.700 at sf0.001 / 0.01 / 0.1. The 8-rotation random base rate is
+# 1-(1-1/16)^8 ~= 0.40, so 0.6 separates "the bucketed self-join
 # recovers genuine neighbors" from "collisions are chance" with margin
 # on both sides — the sim_ivf_topk floor pattern.
-KNN_GRAPH_RECALL_FLOOR = 0.3
-KNN_GRAPH_ROTATIONS = 4
+KNN_GRAPH_RECALL_FLOOR = 0.6
 
 
 @register(
@@ -210,12 +227,12 @@ KNN_GRAPH_ROTATIONS = 4
         QUALIFY rk <= 3
     """,
     description="kNN graph in its SCALE-DEFAULT mode (adaptive bucket bits, "
-    "4 sign-plane rotations) under the r4 sketch contract: the "
+    "adaptive sign-plane rotations) under the r4 sketch contract: the "
     "hash-comparable rows are the exact brute-force top-3 for 50 probe "
     "vectors, plus an in-row boolean gating the adaptive graph's aggregate "
-    "recall of those exact slots at >= 0.3 (4-rotation random base ~0.23, "
-    "measured 0.41-0.49) — the r7 gap where sim_knn_density's signal "
-    "quality was unmeasured",
+    "recall of those exact slots at >= 0.6 (8-rotation random base ~0.40, "
+    "measured 0.69-0.79 — raised from the r8 floor 0.3/measured ~0.45 by "
+    "doubling rotations at the adaptive floor, r9 judge task 1)",
 )
 def sim_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graph's answer set is bucket-placement-specific (and, in
@@ -232,12 +249,19 @@ def sim_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join) flips the boolean and the driver's value-hash goes red."""
     from pyspark.sql import functions as F
 
+    from data_pipeline_agent_spark.plans.registry import table_num_rows
+
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 50)
     exact = S.brute_force_topk(emb, probes, k=3).localCheckpoint(eager=True)
-    g = S.knn_graph(emb, k=3, bits=None, rotations=KNN_GRAPH_ROTATIONS).where(
-        F.col("query_id") < 50
-    )
+    g = S.knn_graph(
+        emb,
+        k=3,
+        bits=None,
+        rotations=None,
+        n_hint=table_num_rows(sf_dir, "embeddings"),
+        dim_hint=EMB_DIM,
+    ).where(F.col("query_id") < 50)
     hits = exact.join(
         g.select(
             F.col("query_id").alias("__aq"), F.col("neighbor_id").alias("__an")

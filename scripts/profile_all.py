@@ -62,10 +62,10 @@ def main() -> None:
         ),
         "sim_pq_topk@ann_only": lambda: S.pq_topk(emb, anchors, k=20),
         # r8: the all-points graph in its scale-default mode (adaptive
-        # bits, 4 rotations) WITHOUT the recall contract's brute-force
-        # probe stage — the operator's own cost
+        # bits, adaptive rotations — r9) WITHOUT the recall contract's
+        # brute-force probe stage — the operator's own cost
         "sim_knn_graph@ann_only": lambda: S.knn_graph(
-            emb, k=3, bits=None, rotations=4
+            emb, k=3, bits=None, rotations=None
         ),
     }
     # separate artifact: profile.json's total is compared against
@@ -106,7 +106,7 @@ def main() -> None:
             # factoring) — that decade belongs to the tier100 harness
             # (sim_knn_graph_adaptive), not a per-round best-of-2 profiler
             tile_builders[f"sim_knn_graph@{tag}"] = lambda e=temb: S.knn_graph(
-                e, k=3, bits=None, rotations=4
+                e, k=3, bits=None, rotations=None
             )
         for n, build in tile_builders.items():
             for _ in range(2):
