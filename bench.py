@@ -106,8 +106,34 @@ def _materialize(df) -> None:
 # driver-facing line under this.
 LINE_BUDGET = 3000
 
+# Canary workload size: 64M generated longs, xxhash64 + bit_xor, 32 fixed
+# partitions — pure JVM codegen, zero I/O, zero data dependence, one
+# 32-row shuffle. ~0.35 s on this host when quiet.
+CANARY_ROWS = 64_000_000
 
-def build_payloads(headline, names, samples, resweeps, sf):
+
+def run_canary(spark) -> float:
+    """Fixed-cost host-speed calibration probe (r9, VERDICT r8 task 3).
+
+    BENCH_r08 read ~1.3-1.5x above r7 on EVERY query including untouched
+    plans — a host dilation episode covering the whole run, which
+    best-of-2 + resweeps cannot normalize and which burned a full judge
+    re-bench to adjudicate. The canary is a seeded, I/O-free, constant
+    workload timed at sweep start / between sweeps / end: its samples
+    measure the HOST, never the engine, so a cross-round comparison can
+    deflate by canary ratio instead of re-litigating noise (convention
+    recorded in SCALE.md). Same-host r7-equivalent quiet reading is the
+    committed baseline in BENCH_r09's canary field."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(0, CANARY_ROWS, 1, 32).agg(
+        F.bit_xor(F.xxhash64("id")).alias("sig")
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
+
+
+def build_payloads(headline, names, samples, resweeps, sf, canary=None):
     """Split results into the small driver-facing line and the side file.
 
     Returns ``(payload, side)``: ``payload`` is the dict printed as the ONE
@@ -127,10 +153,16 @@ def build_payloads(headline, names, samples, resweeps, sf):
         "n_queries": len(names),
         "sf": float(sf) if str(sf).replace(".", "").isdigit() else sf,
     }
+    if canary:
+        # host-speed calibration samples (start/mid/end) + their min:
+        # cross-round comparisons deflate by the canary ratio (r9)
+        payload["canary"] = list(canary)
+        payload["canary_min"] = min(canary)
     side = {
         "sweeps": {n: samples[n] for n in names},
         "resweeps": resweeps,
         "timings": timings,
+        "canary": list(canary or []),
     }
     return payload, side
 
@@ -167,11 +199,17 @@ def main() -> None:
         return dt
 
     # best-of-2: two full sweeps, min per query (see module docstring) —
-    # the first sweep doubles as the whole-registry warm-up pass
+    # the first sweep doubles as the whole-registry warm-up pass. The
+    # canary brackets the sweeps (start/mid/end) so the artifact records
+    # the host's speed DURING the measurement window (r9; one unrecorded
+    # warm-up run first so JIT/codegen warm-up doesn't read as dilation).
+    run_canary(spark)
     samples: dict[str, list[float]] = {n: [] for n in names}
+    canary = [run_canary(spark)]
     for _sweep in range(2):
         for n in names:
             samples[n].append(_time_one(n))
+        canary.append(run_canary(spark))
 
     # r6: a >30% sweep disagreement means at least one sample crossed a
     # host-dilation episode — take a third isolated sample so the min is
@@ -183,7 +221,7 @@ def main() -> None:
     for n in resweeps:
         samples[n].append(_time_one(n))
 
-    payload, side = build_payloads(headline, names, samples, resweeps, sf)
+    payload, side = build_payloads(headline, names, samples, resweeps, sf, canary)
     # Sweep samples go to a side file the driver never reads: the r6
     # ``sweeps`` dict in the main line overflowed the driver's capture
     # buffer (BENCH_r06 parsed: null).  The driver-facing line stays small.

@@ -247,6 +247,30 @@ def normalized_exact_duplicates(
 SPAN_GRAM_N = 8  # span granularity: duplicated runs >= 8 tokens are detected
 
 
+def _gram_occurrences(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Positional word n-gram occurrences: one row per (doc, pos, gram),
+    pos 1-based — the shared first stage of the span family
+    (duplicated_spans, span_partners). Token array staged as its own
+    attribute: subexpression elimination does not reach inside
+    higher-order-function lambdas (see shingles)."""
+    toks = tokens(F.col(text_col))
+    staged = fan_out(df).select(F.col(id_col), toks.alias("__tk"))
+    grams = F.when(
+        F.size("__tk") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__tk") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("__tk", i + off) for off in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select(
+        F.col(id_col), F.posexplode(grams).alias("__p0", "__gram")
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "__gram")
+
+
 def duplicated_spans(
     df: DataFrame,
     n: int = SPAN_GRAM_N,
@@ -284,22 +308,7 @@ def duplicated_spans(
     exact. Tokenization is the package-wide convention (split \\s+ on
     trimmed text, functions/text_hash.py) so the DuckDB twin matches
     byte-for-byte."""
-    toks = tokens(F.col(text_col))
-    # token array staged as its own attribute: subexpression elimination
-    # does not reach inside higher-order-function lambdas (see shingles)
-    staged = fan_out(df).select(F.col(id_col), toks.alias("__tk"))
-    grams = F.when(
-        F.size("__tk") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("__tk") - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("__tk", i + off) for off in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    occ = staged.select(
-        F.col(id_col), F.posexplode(grams).alias("__p0", "__gram")
-    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "__gram")
+    occ = _gram_occurrences(df, n, text_col, id_col)
     wg = Window.partitionBy("__gram")
     marked = (
         occ.withColumn("__cnt", F.count(F.lit(1)).over(wg))
@@ -334,5 +343,90 @@ def duplicated_spans(
             .cast("long")
             .alias("span_tokens"),
             "n_grams",
+        )
+    )
+
+
+SPAN_PARTNER_EXEMPLARS = 3  # partner exemplars kept per duplicated gram
+SPAN_PARTNER_TOPK = 3  # partners reported per document
+
+
+def span_partners(
+    df: DataFrame,
+    n: int = SPAN_GRAM_N,
+    min_count: int = 2,
+    exemplars: int = SPAN_PARTNER_EXEMPLARS,
+    topk: int = SPAN_PARTNER_TOPK,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span->partner attribution (r9, VERDICT r8 task 2): duplicated_spans
+    finds each doc's duplicated regions but not WHO shares them — the
+    Lee et al. 2022 removal decision (keep one copy, trim the rest) needs
+    the span->docs mapping. For each document, the partner documents it
+    shares duplicated n-gram anchors with, ranked by shared-gram count.
+
+    Partner sets are BOUNDED by construction: each duplicated gram keeps
+    only its ``exemplars`` lowest-doc_id participants as join partners
+    (the keep-first canon — min-id docs are the survivors every dedup
+    family in this package elects, so a trimmed doc's partner list points
+    at the copies that would be KEPT). A boilerplate gram occurring in d
+    documents therefore emits <= d * exemplars attribution rows, never
+    the d^2 pair explosion of a full gram self-join — the same
+    group-bounded discipline as the boilerplate miner. Attribution is
+    deliberately asymmetric past the cap: doc 9 lists exemplar doc 1, but
+    doc 1 only lists its own exemplar peers.
+
+    Plan shape: one corpus scan -> (gram, doc) partial-agg groupBy (one
+    shuffle, shrinks within-doc repeats) -> per-gram windows on the SAME
+    exchange (occurrence total, doc rank, and a bounded
+    collect_list(when(rank <= exemplars)) carrying each gram's exemplar
+    set as a <= exemplars-wide array) -> bounded explode -> (doc,
+    partner) groupBy -> per-doc top-k window. NO JOIN anywhere — a
+    gram-keyed exemplar self-join would recompute the whole shingling
+    lineage for both sides (two corpus scans; measured as a second
+    Generate in the plan) — and every stage's grain is corpus-tokens or
+    smaller.
+
+    Returns (doc_id, partner_id, shared_grams, rk), rk <= topk, ties
+    broken by partner_id ascending."""
+    occ = _gram_occurrences(df, n, text_col, id_col)
+    gd = occ.groupBy("__gram", id_col).agg(
+        F.count(F.lit(1)).alias("__occ_in_doc")
+    )
+    wrk = Window.partitionBy("__gram").orderBy(id_col)
+    w_unb = Window.partitionBy("__gram").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = gd.withColumn("__total", F.sum("__occ_in_doc").over(w_unb)).withColumn(
+        "__drk", F.row_number().over(wrk)
+    )
+    # collect_list skips the when()'s NULLs, so the buffered array is at
+    # most ``exemplars`` wide per gram no matter how hot the gram is
+    marked = ranked.where(F.col("__total") >= min_count).withColumn(
+        "__ex",
+        F.collect_list(
+            F.when(F.col("__drk") <= exemplars, F.col(id_col))
+        ).over(w_unb),
+    )
+    pairs = (
+        marked.select(F.col(id_col), F.explode("__ex").alias("partner_id"))
+        .where(F.col("partner_id") != F.col(id_col))
+        # marked's grain is (gram, doc), so count(*) counts DISTINCT
+        # shared grams without a distinct shuffle
+        .groupBy(F.col(id_col), F.col("partner_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )
+    wd = Window.partitionBy(id_col).orderBy(
+        F.desc("shared_grams"), F.asc("partner_id")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(wd))
+        .where(F.col("rk") <= topk)
+        .select(
+            F.col(id_col),
+            F.col("partner_id"),
+            "shared_grams",
+            F.col("rk").cast("long").alias("rk"),
         )
     )

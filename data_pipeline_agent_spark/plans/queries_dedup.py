@@ -302,13 +302,11 @@ def dedup_survivor_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _span_cte(n: int) -> str:
-    """The span-dedup pipeline as a CTE chain (shared by both span
-    queries): positional n-gram anchors -> corpus-duplicated anchors
-    (total occurrences >= 2, within- or cross-doc) -> per-doc
-    gaps-and-islands merge into maximal spans. Mirrors
-    operators/dedup.py::duplicated_spans step for step on the package
-    tokenization convention."""
+def _occ_cte(n: int) -> str:
+    """Positional n-gram occurrences (doc_id, pos, gram) — the shared
+    first stage of every span-family oracle, mirroring
+    operators/dedup.py::_gram_occurrences on the package tokenization
+    convention."""
     return f"""
 toks AS (SELECT doc_id, {sql_tokens('text')} AS tk FROM documents),
 pos_t AS (
@@ -319,7 +317,17 @@ pos_t AS (
 occ AS (
   SELECT doc_id, pos, array_to_string(tk[pos:pos+{n - 1}], ' ') AS gram
   FROM pos_t
-),
+)"""
+
+
+def _span_cte(n: int) -> str:
+    """The span-dedup pipeline as a CTE chain (shared by both span
+    queries): positional n-gram anchors -> corpus-duplicated anchors
+    (total occurrences >= 2, within- or cross-doc) -> per-doc
+    gaps-and-islands merge into maximal spans. Mirrors
+    operators/dedup.py::duplicated_spans step for step on the package
+    tokenization convention."""
+    return f"""{_occ_cte(n)},
 marked AS (
   SELECT doc_id, pos
   FROM (SELECT doc_id, pos,
@@ -416,3 +424,49 @@ def dedup_span_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dup_tokens", F.lit(0)) >= F.lit(0.5) * F.col("n_tokens")
         ).alias("mostly_dup"),
     )
+
+
+@register(
+    "dedup_span_partners",
+    oracle=f"""
+        WITH {_occ_cte(D.SPAN_GRAM_N)},
+        gd AS (
+          SELECT gram, doc_id, count(*) AS occ_in_doc
+          FROM occ GROUP BY gram, doc_id
+        ),
+        gstat AS (
+          SELECT gram, doc_id,
+                 sum(occ_in_doc) OVER (PARTITION BY gram) AS total_occ,
+                 row_number() OVER (PARTITION BY gram
+                      ORDER BY doc_id) AS drk
+          FROM gd
+        ),
+        dup AS (SELECT gram, doc_id, drk FROM gstat WHERE total_occ >= 2),
+        ex AS (
+          SELECT gram, doc_id AS partner_id FROM dup
+          WHERE drk <= {D.SPAN_PARTNER_EXEMPLARS}
+        ),
+        pairs AS (
+          SELECT d.doc_id, e.partner_id, count(*) AS shared_grams
+          FROM dup d JOIN ex e USING (gram)
+          WHERE e.partner_id != d.doc_id
+          GROUP BY d.doc_id, e.partner_id
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(partner_id AS BIGINT) AS partner_id,
+               CAST(shared_grams AS BIGINT) AS shared_grams,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY shared_grams DESC, partner_id ASC) AS BIGINT) AS rk
+        FROM pairs
+        QUALIFY rk <= {D.SPAN_PARTNER_TOPK}
+    """,
+    description="span->partner attribution (r9, VERDICT r8 task 2): for "
+    "each document, the top-3 partner documents sharing its duplicated "
+    "8-gram anchors with shared-gram counts — the WHO behind "
+    "dedup_duplicated_spans' WHERE, i.e. the Lee et al. keep-one-copy "
+    "decision's attribution map. Group-bounded: each duplicated gram "
+    "joins only its 3 lowest-doc_id exemplars (the keep-first canon), so "
+    "a hot boilerplate gram in d docs emits <= 3d rows, never d^2",
+)
+def dedup_span_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.span_partners(table(spark, sf_dir, "documents"))

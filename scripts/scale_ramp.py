@@ -457,6 +457,17 @@ suspicious ratio was re-measured in isolation before acting. Findings:
   dilation episode reads >15x and trips the flag on a plan whose work
   ratio is measured at 12.50x from the bucket histogram itself — hence
   the tier-alternating flag-candidate re-measure.
+- Round 9 measurement convention (VERDICT r8 task 3): bench.py now runs
+  a fixed-cost HOST-SPEED CANARY (64M generated longs, xxhash64 +
+  bit_xor, zero I/O — `bench.run_canary`) at sweep start / between
+  sweeps / end, recorded as `canary`/`canary_min` in the BENCH payload
+  and side file. Cross-ROUND comparisons must first deflate by the
+  canary ratio (r_N.canary_min / r_M.canary_min): BENCH_r08 read
+  1.3-1.5x above r7 on every untouched query purely from a dilated host
+  window, and best-of-2 + resweeps cannot normalize an episode covering
+  the whole run. Quiet-host reference: ~0.19-0.29 s (2026-08,
+  local[32]); a canary_min materially above that marks the round's
+  artifact as host-inflated.
 """
 
 
@@ -492,6 +503,13 @@ _100X_QUERIES = [
     "sim_knn_graph_adaptive",
     "mm_image_features",
     "dedup_duplicated_spans",
+    # round-9 (r8 verdict tasks 2+5): span->partner attribution rides its
+    # first tier row; dedup_span_share probes the windowed+join span
+    # COMPOSITION (not just the base op); ml_als_recommend_parts probes
+    # the iterative MLlib fit + broadcast-probe serving scan
+    "dedup_span_partners",
+    "dedup_span_share",
+    "ml_als_recommend_parts",
 ]
 _100X_TABLES = {
     "customer",
@@ -650,7 +668,13 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
         "the recall query is NOT the probe — its anchor filter pushes",
         "below the top-k window and prunes the graph to 50 probes), the",
         "Arrow-batched multimodal featurizer, and the span-level dedup",
-        "(gram-keyed count window + per-doc islands).",
+        "(gram-keyed count window + per-doc islands). Round 9: the",
+        "span->partner attribution (join-free bounded-exemplar window),",
+        "the span-share composition, and the ALS fit+serve plan get tier",
+        "rows (r8 verdict tasks 2+5), and sim_knn_graph_adaptive now runs",
+        "ADAPTIVE rotations (R = min(8, dim//bits): 8 at the sf1 tile's",
+        "6-bit width, 7 at the sf10 tile's 9-bit width — ~2x the r8 R=4",
+        "candidate volume, recall 0.69-0.79 vs ~0.45).",
         "Ratio = t(sf10)/t(sf1) against 10x data — the same",
         "flag rule as above, applied one decade further out to confirm",
         "the 10x trend is a trend and not a plateau artifact. Flag",

@@ -32,7 +32,9 @@ def test_driver_line_under_budget():
     headline, names, samples, resweeps = _fake_inputs(
         n_registry=200, n_resweeps=200
     )
-    payload, side = bench.build_payloads(headline, names, samples, resweeps, "0.1")
+    payload, side = bench.build_payloads(
+        headline, names, samples, resweeps, "0.1", canary=[123.456, 234.567, 345.678]
+    )
     line = json.dumps(payload)
     assert len(line) < bench.LINE_BUDGET, (
         f"driver-facing bench line is {len(line)} bytes, "
@@ -45,12 +47,25 @@ def test_driver_line_under_budget():
 
 def test_payload_fields_present():
     headline, names, samples, resweeps = _fake_inputs(n_registry=5, n_resweeps=2)
-    payload, _ = bench.build_payloads(headline, names, samples, resweeps, "0.1")
+    payload, side = bench.build_payloads(
+        headline, names, samples, resweeps, "0.1", canary=[0.41, 0.35, 0.52]
+    )
     for key in ("metric", "value", "unit", "queries", "n_resweeps",
-                "full_total", "n_queries", "sf"):
+                "full_total", "n_queries", "sf", "canary", "canary_min"):
         assert key in payload
     assert payload["sf"] == 0.1
     assert payload["n_queries"] == len(names)
     assert set(payload["queries"]) == set(headline)
     # timings are min-of-samples
     assert payload["queries"][headline[0]] == 123.456
+    # the host-speed calibration samples ride both payloads (r9)
+    assert payload["canary"] == [0.41, 0.35, 0.52]
+    assert payload["canary_min"] == 0.35
+    assert side["canary"] == [0.41, 0.35, 0.52]
+
+
+def test_payload_without_canary_still_builds():
+    headline, names, samples, resweeps = _fake_inputs(n_registry=5, n_resweeps=2)
+    payload, side = bench.build_payloads(headline, names, samples, resweeps, "0.1")
+    assert "canary" not in payload
+    assert side["canary"] == []

@@ -137,6 +137,10 @@ def test_tier100_covers_doc_and_embedding_families(ramp100):
         "dedup_survivor_best_quality",
         "grouped_percentiles_totalprice",
         "corpus_shuffle_shards",
+        # r9 (verdict r8 tasks 2+5)
+        "dedup_span_partners",
+        "dedup_span_share",
+        "ml_als_recommend_parts",
     ):
         assert q in ramp100["queries"], q
 

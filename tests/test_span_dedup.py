@@ -89,3 +89,79 @@ def test_span_plan_has_no_cartesian_and_no_pair_emission(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Generate\b", txt)) == 1
+
+
+def _partners(spark, rows, **kw):
+    from data_pipeline_agent_spark.operators.dedup import span_partners
+
+    out = span_partners(_docs(spark, rows), **kw).collect()
+    return sorted((r.doc_id, r.partner_id, r.shared_grams, r.rk) for r in out)
+
+
+def test_span_partners_exemplar_cap_and_keep_first_direction(spark):
+    # one 8-token run shared by 5 docs; exemplars = 3 lowest doc_ids.
+    # Every doc attributes to exemplars {1,2,3} minus itself; docs 4,5
+    # (past the cap) are never listed as partners — the keep-first canon:
+    # trimmed docs point at the copies that would be KEPT.
+    run = [f"s{i}" for i in range(8)]
+    rows = [(d, W(run + [f"u{d}_{i}" for i in range(3)])) for d in (1, 2, 3, 4, 5)]
+    got = _partners(spark, rows, n=8)
+    want = sorted(
+        [
+            (1, 2, 1, 1), (1, 3, 1, 2),
+            (2, 1, 1, 1), (2, 3, 1, 2),
+            (3, 1, 1, 1), (3, 2, 1, 2),
+            (4, 1, 1, 1), (4, 2, 1, 2), (4, 3, 1, 3),
+            (5, 1, 1, 1), (5, 2, 1, 2), (5, 3, 1, 3),
+        ]
+    )
+    assert got == want
+
+
+def test_span_partners_within_doc_repeat_has_no_partner(spark):
+    # a gram duplicated only INSIDE one doc marks spans (Lee et al.) but
+    # attributes no partner — there is no other doc to keep a copy of
+    run = [f"r{i}" for i in range(8)]
+    gap = [f"g{i}" for i in range(12)]
+    rows = [(1, W(run + gap + run))]
+    assert _partners(spark, rows, n=8) == []
+
+
+def test_span_partners_counts_shared_grams_and_ranks(spark):
+    # doc 3 shares a 20-token run with doc 1 (13 overlapping 8-grams) and
+    # a disjoint 8-token run with doc 2 (1 gram): partner 1 ranks first
+    long_run = [f"a{i}" for i in range(20)]
+    short_run = [f"b{i}" for i in range(8)]
+    rows = [
+        (1, W(long_run)),
+        (2, W(short_run)),
+        (3, W(long_run + ["x1", "x2"] + short_run)),
+    ]
+    got = _partners(spark, rows, n=8)
+    assert (3, 1, 13, 1) in got
+    assert (3, 2, 1, 2) in got
+    # symmetric low-id sides
+    assert (1, 3, 13, 1) in got
+    assert (2, 3, 1, 1) in got
+
+
+def test_span_partners_plan_group_bounded(spark):
+    """Plan gate: NO JOIN of any kind (the attribution comes from a
+    bounded collect_list window + explode, never a gram self-join that
+    would re-scan the corpus per side), no cartesian, and exactly two
+    generators — the positional posexplode plus the <= 3-wide exemplar
+    explode."""
+    import re
+
+    from data_pipeline_agent_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    df = REGISTRY["dedup_span_partners"].spark(spark, SF_DIR)
+    txt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in txt
+    assert "Join" not in txt  # no join operator of ANY kind
+    assert len(re.findall(r"\(\d+\) Generate\b", txt)) == 2
+    # exactly one parquet scan: the whole attribution is one corpus pass
+    assert len(re.findall(r"\(\d+\) Scan parquet\b", txt)) == 1
