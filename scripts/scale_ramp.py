@@ -468,6 +468,19 @@ suspicious ratio was re-measured in isolation before acting. Findings:
   the whole run. Quiet-host reference: ~0.19-0.29 s (2026-08,
   local[32]); a canary_min materially above that marks the round's
   artifact as host-inflated.
+- Round 9 third-decade bucket-histogram probe (VERDICT r8 task 6,
+  `scripts/bucket_probe.py` -> bucket_probe.json): the adaptive-bits
+  candidate-pair claim now has TWO measured decades. Candidate pairs
+  (sum of squared bucket sizes over all rotations, at the r9 adaptive
+  operating points bits/R = 6/8 -> 9/7 -> 12/5): 50,135,516 (20k) ->
+  548,421,806 (200k) -> 4,893,040,308 (2M synthetic tier = sf10 tile x
+  10 sign-flip replicas, a bucket-space permutation per replica —
+  in-memory, never a graph build). Decade ratios: 10.94x then 8.92x per
+  10x data — both under the <= ~12.5x ceil() bound and DECREASING, the
+  direct evidence the quantization oscillates rather than compounds.
+  Max bucket sits 1.16-1.23x above the uniform expectation at every
+  tier (312.5/390.6/488.3 expected vs 362/481/586 measured): Poisson
+  occupancy, no skew.
 """
 
 
