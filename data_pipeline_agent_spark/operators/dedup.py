@@ -430,3 +430,84 @@ def span_partners(
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+def span_trimmed_text(
+    df: DataFrame,
+    n: int = SPAN_GRAM_N,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The span-dedup DECISION applied (r9): each document's text with
+    every duplicated region removed — the cleaned-corpus emitter that
+    completes the Lee et al. 2022 span family (duplicated_spans finds
+    the regions, span_partners attributes them, this trims them).
+
+    Coverage comes straight from the anchor grain: token p is covered
+    iff some duplicated anchor starts in [p-n+1, p], computed as a
+    per-doc running max over anchor positions. Anchor rows are UNIONED
+    into the token stream (sorted before their position's token row)
+    rather than joined on (doc, pos): the union rides the per-doc
+    window's one shuffle, where an equi-join would add two more — and
+    the plan gate can assert zero Join nodes. The islands of
+    duplicated_spans are exactly the maximal contiguous covered runs
+    (anchors <= n apart leave no hole), so per doc: kept_tokens ==
+    n_tokens - sum(span_tokens) — a cross-operator identity the tests
+    pin.
+
+    Reconstruction buffers one document's kept tokens per group row
+    (array_sort of (pos, token) structs — collect_list order is not
+    deterministic); a document is the natural memory grain everywhere
+    else in this package (the text column itself). Trimming every
+    occurrence (not keep-one-copy) is the conservative variant of the
+    paper's removal; the keep-one-copy exemplar map is span_partners'
+    output and can exempt keeper docs downstream.
+
+    Returns (doc_id, n_tokens, kept_tokens, trimmed_text)."""
+    occ = _gram_occurrences(df, n, text_col, id_col)
+    wg = Window.partitionBy("__gram")
+    anchors = (
+        occ.withColumn("__cnt", F.count(F.lit(1)).over(wg))
+        .where(F.col("__cnt") >= min_count)
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.lit(None).cast("string").alias("__tok"),
+            F.lit(1).alias("__isa"),
+        )
+    )
+    toks = (
+        fan_out(df)
+        .select(F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__p0", "__tok"))
+        .select(
+            F.col(id_col),
+            (F.col("__p0") + 1).alias("pos"),
+            "__tok",
+            F.lit(0).alias("__isa"),
+        )
+    )
+    # anchors sort BEFORE their position's token row (__isa desc), so the
+    # running max at token p already includes an anchor starting at p
+    wd = Window.partitionBy(id_col).orderBy(
+        F.asc("pos"), F.desc("__isa")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u = toks.unionByName(anchors)
+    last_anchor = F.max(F.when(F.col("__isa") == 1, F.col("pos"))).over(wd)
+    covered = last_anchor.isNotNull() & (last_anchor >= F.col("pos") - (n - 1))
+    kept = u.withColumn("__cov", covered).where(F.col("__isa") == 0)
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__cov"), 0).otherwise(1)).cast("long").alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("__cov"), F.struct(F.col("pos"), F.col("__tok")))
+                    )
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("trimmed_text"),
+    )

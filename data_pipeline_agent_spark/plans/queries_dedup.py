@@ -470,3 +470,55 @@ def dedup_span_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_span_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.span_partners(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_span_trim",
+    oracle=f"""
+        WITH {_occ_cte(D.SPAN_GRAM_N)},
+        anchors AS (
+          SELECT doc_id, pos
+          FROM (SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY gram) AS cnt
+                FROM occ)
+          WHERE cnt >= 2
+        ),
+        tok AS (
+          SELECT doc_id, pos, tk[pos] AS tok
+          FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, len(tk))) AS pos
+                FROM toks)
+        ),
+        fl AS (
+          SELECT t.doc_id, t.pos, t.tok, a.pos AS apos
+          FROM tok t LEFT JOIN anchors a
+            ON a.doc_id = t.doc_id AND a.pos = t.pos
+        ),
+        cov AS (
+          SELECT doc_id, pos, tok,
+                 max(apos) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS last_a
+          FROM fl
+        ),
+        k AS (SELECT doc_id, pos, tok,
+                     (last_a IS NOT NULL
+                      AND last_a >= pos - {D.SPAN_GRAM_N - 1}) AS covd
+              FROM cov)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN covd THEN 0 ELSE 1 END) AS BIGINT)
+                 AS kept_tokens,
+               coalesce(string_agg(CASE WHEN covd THEN NULL ELSE tok END,
+                        ' ' ORDER BY pos), '') AS trimmed_text
+        FROM k GROUP BY doc_id
+    """,
+    description="the span-dedup decision APPLIED (r9): each document's "
+    "text with every duplicated region removed (token coverage from a "
+    "per-doc running max over unioned anchor rows — no range join, no "
+    "equi-join), plus token counts; the cleaned-corpus emitter completing "
+    "the Lee et al. span family (find -> attribute -> trim); per doc "
+    "kept_tokens == n_tokens - dedup_span_share.dup_tokens by "
+    "construction, and the trimmed text is hash-compared byte-for-byte",
+)
+def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.span_trimmed_text(table(spark, sf_dir, "documents"))

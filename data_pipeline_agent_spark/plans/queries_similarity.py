@@ -567,7 +567,8 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor 16): within-cell pair cost is sum(cell²), so a FIXED k would
     turn SemDeDup quadratic as N grows — bounded cells keep it ~linear,
     exactly the paper's k ~ n/1000 regime. The count comes from parquet
-    metadata (no data scan).
+    FOOTER metadata (table_num_rows, r9) — zero Spark jobs, same
+    discipline as the kNN graph's n_hint.
 
     Oracle contract (round 5): group membership depends on where KMeans
     puts the cells, so the hash-comparable output is the corpus size plus
@@ -582,9 +583,10 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_pipeline_agent_spark.operators.graph import duplicate_groups
     from data_pipeline_agent_spark.operators.similarity import semantic_dup_pairs
+    from data_pipeline_agent_spark.plans.registry import table_num_rows
 
     emb = table(spark, sf_dir, "embeddings")
-    n_clusters = max(16, emb.count() // 750)
+    n_clusters = max(16, table_num_rows(sf_dir, "embeddings") // 750)
     pairs = semantic_dup_pairs(
         emb, n_clusters=n_clusters, threshold=SEMDEDUP_THRESHOLD
     ).localCheckpoint(eager=True)

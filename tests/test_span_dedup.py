@@ -165,3 +165,84 @@ def test_span_partners_plan_group_bounded(spark):
     assert len(re.findall(r"\(\d+\) Generate\b", txt)) == 2
     # exactly one parquet scan: the whole attribution is one corpus pass
     assert len(re.findall(r"\(\d+\) Scan parquet\b", txt)) == 1
+
+
+def _trim(spark, rows, **kw):
+    from data_pipeline_agent_spark.operators.dedup import span_trimmed_text
+
+    out = span_trimmed_text(_docs(spark, rows), **kw).collect()
+    return {r.doc_id: (r.n_tokens, r.kept_tokens, r.trimmed_text) for r in out}
+
+
+def test_span_trim_removes_duplicated_region_preserves_order(spark):
+    # doc 1: [a1 a2] + 10 shared + [a3]; the shared run trims out, the
+    # unique tokens survive in original order
+    shared = [f"s{i}" for i in range(10)]
+    rows = [
+        (1, W(["a1", "a2"] + shared + ["a3"])),
+        (2, W(shared + ["b1", "b2", "b3"])),
+    ]
+    got = _trim(spark, rows, n=8)
+    assert got[1] == (13, 3, "a1 a2 a3")
+    assert got[2] == (13, 3, "b1 b2 b3")
+
+
+def test_span_trim_fully_duplicated_doc_trims_to_empty(spark):
+    run = [f"s{i}" for i in range(8)]
+    rows = [(1, W(run)), (2, W(run))]
+    got = _trim(spark, rows, n=8)
+    assert got[1] == (8, 0, "")
+    assert got[2] == (8, 0, "")
+
+
+def test_span_trim_no_duplication_keeps_everything(spark):
+    rows = [(1, W([f"a{i}" for i in range(12)])), (2, W([f"b{i}" for i in range(12)]))]
+    got = _trim(spark, rows, n=8)
+    assert got[1] == (12, 12, W([f"a{i}" for i in range(12)]))
+    assert got[2] == (12, 12, W([f"b{i}" for i in range(12)]))
+
+
+def test_span_trim_consistent_with_duplicated_spans(spark):
+    """Cross-operator identity: the islands of duplicated_spans are
+    exactly the maximal covered runs, so per doc kept_tokens must equal
+    n_tokens - sum(span_tokens) on the real corpus."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.dedup import (
+        duplicated_spans,
+        span_trimmed_text,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    spans = duplicated_spans(docs)
+    per_doc = spans.groupBy("doc_id").agg(F.sum("span_tokens").alias("dup"))
+    trim = span_trimmed_text(docs)
+    bad = (
+        trim.join(per_doc, "doc_id", "left")
+        .where(
+            F.col("kept_tokens")
+            != F.col("n_tokens") - F.coalesce(F.col("dup"), F.lit(0))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_span_trim_plan_no_join_one_window_pass(spark):
+    """Plan gate: the trim plan must carry anchors into the token stream
+    by UNION (rides the per-doc window's shuffle), never a (doc, pos)
+    equi-join or a range join — zero Join nodes; two generators (gram
+    posexplode + token posexplode)."""
+    import re
+
+    from data_pipeline_agent_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    df = REGISTRY["dedup_span_trim"].spark(spark, SF_DIR)
+    txt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in txt
+    assert "Join" not in txt
+    assert len(re.findall(r"\(\d+\) Generate\b", txt)) == 2
