@@ -445,3 +445,51 @@ def test_no_accidental_cartesian(spark, name):
     txt = _formatted(df)
     has_nl = "CartesianProduct" in txt or "BroadcastNestedLoopJoin" in txt
     assert not has_nl, f"{name}: unexpected nested-loop/cartesian:\n{txt[:3000]}"
+
+
+def test_table_num_rows_matches_scan_and_ignores_markers():
+    """Footer-metadata row counts (r9): must equal the actual row count
+    and skip underscore-prefixed non-parquet files (_SUCCESS,
+    _TILE_SCHEME) in tiled directories."""
+    import duckdb
+
+    from data_pipeline_agent_spark.plans.registry import table_num_rows
+
+    for sf_dir, tbl in (
+        ("/root/testdata/sf0.001", "embeddings"),
+        ("/root/testdata/sf0.01", "documents"),
+        ("/root/testdata/sf0.1", "lineitem"),
+    ):
+        want = duckdb.sql(
+            f"SELECT count(*) FROM '{sf_dir}/{tbl}.parquet'"
+        ).fetchone()[0]
+        assert table_num_rows(sf_dir, tbl) == want
+        # memoized: second call hits the cache (same value)
+        assert table_num_rows(sf_dir, tbl) == want
+
+
+def test_oracle_full_artifact_green():
+    """Gate on the committed full-registry oracle artifact
+    (scripts/oracle_full.py): every recorded entry must be status 'ok' —
+    zero failures, zero oracle-less 'unverified' entries (ADVICE r8: the
+    artifact must not fold unverified into green) — and the artifact
+    must substantially cover the registry."""
+    import glob
+    import json
+    import os
+
+    import pytest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(repo, "ORACLE_FULL_r*.json")))
+    if not arts:
+        pytest.skip("no ORACLE_FULL artifact yet (run scripts/oracle_full.py)")
+    with open(arts[-1]) as f:
+        art = json.load(f)
+    assert len(art) >= 140, f"artifact covers only {len(art)} queries"
+    bad = {
+        n: r.get("status", "missing")
+        for n, r in art.items()
+        if r.get("status", "ok" if r.get("hash_match") else "fail") != "ok"
+    }
+    assert not bad, bad
