@@ -193,6 +193,7 @@ def knn_graph(
     rotations: int | None = 1,
     n_hint: int | None = None,
     dim_hint: int | None = None,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """k-NN GRAPH: top-k cosine neighbors for EVERY vector (not a small
     anchor set) — the building block for graph-based curation (SemDeDup
@@ -218,7 +219,12 @@ def knn_graph(
     linear in N. ``rotations=None`` (the scale default, r9) takes every
     block the vector affords capped at 8 (``adaptive_rotations``):
     measured recall 0.69-0.79 at the 4-bit adaptive floor vs 0.41-0.49
-    at the r8 fixed R=4. rotations*bits <= dim is asserted IN-PLAN
+    at the r8 fixed R=4. ``multiprobe=True`` additionally probes each
+    query's 1-Hamming bucket neighborhood (bits+1 keys per rotation,
+    candidate side home-only): measured 0.947-0.960 at R=4 — the
+    high-recall dial, at (bits+1)x candidate volume per rotation, gated
+    by ``sim_knn_graph_multiprobe_recall``. rotations*bits <= dim is
+    asserted IN-PLAN
     (fail loud; try_element_at past the array end is NULL and would
     silently zero the high bucket bits — and the mirrored NULL in a
     DuckDB twin would keep the hash green while recall and cost
@@ -287,6 +293,30 @@ def knn_graph(
         F.col("__rot"),
         F.col("__bkt"),
     )
+    if multiprobe:
+        # flip-one-bit multi-probe (the other recall dial, r9): the QUERY
+        # side additionally probes every 1-Hamming neighbor of its home
+        # bucket — bits+1 probe keys per rotation; the candidate side
+        # stays home-only, so candidate volume grows (bits+1)x per
+        # rotation (still linear in N) and per-rotation recall covers
+        # every single-hyperplane miss — use FEWER rotations with
+        # multiprobe (R=4 multiprobe ~= 20 bucket-probes vs adaptive
+        # R=8's 8) when recall matters more than cost. Measured at R=4
+        # on the 4-bit floor: 0.947-0.960 vs 0.41-0.49 plain. Within a
+        # rotation a pair can match at most one probe key (the
+        # candidate has ONE bucket), so no new dedup grain is
+        # introduced.
+        probe_arr = F.array(
+            F.col("__bkt"),
+            *[F.col("__bkt").bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
+        )
+        a = a.select(
+            "query_id",
+            "__qv",
+            "__qn",
+            "__rot",
+            F.explode(probe_arr).alias("__bkt"),
+        )
     e = b.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__ev"),

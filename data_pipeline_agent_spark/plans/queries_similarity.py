@@ -282,6 +282,88 @@ def sim_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(F.broadcast(rec))
 
 
+# Aggregate-recall floor for the flip-one-bit MULTI-PROBE mode (r9):
+# rotations=4, query side probes its home bucket plus every 1-Hamming
+# neighbor (bits+1 keys per rotation). Measured 0.947 / 0.947 / 0.960 at
+# sf0.001 / 0.01 / 0.1. The chance base is HIGH for this mode — a random
+# candidate collides with one of the 5-of-16 probed buckets per rotation
+# with p = 5/16, union over 4 rotations 1-(11/16)^4 ~= 0.78 — so the 0.85
+# floor sits between base (+0.07) and measured (-0.10); everything is
+# deterministic (fixed sign planes), so the margin is stable, and the
+# mode's real evidence is the ~0.95 measured value recorded here.
+KNN_MULTIPROBE_RECALL_FLOOR = 0.85
+KNN_MULTIPROBE_ROTATIONS = 4
+
+
+@register(
+    "sim_knn_graph_multiprobe_recall",
+    materializes_on_build=True,
+    oracle=f"""
+        WITH a AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 50),
+        scored AS (
+          SELECT a.query_id, e.vec_id AS neighbor_id,
+                 round({_sql_cos('a.qv', 'e.embedding')}, 6) AS cos_sim
+          FROM embeddings e, a WHERE e.vec_id != a.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk,
+               TRUE AS recall_ok
+        FROM scored
+        QUALIFY rk <= 3
+    """,
+    description="the kNN graph's HIGH-RECALL dial (r9): flip-one-bit "
+    "multi-probe — the query side probes its home bucket plus every "
+    "1-Hamming neighbor (bits+1 keys per rotation, candidate side "
+    "home-only, (bits+1)x candidate volume, still linear in N) — under "
+    "the r4 sketch contract: exact brute-force top-3 rows for 50 probes "
+    "(hash-comparable) plus an in-row boolean gating aggregate recall at "
+    ">= 0.85 (measured 0.947-0.960 at rotations=4; chance base ~0.78 "
+    "because multi-probe covers 5/16 buckets per rotation — documented, "
+    "deterministic margins)",
+)
+def sim_knn_graph_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract shape as sim_knn_graph_recall (the probe filter
+    pushes below the top-k window, so this is a cheap 50-anchor gate,
+    not a scale probe — the documented r8 pushdown pattern, used here
+    deliberately to keep the recall gate's cost bounded)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.plans.registry import table_num_rows
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 50)
+    exact = S.brute_force_topk(emb, probes, k=3).localCheckpoint(eager=True)
+    g = S.knn_graph(
+        emb,
+        k=3,
+        bits=None,
+        rotations=KNN_MULTIPROBE_ROTATIONS,
+        multiprobe=True,
+        n_hint=table_num_rows(sf_dir, "embeddings"),
+        dim_hint=EMB_DIM,
+    ).where(F.col("query_id") < 50)
+    hits = exact.join(
+        g.select(
+            F.col("query_id").alias("__aq"), F.col("neighbor_id").alias("__an")
+        ),
+        (exact["query_id"] == F.col("__aq"))
+        & (exact["neighbor_id"] == F.col("__an")),
+        "left_semi",
+    )
+    rec = (
+        hits.agg(F.count(F.lit(1)).alias("__nh"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("__nt")))
+        .select(
+            (
+                F.col("__nh") >= F.lit(KNN_MULTIPROBE_RECALL_FLOOR) * F.col("__nt")
+            ).alias("recall_ok")
+        )
+    )
+    return exact.crossJoin(F.broadcast(rec))
+
+
 @register(
     "sim_lsh_bucketed_topk",
     oracle=f"""

@@ -312,3 +312,62 @@ def test_adaptive_rotations_formula():
     for n in (1, 500, 2_000, 200_000, 10**9):
         bits = adaptive_bits(n)
         assert adaptive_rotations(bits, 64) * bits <= 64
+
+
+def test_knn_graph_multiprobe_beats_plain_and_clears_floor(spark):
+    """r9 high-recall dial: flip-one-bit multi-probe at rotations=4 must
+    clear the 0.85 contract floor and strictly beat the plain R=4 graph
+    (it only ADDS candidates per rotation)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.similarity import (
+        brute_force_topk,
+        knn_graph,
+    )
+    from data_pipeline_agent_spark.plans.queries_similarity import (
+        KNN_MULTIPROBE_RECALL_FLOOR,
+        KNN_MULTIPROBE_ROTATIONS,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 50)
+    exact = brute_force_topk(emb, probes, k=3).localCheckpoint(eager=True)
+    tot = exact.count()
+
+    def recall(mp: bool) -> float:
+        g = knn_graph(
+            emb, k=3, bits=None, rotations=KNN_MULTIPROBE_ROTATIONS, multiprobe=mp
+        ).where(F.col("query_id") < 50)
+        hits = exact.join(
+            g.select(
+                F.col("query_id").alias("q"), F.col("neighbor_id").alias("nb")
+            ),
+            (exact["query_id"] == F.col("q"))
+            & (exact["neighbor_id"] == F.col("nb")),
+            "left_semi",
+        ).count()
+        return hits / tot
+
+    r_plain = recall(False)
+    r_mp = recall(True)
+    assert r_mp >= KNN_MULTIPROBE_RECALL_FLOOR, (r_plain, r_mp)
+    assert r_mp > r_plain, (r_plain, r_mp)
+
+
+def test_sim_knn_graph_multiprobe_recall_contract_rows(spark):
+    """The registered multiprobe contract query's hash rows must be the
+    exact brute-force top-3 twin with the recall boolean genuinely TRUE."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.similarity import brute_force_topk
+    from data_pipeline_agent_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    out = REGISTRY["sim_knn_graph_multiprobe_recall"].spark(spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = brute_force_topk(emb, emb.where(F.col("vec_id") < 50), k=3).collect()
+    assert sorted((r.query_id, r.neighbor_id, r.rk, r.cos_sim) for r in out) == sorted(
+        (r.query_id, r.neighbor_id, r.rk, r.cos_sim) for r in exact
+    )
+    assert all(r.recall_ok for r in out)
