@@ -523,6 +523,9 @@ _100X_QUERIES = [
     "dedup_span_partners",
     "dedup_span_share",
     "ml_als_recommend_parts",
+    # the cleaned-corpus emitter: token-grain window + per-doc string
+    # reconstruction — the widest-output span query
+    "dedup_span_trim",
 ]
 _100X_TABLES = {
     "customer",

@@ -141,6 +141,7 @@ def test_tier100_covers_doc_and_embedding_families(ramp100):
         "dedup_span_partners",
         "dedup_span_share",
         "ml_als_recommend_parts",
+        "dedup_span_trim",
     ):
         assert q in ramp100["queries"], q
 
