@@ -69,3 +69,46 @@ def test_payload_without_canary_still_builds():
     payload, side = bench.build_payloads(headline, names, samples, resweeps, "0.1")
     assert "canary" not in payload
     assert side["canary"] == []
+
+
+def test_bench_compare_deflates_by_canary(tmp_path):
+    """scripts/bench_compare.py: a 2x host slowdown with unchanged plans
+    must deflate to ~1.0 (nothing flagged); without canaries the tool
+    must report raw ratios with the unadjudicated note."""
+    import json
+    import subprocess
+
+    old = {
+        "value": 10.0, "full_total": 20.0, "canary_min": 0.2,
+        "queries": {"q1": 2.0, "q2": 3.0},
+    }
+    new = {
+        "value": 20.0, "full_total": 40.0, "canary_min": 0.4,
+        "queries": {"q1": 4.0, "q2": 6.0},
+    }
+    p_old, p_new = tmp_path / "old.json", tmp_path / "new.json"
+    p_old.write_text(json.dumps(old))
+    p_new.write_text(json.dumps(new))
+    out = subprocess.run(
+        ["python", "scripts/bench_compare.py", str(p_old), str(p_new)],
+        capture_output=True, text=True, check=True,
+        cwd=str(Path(__file__).resolve().parents[1]),
+    )
+    s = json.loads(out.stdout)
+    assert s["host_speed_ratio"] == 2.0
+    assert s["headline_deflated_ratio"] == 1.0
+    assert s["full_deflated_ratio"] == 1.0
+    assert s["flagged_deflated_regressions"] == []
+
+    # pre-canary artifact: raw only, note present
+    del old["canary_min"]
+    p_old.write_text(json.dumps(old))
+    out = subprocess.run(
+        ["python", "scripts/bench_compare.py", str(p_old), str(p_new)],
+        capture_output=True, text=True, check=True,
+        cwd=str(Path(__file__).resolve().parents[1]),
+    )
+    s = json.loads(out.stdout)
+    assert s["host_speed_ratio"] is None
+    assert s["headline_raw_ratio"] == 2.0
+    assert "no canary" in s["note"]
