@@ -1,0 +1,175 @@
+"""Distributed byte-pair-encoding (BPE) merge training.
+
+Learns the first K BPE merge rules from a corpus the way subword-nmt /
+Sennrich et al. 2016 ("Neural Machine Translation of Rare Words with
+Subword Units", public) do — but over the *word-frequency table*, which
+is the standard trick that makes BPE training tractable at corpus scale:
+
+- ONE corpus scan builds ``(word, freq)``. The distinct-word table is
+  Heaps'-law bounded (tens of millions of rows for a 100 TB web corpus,
+  megabytes-to-gigabytes — not terabytes), so every subsequent iteration
+  touches only that small frame, never the corpus again.
+- Each merge iteration is: (a) one map-side explode of adjacent symbol
+  pairs + one freq-weighted pair aggregate (partial/combine map-side, so
+  the shuffle carries distinct pairs, not occurrences), (b) a TakeOrdered
+  argmax of ONE row to the driver (cnt DESC, then lexicographic (l, r) —
+  a deterministic tie-break so Spark and the DuckDB oracle pick the same
+  pair), (c) a map-side fold that applies the merge greedily inside each
+  word's symbol list. No shuffle grows with corpus size.
+- The per-iteration frame is ``localCheckpoint``-ed (it is vocab-sized)
+  so iteration k does not replay merges 1..k-1 — the same bounded-frame
+  iteration pattern as the pointer-jumping connected components in
+  operators/graph.py.
+
+Greedy merge semantics match subword-nmt's scan: within a word, matches
+are applied left-to-right and a merged symbol is never re-matched in the
+same pass. The fold below is equivalent: after merging, the accumulator's
+last element becomes ``l || r``, which can equal ``l`` only if ``r`` is
+empty — impossible — so a just-merged symbol can never immediately
+re-merge, and overlapping runs (l == r, e.g. "aaaa" under (a,a)) collapse
+every-other-pair exactly like the scan.
+
+Reference parity note: /root/reference (main.py:581 LoC pandas profiler)
+has no tokenizer training at all; this is brief-extension surface (the
+"token counting (whitespace + a BPE-ish regex)" item's training-side
+sibling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from data_pipeline_agent_spark.functions.text_hash import tokens
+
+# Words entering BPE training: lowercase ASCII alphanumeric only. This is
+# a *scope* choice, not a shortcut: it pins Spark's UTF-16-code-unit
+# split("") and DuckDB's UTF-8-codepoint string_split(w, '') to the same
+# symbol sequence (they agree on ASCII by construction; astral-plane
+# text would need a codepoint-safe splitter on the Spark side first).
+BPE_WORD_RE = "^[a-z0-9]+$"
+
+# Vocab rows per partition for the merge-iteration frame (rows are a short
+# string list + a long; 500k rows is a few tens of MB per task).
+_ROWS_PER_PARTITION = 500_000
+
+MERGES_SCHEMA = StructType(
+    [
+        StructField("merge_rank", LongType(), False),
+        StructField("lhs", StringType(), False),
+        StructField("rhs", StringType(), False),
+        StructField("token", StringType(), False),
+        StructField("cnt", LongType(), False),
+    ]
+)
+
+
+def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word, freq)`` over lowercase whitespace tokens (ASCII-alnum
+    gate per BPE_WORD_RE). One corpus scan, one map-side-combined
+    aggregate on the word key."""
+    return (
+        docs.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
+        )
+        .where(F.col("word").rlike(BPE_WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Freq-weighted adjacent-symbol-pair counts over ``(freq, syms)``.
+
+    Pairs are emitted per OCCURRENCE within a word ("aaa" contributes
+    (a,a) twice), matching subword-nmt's get_pair_statistics.
+    """
+    pairs = F.when(F.size("syms") < 2, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at("syms", i).alias("l"),
+                F.element_at("syms", i + 1).alias("r"),
+            ),
+        )
+    )
+    return (
+        vocab.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+
+
+def _apply_merge(syms: F.Column, lhs: str, rhs: str) -> F.Column:
+    """Greedy left-to-right merge of adjacent (lhs, rhs) in a symbol
+    list — a map-side fold, no shuffle. See module docstring for the
+    scan-equivalence argument."""
+    merged = F.lit(lhs + rhs)
+    return F.when(F.size(syms) < 2, syms).otherwise(
+        F.aggregate(
+            F.slice(syms, 2, F.size(syms) - 1),
+            F.slice(syms, 1, 1),
+            lambda acc, s: F.when(
+                (F.element_at(acc, -1) == F.lit(lhs)) & (s == F.lit(rhs)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from ``docs``.
+
+    Returns a ``n_merges``-row DataFrame: (merge_rank, lhs, rhs, token,
+    cnt) — the rule sequence a tokenizer would replay, with the
+    freq-weighted pair count each rule won with.
+
+    The per-iteration argmax is a bounded driver collect of exactly ONE
+    row (the same bounded-scalar convention as the CC edge count and the
+    adaptive-bits lookup); everything corpus-sized stays distributed.
+    """
+    spark = docs.sparkSession
+    wf = word_freq(docs, text_col).localCheckpoint(eager=True)
+    # Size the iteration frame's layout from the VOCAB row count, not the
+    # session shuffle width: the loop below runs ~2 stages per merge over
+    # a Heaps'-law-sized frame, and scheduling 32 near-empty tasks per
+    # stage is pure overhead at test SF (measured 10.5 s -> ~3 s at
+    # sf0.1) while a 50M-word web-corpus vocab still gets ~100 real
+    # partitions. The count is free — wf is already materialized.
+    width = max(1, (wf.count() + _ROWS_PER_PARTITION - 1) // _ROWS_PER_PARTITION)
+    vocab = (
+        wf.select("freq", F.split("word", "").alias("syms"))
+        .repartition(width)
+        .localCheckpoint(eager=True)
+    )
+    wf.unpersist()
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for k in range(1, n_merges + 1):
+            top = (
+                _pair_counts(vocab)
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+            merges.append((k, l, r, l + r, cnt))
+            nxt = vocab.select(
+                "freq", _apply_merge(F.col("syms"), l, r).alias("syms")
+            ).localCheckpoint(eager=True)
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(merges, MERGES_SCHEMA)

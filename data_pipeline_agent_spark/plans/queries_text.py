@@ -168,6 +168,90 @@ def text_wordcount_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE merge training (tokenizer learning) ---------------------------------
+
+
+def _bpe_oracle(k_merges: int) -> str:
+    """DuckDB twin of operators/bpe.bpe_train: the SAME K greedy merge
+    iterations, generated as chained CTEs. The merge application uses a
+    positional window formulation (gaps-and-islands parity for the
+    overlapping-run case l == r) instead of Spark's map-side fold — two
+    independent implementations of the greedy scan semantics that must
+    agree rule-for-rule and count-for-count for the hash to match."""
+    from data_pipeline_agent_spark.operators.bpe import BPE_WORD_RE
+
+    parts = [
+        f"""wf AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest({sql_tokens('lower(text)')}) AS word FROM documents
+          ) WHERE regexp_matches(word, '{BPE_WORD_RE}') GROUP BY word
+        )""",
+        "v0 AS (SELECT word, freq, string_split(word, '') AS syms FROM wf)",
+    ]
+    for k in range(1, k_merges + 1):
+        p = k - 1
+        parts += [
+            f"""p{k} AS (
+              SELECT v.syms[u.i] AS l, v.syms[u.i + 1] AS r, sum(v.freq) AS cnt
+              FROM v{p} v, unnest(generate_series(1, len(v.syms) - 1)) AS u(i)
+              WHERE len(v.syms) >= 2 GROUP BY 1, 2
+            )""",
+            f"m{k} AS (SELECT l, r, cnt FROM p{k} "
+            "ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)",
+            f"""e{k} AS (
+              SELECT v.word, v.freq, u.i AS pos, v.syms[u.i] AS sym,
+                     (v.syms[u.i] = m.l
+                      AND coalesce(v.syms[u.i + 1], '') = m.r) AS mt,
+                     m.l || m.r AS tk
+              FROM v{p} v, m{k} m,
+                   unnest(generate_series(1, len(v.syms))) AS u(i)
+            )""",
+            f"g{k} AS (SELECT *, pos - row_number() OVER "
+            f"(PARTITION BY word, mt ORDER BY pos) AS grp FROM e{k})",
+            f"""k{k} AS (
+              SELECT *, mt AND ((pos - min(pos) OVER
+                (PARTITION BY word, mt, grp)) % 2 = 0) AS keep_m FROM g{k}
+            )""",
+            f"""o{k} AS (
+              SELECT *, coalesce(lag(keep_m) OVER
+                (PARTITION BY word ORDER BY pos), false) AS dropped FROM k{k}
+            )""",
+            f"""v{k} AS (
+              SELECT word, freq,
+                     list(CASE WHEN keep_m THEN tk ELSE sym END ORDER BY pos)
+                       FILTER (NOT dropped) AS syms
+              FROM o{k} GROUP BY word, freq
+            )""",
+        ]
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, "
+        f"l || r AS token, CAST(cnt AS BIGINT) AS cnt FROM m{k}"
+        for k in range(1, k_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+_BPE_MERGES = 8
+
+
+@register(
+    "text_bpe_merges",
+    oracle=_bpe_oracle(_BPE_MERGES),
+    description="distributed BPE tokenizer training (Sennrich et al. 2016): "
+    "the first 8 merge rules learned over the corpus word-frequency table — "
+    "iterative freq-weighted pair argmax + greedy in-word merge, every "
+    "iteration bounded by the Heaps'-law vocab size, never the corpus",
+    materializes_on_build=True,
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_agent_spark.operators.bpe import bpe_train
+    from data_pipeline_agent_spark.session import fan_out
+
+    return bpe_train(
+        fan_out(table(spark, sf_dir, "documents")), n_merges=_BPE_MERGES
+    )
+
+
 # --- Gopher quality / repetition / PII (training-data filters) ---------------
 
 _WORDS_SQL = f"list_filter({sql_tokens('text')}, x -> len(x) > 0)"
