@@ -511,3 +511,151 @@ def span_trimmed_text(
             " ",
         ).alias("trimmed_text"),
     )
+
+
+LINE_MIN_TOKENS = 5  # units shorter than this never enter corpus-level dedup
+BLOCK_WIDTH = 8  # aligned token-block width for dedup_blocks
+
+
+def _dedup_first_occurrence(
+    marked: DataFrame, id_col: str, joiner: str
+) -> DataFrame:
+    """Global first-occurrence dedup over a (id, pos, line, part) unit
+    frame + per-document reassembly — the shared engine of the C4/CCNet
+    unit-dedup family (``dedup_lines``, ``dedup_blocks``).
+
+    A participating unit is kept only at its corpus-wide first
+    occurrence (min (doc_id, pos)); non-participating (short) units
+    always survive. Shape: first-occurrence via groupBy(line).min(struct)
+    — a map-side-combinable aggregate, so a boilerplate unit present in
+    10% of all documents is pre-reduced per task instead of flooding one
+    reducer (a window-min has no partial aggregation; the span family
+    tolerates that for GRAM keys, but unit keys carry heavier payloads)
+    — then an equi-join back on the unit key (AQE splits any residual
+    skew) and one per-doc reassembly aggregate. The join keys on raw
+    unit text for oracle exactness; a production 100 TB run would key on
+    xxhash64(unit) and carry the text only on the probe side.
+    """
+    firsts = (
+        marked.where("part")
+        .groupBy("line")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("first")
+        )
+    )
+    kept = marked.join(firsts, "line", "left").select(
+        F.col(id_col),
+        "pos",
+        "line",
+        (
+            ~F.col("part")
+            | (
+                (F.col("first.d") == F.col(id_col))
+                & (F.col("first.p") == F.col("pos"))
+            )
+        ).alias("kept"),
+    )
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).cast("long").alias("n_removed"),
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "kept", "line"))
+                    ),
+                    lambda s: s["kept"],
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    min_tokens: int = LINE_MIN_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level LINE dedup with document reassembly — the C4/CCNet
+    recipe (Raffel et al. 2020 §2.2; public): a >=``min_tokens``-token
+    line occurring more than once ANYWHERE in the corpus is kept only at
+    its first occurrence, and every document is re-emitted with its
+    surviving lines rejoined. Complements the span family: spans find
+    duplicated n-gram RUNS, this removes whole repeated lines (navigation
+    bars, footers, license blocks) at line granularity.
+
+    The ``min_tokens`` gate is both C4's semantics (short lines are
+    structure, not content) and the scale guard: the first-occurrence
+    aggregate groups by RAW LINE TEXT, and empty/one-word lines would
+    otherwise concentrate billions of rows on one key at 100 TB.
+
+    NOTE: the synthetic test corpus has no newlines, so the registered
+    sibling is ``dedup_blocks`` (aligned token blocks — same engine,
+    genuinely exercised there); this line variant is unit-tested on
+    newline-structured fixtures.
+    """
+    lines = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("__p0", "line"),
+        )
+        .select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "line")
+    )
+    part = (
+        F.size(F.filter(tokens(F.col("line")), lambda x: F.length(x) > 0))
+        >= min_tokens
+    )
+    return _dedup_first_occurrence(
+        lines.withColumn("part", part), id_col, "\n"
+    )
+
+
+def dedup_blocks(
+    df: DataFrame,
+    width: int = BLOCK_WIDTH,
+    min_tokens: int = LINE_MIN_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level dedup of ALIGNED fixed-width token blocks — the
+    paragraph/line-hash dedup shape for corpora without line structure:
+    each document's token stream is segmented into consecutive
+    ``width``-token blocks, and a block with >= ``min_tokens`` tokens
+    (tail blocks can be shorter) survives only at its corpus-wide first
+    (doc_id, block_pos) occurrence. Coarser and cheaper than the span
+    family (one unit per ``width`` tokens instead of one gram per token,
+    no island merge) at the cost of alignment sensitivity — the classic
+    recall/cost trade documented in Lee et al. 2022 §3 between exact
+    substring and hash-bucket granularities.
+    """
+    toks = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    staged = fan_out(df).select(F.col(id_col), toks.alias("__w"))
+    # guard the empty-token-stream doc: Spark's sequence(1, 0) REVERSES
+    # to [1, 0] instead of returning [] (DuckDB's generate_series is
+    # empty there), so an unguarded transform would emit phantom blocks
+    blocks = F.when(F.size("__w") < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.ceil(F.size("__w") / F.lit(float(width))).cast("int")
+            ),
+            lambda i: F.array_join(
+                F.slice("__w", (i - F.lit(1)) * width + 1, width), " "
+            ),
+        )
+    )
+    units = staged.select(
+        F.col(id_col), F.posexplode(blocks).alias("__p0", "line")
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "line")
+    part = (
+        F.size(F.filter(tokens(F.col("line")), lambda x: F.length(x) > 0))
+        >= min_tokens
+    )
+    return _dedup_first_occurrence(
+        units.withColumn("part", part), id_col, " "
+    )

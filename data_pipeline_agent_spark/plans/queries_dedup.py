@@ -522,3 +522,48 @@ def dedup_span_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.span_trimmed_text(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_blocks_global",
+    oracle=f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter({sql_tokens('text')}, x -> len(x) > 0) AS w
+          FROM documents
+        ),
+        ln AS (
+          SELECT doc_id, u.i AS pos,
+                 array_to_string(
+                   w[(u.i - 1) * {D.BLOCK_WIDTH} + 1 : u.i * {D.BLOCK_WIDTH}],
+                   ' ') AS line,
+                 len(w[(u.i - 1) * {D.BLOCK_WIDTH} + 1 : u.i * {D.BLOCK_WIDTH}])
+                   >= {D.LINE_MIN_TOKENS} AS part
+          FROM tk, unnest(generate_series(1,
+                 CAST(ceil(len(w) / {D.BLOCK_WIDTH}.0) AS INT))) AS u(i)
+        ),
+        fst AS (
+          SELECT line, min(struct_pack(d := doc_id, p := pos)) AS first
+          FROM ln WHERE part GROUP BY line
+        ),
+        mk AS (
+          SELECT n.doc_id, n.pos, n.line,
+                 (NOT n.part)
+                 OR (f.first.d = n.doc_id AND f.first.p = n.pos) AS kept
+          FROM ln n LEFT JOIN fst f ON n.line = f.line
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(*) FILTER (NOT kept) AS BIGINT) AS n_removed,
+               coalesce(array_to_string(list(line ORDER BY pos)
+                        FILTER (kept), ' '), '') AS clean_text
+        FROM mk GROUP BY doc_id
+    """,
+    description="C4/CCNet-style corpus-level unit dedup over aligned 8-token "
+    "blocks: a >=5-token block keeps only its first (doc_id, pos) occurrence "
+    "anywhere in the corpus; docs re-emitted with surviving blocks rejoined "
+    "(map-side-combinable first-occurrence agg + unit-key equi-join, never "
+    "a window over a hot boilerplate key). Line-unit sibling dedup_lines "
+    "shares the engine (unit-tested; this corpus has no newlines)",
+)
+def dedup_blocks_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_blocks(table(spark, sf_dir, "documents"))
