@@ -523,3 +523,86 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         bg.unpersist()
     return out
+
+
+@register(
+    "corpus_dsir_logratio",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest({sql_tokens('lower(text)')}) AS w
+            FROM documents
+        ),
+        v AS (
+            SELECT w, count(*) AS cs,
+                   count(*) FILTER (lang = 'en') AS ct
+            FROM tok GROUP BY w
+        ),
+        t AS (SELECT sum(cs) AS ts, sum(ct) AS tt, count(*) AS vsz FROM v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln((ct + 1.0) / (tt + vsz))
+                         - ln((cs + 1.0) / (ts + vsz))), 6) AS dsir_logratio
+        FROM tok JOIN v USING (w), t
+        GROUP BY doc_id
+    """,
+    description="DSIR importance weighting (Xie et al. 2023): per-document "
+    "mean log-likelihood ratio between an add-one-smoothed unigram LM of "
+    "the TARGET slice (lang='en') and of the full corpus — the importance-"
+    "resampling score that upweights target-like documents in the raw pool",
+)
+def corpus_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, the unigram-LM variant
+    (Xie et al. 2023, public): score(d) = mean_w [ln p_target(w) -
+    ln p_raw(w)], both LMs add-one smoothed over the SHARED corpus vocab.
+
+    One exploded token pass feeds BOTH language models: the vocab
+    aggregate computes the raw count and the target-slice count in the
+    same map-side-combined groupBy (a conditional sum, not a second
+    scan), the three totals are a 1-row broadcast, and the score join is
+    the same Heaps'-law vocab join as text_unigram_surprisal — AQE picks
+    broadcast vs shuffle. The target slice is defined by a column
+    predicate, so no second corpus ever materializes; at 100 TB the
+    marginal cost over plain surprisal is one long column in the vocab
+    shuffle."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(tokens(F.lower(F.col("text")))).alias("w"),
+        (F.col("lang") == "en").alias("tgt"),
+    ).persist()
+    try:
+        vocab = tok.groupBy("w").agg(
+            F.count(F.lit(1)).alias("cs"),
+            F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
+        )
+        totals = vocab.agg(
+            F.sum("cs").alias("ts"),
+            F.sum("ct").alias("tt"),
+            F.count(F.lit(1)).alias("vsz"),
+        )
+        out = (
+            tok.join(vocab, "w")
+            .crossJoin(F.broadcast(totals))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.round(
+                    F.avg(
+                        F.log(
+                            (F.col("ct") + F.lit(1.0))
+                            / (F.col("tt") + F.col("vsz"))
+                        )
+                        - F.log(
+                            (F.col("cs") + F.lit(1.0))
+                            / (F.col("ts") + F.col("vsz"))
+                        )
+                    ),
+                    6,
+                ).alias("dsir_logratio"),
+            )
+        )
+        # corpus-grain checkpoint — same rationale/blast-radius note as
+        # text_unigram_surprisal.
+        out = out.localCheckpoint(eager=True)
+    finally:
+        tok.unpersist()
+    return out
