@@ -526,6 +526,14 @@ _100X_QUERIES = [
     # the cleaned-corpus emitter: token-grain window + per-doc string
     # reconstruction — the widest-output span query
     "dedup_span_trim",
+    # round-9 second batch: BPE merge training (iterative vocab-frame
+    # loop — probes that the per-iteration cost tracks the Heaps'-law
+    # vocab, not the corpus), aligned-block first-occurrence dedup
+    # (groupBy+join on the unit key + per-doc reassembly), and the DSIR
+    # log-ratio (two-LM vocab join, the surprisal family's widest probe)
+    "text_bpe_merges",
+    "dedup_blocks_global",
+    "corpus_dsir_logratio",
 ]
 _100X_TABLES = {
     "customer",
@@ -690,7 +698,12 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
         "rows (r8 verdict tasks 2+5), and sim_knn_graph_adaptive now runs",
         "ADAPTIVE rotations (R = min(8, dim//bits): 8 at the sf1 tile's",
         "6-bit width, 7 at the sf10 tile's 9-bit width — ~2x the r8 R=4",
-        "candidate volume, recall 0.69-0.79 vs ~0.45).",
+        "candidate volume, recall 0.69-0.79 vs ~0.45). A second round-9",
+        "batch probes the session's new operators: BPE merge training",
+        "(the iterative loop must track the Heaps'-law VOCAB, not the",
+        "corpus — a super-linear row here would mean the iteration frame",
+        "is corpus-sized), aligned-block first-occurrence dedup, and the",
+        "DSIR two-LM log-ratio.",
         "Ratio = t(sf10)/t(sf1) against 10x data — the same",
         "flag rule as above, applied one decade further out to confirm",
         "the 10x trend is a trend and not a plateau artifact. Flag",
