@@ -186,3 +186,85 @@ def duplicate_groups(
         F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
         (F.col("node") == F.col("comp")).alias("is_kept"),
     )
+
+
+PR_UNIT = 10**12  # fixed-point scale: 1.0 of PageRank mass = 10^12 units
+PR_DAMP_PCT = 85  # damping factor as an integer percentage (d = 0.85)
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_nodes: int,
+    iters: int = 3,
+    damping_pct: int = PR_DAMP_PCT,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """FIXED-POINT integer PageRank: ``iters`` synchronous power
+    iterations over an edge list, every quantity a BIGINT count of
+    10^-12 rank units and every operation integer (floor division by
+    out-degree, integer percentage damping). Page et al. 1999 semantics
+    with two standard simplifications, chosen for cross-engine
+    exactness: dangling mass is dropped (not redistributed) and the
+    (1-d)/N teleport term uses the same floored base every iteration.
+
+    Why fixed-point: float PageRank sums contributions in shuffle order,
+    so two engines (or two runs) disagree in ulps and a 6-dp rounding of
+    an iterated value can land on opposite sides of a midpoint — the
+    knn-density trap, but compounding per iteration. Integer arithmetic
+    is associative: the DuckDB oracle twin replays the identical
+    iterations and must match the 12-digit unit counts EXACTLY, making
+    this the registry's only iterative-algorithm query with a bit-exact
+    (not contract) oracle.
+
+    Scale shape: per iteration, one equi-join of the edge list to the
+    node-sized rank table on ``src`` and one sum-aggregate keyed on
+    ``dst`` — the textbook distributed PageRank step, linear in |E| per
+    iteration with map-side partial sums; the rank table is
+    localCheckpoint-ed per round (same lineage-truncation rationale as
+    connected_components above). ``n_nodes`` comes from the caller
+    (parquet footer metadata via registry.table_num_rows — no counting
+    scan).
+    """
+    base = PR_UNIT // n_nodes
+    teleport = ((100 - damping_pct) * base) // 100
+    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    e = (
+        edges.join(out_deg, src)
+        .select(F.col(src).alias("__s"), F.col(dst).alias("__d"), "__deg")
+        .persist()
+    )
+    ranks = nodes.select(
+        F.col(node_col).alias("__n"), F.lit(base).cast("long").alias("__r")
+    ).localCheckpoint(eager=True)
+    try:
+        for _ in range(iters):
+            contrib = (
+                e.join(ranks, e["__s"] == ranks["__n"])
+                .select("__d", F.expr("__r div __deg").alias("__c"))
+                .groupBy("__d")
+                .agg(F.sum("__c").alias("__sum"))
+            )
+            nxt = (
+                ranks.select("__n")
+                .join(contrib, ranks["__n"] == contrib["__d"], "left")
+                .select(
+                    "__n",
+                    (
+                        F.lit(teleport)
+                        + F.expr(
+                            f"({damping_pct} * coalesce(__sum, 0L)) div 100"
+                        )
+                    ).cast("long").alias("__r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            ranks.unpersist()
+            ranks = nxt
+    finally:
+        e.unpersist()
+    return ranks.select(
+        F.col("__n").alias(node_col), F.col("__r").alias("pr_u")
+    )

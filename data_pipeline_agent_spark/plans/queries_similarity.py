@@ -812,3 +812,118 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return exact.crossJoin(F.broadcast(rec))
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """DuckDB twin of operators/graph.pagerank over the pinned-bits kNN
+    edge list: the SAME fixed-point integer iterations as chained CTEs.
+    Integer arithmetic is associative, so this is the registry's only
+    iterative-algorithm oracle that hash-matches EXACTLY (12-digit unit
+    counts) instead of via contract booleans."""
+    from data_pipeline_agent_spark.operators.graph import (
+        PR_DAMP_PCT,
+        PR_UNIT,
+    )
+
+    d = PR_DAMP_PCT
+    parts = [
+        f"b AS (SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bkt "
+        "FROM embeddings)",
+        f"""scored AS (
+          SELECT a.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 round({_sql_cos('a.embedding', 'e.embedding')}, 6) AS cos_sim
+          FROM b a JOIN b e ON e.bkt = a.bkt AND e.vec_id != a.vec_id
+        )""",
+        """e AS (
+          SELECT query_id AS src, neighbor_id AS dst FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+            FROM scored) WHERE rk <= 3
+        )""",
+        "nn AS (SELECT count(*) AS n FROM embeddings)",
+        "od AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "idg AS (SELECT dst, count(*) AS deg FROM e GROUP BY dst)",
+        "nd AS (SELECT vec_id AS node FROM embeddings)",
+        f"r0 AS (SELECT node, CAST({PR_UNIT} // n AS BIGINT) AS r "
+        "FROM nd CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        parts += [
+            f"""c{k} AS (
+              SELECT e.dst AS node, sum(r.r // od.deg) AS s
+              FROM e JOIN r{k - 1} r ON e.src = r.node
+                     JOIN od ON od.src = e.src
+              GROUP BY e.dst
+            )""",
+            f"""r{k} AS (
+              SELECT nd.node,
+                     CAST(({100 - d} * ({PR_UNIT} // n)) // 100
+                          + ({d} * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+              FROM nd CROSS JOIN nn LEFT JOIN c{k} c ON c.node = nd.node
+            )""",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT r{iters}.node AS vec_id,
+               CAST(coalesce(od.deg, 0) AS BIGINT) AS out_deg,
+               CAST(coalesce(idg.deg, 0) AS BIGINT) AS in_deg,
+               CAST(r{iters}.r AS BIGINT) AS pr_u,
+               round(r{iters}.r / {float(PR_UNIT)}, 6) AS pr
+        FROM r{iters}
+          LEFT JOIN od ON od.src = r{iters}.node
+          LEFT JOIN idg ON idg.dst = r{iters}.node
+    """
+    )
+
+
+_PR_ITERS = 3
+
+
+@register(
+    "sim_pagerank_centrality",
+    oracle=_pagerank_oracle(_PR_ITERS),
+    description="document centrality for graph-based curation: 3 fixed-"
+    "point integer PageRank iterations over the pinned-bits kNN edge list "
+    "(every quantity a BIGINT count of 1e-12 rank units, floor-div by out-"
+    "degree, integer percentage damping) — the only iterative-algorithm "
+    "query whose DuckDB twin hash-matches bit-exactly instead of via "
+    "contract booleans; dangling mass dropped, convention documented",
+)
+def sim_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.graph import pagerank
+    from data_pipeline_agent_spark.plans.registry import table_num_rows
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = S.knn_graph(emb, k=3, bits=SIGN_BITS).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    pr = pagerank(
+        edges,
+        emb.select(F.col("vec_id").alias("node")),
+        n_nodes=table_num_rows(sf_dir, "embeddings"),
+        iters=_PR_ITERS,
+    )
+    out_deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    in_deg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    from data_pipeline_agent_spark.operators.graph import PR_UNIT
+
+    return (
+        pr.join(out_deg, "node", "left")
+        .join(in_deg, "node", "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.col("pr_u").cast("long").alias("pr_u"),
+            F.round(F.col("pr_u") / F.lit(float(PR_UNIT)), 6).alias("pr"),
+        )
+    )
