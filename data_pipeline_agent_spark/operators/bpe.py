@@ -124,20 +124,17 @@ def _apply_merge(syms: F.Column, lhs: str, rhs: str) -> F.Column:
     )
 
 
-def bpe_train(
-    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
-) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merge rules from ``docs``.
-
-    Returns a ``n_merges``-row DataFrame: (merge_rank, lhs, rhs, token,
-    cnt) — the rule sequence a tokenizer would replay, with the
-    freq-weighted pair count each rule won with.
+def _train(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Shared training loop: returns (merge rules, final segmented vocab
+    ``(word, freq, syms)``). The caller must unpersist the returned
+    frame when done.
 
     The per-iteration argmax is a bounded driver collect of exactly ONE
     row (the same bounded-scalar convention as the CC edge count and the
     adaptive-bits lookup); everything corpus-sized stays distributed.
     """
-    spark = docs.sparkSession
     wf = word_freq(docs, text_col).localCheckpoint(eager=True)
     # Size the iteration frame's layout from the VOCAB row count, not the
     # session shuffle width: the loop below runs ~2 stages per merge over
@@ -147,29 +144,80 @@ def bpe_train(
     # partitions. The count is free — wf is already materialized.
     width = max(1, (wf.count() + _ROWS_PER_PARTITION - 1) // _ROWS_PER_PARTITION)
     vocab = (
-        wf.select("freq", F.split("word", "").alias("syms"))
+        wf.select("word", "freq", F.split("word", "").alias("syms"))
         .repartition(width)
         .localCheckpoint(eager=True)
     )
     wf.unpersist()
     merges: list[tuple[int, str, str, str, int]] = []
-    try:
-        for k in range(1, n_merges + 1):
-            top = (
-                _pair_counts(vocab)
-                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-            merges.append((k, l, r, l + r, cnt))
-            nxt = vocab.select(
-                "freq", _apply_merge(F.col("syms"), l, r).alias("syms")
-            ).localCheckpoint(eager=True)
-            vocab.unpersist()
-            vocab = nxt
-    finally:
+    for k in range(1, n_merges + 1):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((k, l, r, l + r, cnt))
+        nxt = vocab.select(
+            "word", "freq", _apply_merge(F.col("syms"), l, r).alias("syms")
+        ).localCheckpoint(eager=True)
         vocab.unpersist()
+        vocab = nxt
+    return merges, vocab
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from ``docs``.
+
+    Returns a ``n_merges``-row DataFrame: (merge_rank, lhs, rhs, token,
+    cnt) — the rule sequence a tokenizer would replay, with the
+    freq-weighted pair count each rule won with.
+    """
+    spark = docs.sparkSession
+    merges, vocab = _train(docs, n_merges, text_col)
+    vocab.unpersist()
     return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY the learned merges: per-document subtoken counts under the
+    ``n_merges``-rule BPE — the tokenizer-"fertility" metric (mean
+    subtokens per word) used to compare tokenizers and budget training
+    token counts. Encoding a word is a vocabulary LOOKUP, not a re-run
+    of the merge scan: the training loop's final frame already holds
+    every word's segmentation, so application is one exploded-corpus
+    equi-join against the Heaps'-law vocab (the same join shape and AQE
+    rationale as text_unigram_surprisal) plus a per-doc aggregate.
+    Words outside BPE_WORD_RE never trained and are excluded here too
+    (fertility over the trainable subset; documented scope choice).
+    """
+    _merges, vocab = _train(docs, n_merges, text_col)
+    seg = vocab.select("word", F.size("syms").alias("__nsub"))
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    ).where(F.col("word").rlike(BPE_WORD_RE))
+    out = (
+        tok.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__nsub").cast("long").alias("n_subtokens"),
+            F.round(
+                F.sum("__nsub") / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+        )
+        .localCheckpoint(eager=True)  # materialize before dropping vocab
+    )
+    vocab.unpersist()
+    return out

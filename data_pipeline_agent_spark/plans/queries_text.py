@@ -171,13 +171,15 @@ def text_wordcount_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE merge training (tokenizer learning) ---------------------------------
 
 
-def _bpe_oracle(k_merges: int) -> str:
-    """DuckDB twin of operators/bpe.bpe_train: the SAME K greedy merge
-    iterations, generated as chained CTEs. The merge application uses a
-    positional window formulation (gaps-and-islands parity for the
-    overlapping-run case l == r) instead of Spark's map-side fold — two
-    independent implementations of the greedy scan semantics that must
-    agree rule-for-rule and count-for-count for the hash to match."""
+def _bpe_cte_chain(k_merges: int) -> str:
+    """Shared CTE chain replaying K greedy BPE merge iterations in
+    DuckDB: wf (word freq) -> v0 (char syms) -> per-iteration p/m/e/g/k/
+    o/v CTEs. The merge application uses a positional window formulation
+    (gaps-and-islands parity for the overlapping-run case l == r)
+    instead of Spark's map-side fold — two independent implementations
+    of the greedy scan semantics that must agree rule-for-rule for the
+    hashes to match. Final CTEs: m1..m{{k}} (the rules) and v{{k}} (the
+    fully segmented vocab)."""
     from data_pipeline_agent_spark.operators.bpe import BPE_WORD_RE
 
     parts = [
@@ -223,12 +225,42 @@ def _bpe_oracle(k_merges: int) -> str:
               FROM o{k} GROUP BY word, freq
             )""",
         ]
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_oracle(k_merges: int) -> str:
+    """DuckDB twin of operators/bpe.bpe_train (see _bpe_cte_chain)."""
     sel = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, "
         f"l || r AS token, CAST(cnt AS BIGINT) AS cnt FROM m{k}"
         for k in range(1, k_merges + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + sel
+    return _bpe_cte_chain(k_merges) + "\n" + sel
+
+
+def _bpe_fertility_oracle(k_merges: int) -> str:
+    """DuckDB twin of operators/bpe.bpe_fertility: re-learn the K rules
+    via the shared CTE chain, then apply them as a vocab LOOKUP — the
+    exploded corpus joined to v{k}'s segment lengths, aggregated per
+    document."""
+    from data_pipeline_agent_spark.operators.bpe import BPE_WORD_RE
+
+    return (
+        _bpe_cte_chain(k_merges)
+        + f""",
+        tok AS (
+          SELECT doc_id, unnest({sql_tokens('lower(text)')}) AS word
+          FROM documents
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(v.syms)) AS BIGINT) AS n_subtokens,
+               round(sum(len(v.syms)) / count(*), 6) AS fertility
+        FROM tok t JOIN v{k_merges} v ON t.word = v.word
+        WHERE regexp_matches(t.word, '{BPE_WORD_RE}')
+        GROUP BY t.doc_id
+    """
+    )
 
 
 _BPE_MERGES = 8
@@ -248,6 +280,24 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_agent_spark.session import fan_out
 
     return bpe_train(
+        fan_out(table(spark, sf_dir, "documents")), n_merges=_BPE_MERGES
+    )
+
+
+@register(
+    "text_bpe_fertility",
+    oracle=_bpe_fertility_oracle(_BPE_MERGES),
+    description="tokenizer fertility under the learned 8-merge BPE: "
+    "per-document word and subtoken counts + mean subtokens/word — "
+    "application is a vocab LOOKUP (exploded corpus equi-joined to the "
+    "trained segmentation), never a re-scan of merge rules per word",
+    materializes_on_build=True,
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_agent_spark.operators.bpe import bpe_fertility
+    from data_pipeline_agent_spark.session import fan_out
+
+    return bpe_fertility(
         fan_out(table(spark, sf_dir, "documents")), n_merges=_BPE_MERGES
     )
 

@@ -71,3 +71,30 @@ def test_bpe_train_stops_when_no_pairs(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     out = bpe_train(docs, n_merges=5).collect()
     assert out == []
+
+
+def test_bpe_fertility_counts(spark):
+    from data_pipeline_agent_spark.operators.bpe import bpe_fertility
+
+    # corpus: "abab" x3, "cd" x2 -> merges (a,b) then (c,d) then (ab,ab)
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd X!")],  # X! fails the gate
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bpe_fertility(docs, n_merges=3).collect()}
+    # after 3 merges: "abab" -> [abab] (1 subtoken), "cd" -> [cd] (1)
+    assert out[1]["n_words"] == 3 and out[1]["n_subtokens"] == 3
+    assert out[2]["n_words"] == 2 and out[2]["n_subtokens"] == 2
+    assert out[1]["fertility"] == 1.0
+
+
+def test_bpe_fertility_partial_merges(spark):
+    from data_pipeline_agent_spark.operators.bpe import bpe_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab xyz")], "doc_id long, text string"
+    )
+    out = bpe_fertility(docs, n_merges=1).first()
+    # one merge (a,b): "abab" -> [ab, ab] = 2 subtokens; "xyz" -> 3 chars
+    assert out["n_words"] == 4 and out["n_subtokens"] == 3 * 2 + 3
+    assert out["fertility"] == round(9 / 4, 6)
