@@ -67,6 +67,27 @@ SHOWCASE = {
     "WindowGroupLimit top-k pushdown, ONE dot product per candidate "
     "(norms carried in the projections); adaptive bits+rotations from "
     "parquet footer metadata — building the plan runs zero jobs",
+    "dedup_blocks_global": "r9 unit dedup: first-occurrence as a "
+    "map-side-combinable groupBy(unit).min(struct) aggregate + one "
+    "unit-key equi-join (NOT a window over the unit key — a hot "
+    "boilerplate unit would flood one reducer), then one per-doc "
+    "reassembly aggregate",
+    # corpus_dsir_logratio is absent for the same reason as the BPE
+    # queries below: its build ends in an eager localCheckpoint (the
+    # persist-cleanup pattern shared with text_unigram_surprisal), so the
+    # dumped plan is a truncated ExistingRDD scan — the one-token-pass /
+    # conditional-sum shape is documented in queries_curation.py and
+    # covered by its plan gate.
+    "sim_pagerank_centrality": "r9 fixed-point PageRank: per iteration "
+    "one edge-to-rank equi-join + one dst-keyed partial-aggregated sum "
+    "over checkpointed node-sized rank tables (Scan ExistingRDD leaves); "
+    "all arithmetic integer (div/floor), so no float shuffle-order "
+    "dependence anywhere in the plan",
+    # text_bpe_merges/text_bpe_fertility are deliberately absent: training
+    # runs at CONSTRUCTION time (materializes_on_build), so the returned
+    # frame's plan is a driver-local literal / checkpointed lookup — the
+    # interesting shapes are the per-iteration jobs, documented in
+    # operators/bpe.py and exercised by the 100x tier row.
 }
 
 
