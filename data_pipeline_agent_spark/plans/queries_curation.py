@@ -160,6 +160,7 @@ def source_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="unigram-LM quality signal: per-document mean negative "
     "log-probability of its tokens under the corpus unigram distribution "
     "(cheap KenLM stand-in; outliers on either end are curation flags)",
+    materializes_on_build=True,  # ends in an eager localCheckpoint
 )
 def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-pass LM scoring: (1) build the unigram table (one shuffle on
@@ -475,6 +476,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mean -ln P(w2|w1) under the corpus's own bigram distribution — the "
     "sharper sibling of text_unigram_surprisal (catches unnatural word "
     "ORDER, not just rare words)",
+    materializes_on_build=True,  # ends in an eager localCheckpoint
 )
 def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigrams are built map-side by zipping the token array with its
@@ -548,6 +550,7 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mean log-likelihood ratio between an add-one-smoothed unigram LM of "
     "the TARGET slice (lang='en') and of the full corpus — the importance-"
     "resampling score that upweights target-like documents in the raw pool",
+    materializes_on_build=True,  # ends in an eager localCheckpoint
 )
 def corpus_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection via Importance Resampling, the unigram-LM variant

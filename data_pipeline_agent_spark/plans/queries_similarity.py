@@ -891,6 +891,7 @@ _PR_ITERS = 3
     "degree, integer percentage damping) — the only iterative-algorithm "
     "query whose DuckDB twin hash-matches bit-exactly instead of via "
     "contract booleans; dangling mass dropped, convention documented",
+    materializes_on_build=True,  # iterations run (checkpointed) at build
 )
 def sim_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -899,8 +900,17 @@ def sim_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_agent_spark.plans.registry import table_num_rows
 
     emb = table(spark, sf_dir, "embeddings")
-    edges = S.knn_graph(emb, k=3, bits=SIGN_BITS).select(
-        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    # checkpoint the edge list ONCE: pagerank's construction, the
+    # out-degree and the in-degree aggregates would otherwise each
+    # replay the bucketed LSH self-join + top-k window (~4 full
+    # knn_graph computations per run — caught in the r9 self-review);
+    # the edge list is k*N rows, node-scale not pair-scale
+    edges = (
+        S.knn_graph(emb, k=3, bits=SIGN_BITS)
+        .select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+        .localCheckpoint(eager=True)
     )
     pr = pagerank(
         edges,

@@ -200,12 +200,19 @@ def _bpe_cte_chain(k_merges: int) -> str:
             )""",
             f"m{k} AS (SELECT l, r, cnt FROM p{k} "
             "ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)",
+            # LEFT JOIN ON true, not a cross join: when the pair supply
+            # exhausts before k_merges (m{k} empty), the vocab must pass
+            # through unchanged — Spark's _train breaks and KEEPS the
+            # final segmentation; a cross join would zero out v{k} and
+            # every later CTE, and the fertility twin would return 0
+            # rows against Spark's full per-doc output (caught in the
+            # r9 self-review; exercised by test_bpe_oracle_exhaustion)
             f"""e{k} AS (
               SELECT v.word, v.freq, u.i AS pos, v.syms[u.i] AS sym,
-                     (v.syms[u.i] = m.l
-                      AND coalesce(v.syms[u.i + 1], '') = m.r) AS mt,
+                     coalesce(v.syms[u.i] = m.l
+                      AND coalesce(v.syms[u.i + 1], '') = m.r, false) AS mt,
                      m.l || m.r AS tk
-              FROM v{p} v, m{k} m,
+              FROM v{p} v LEFT JOIN m{k} m ON true,
                    unnest(generate_series(1, len(v.syms))) AS u(i)
             )""",
             f"g{k} AS (SELECT *, pos - row_number() OVER "

@@ -98,3 +98,42 @@ def test_bpe_fertility_partial_merges(spark):
     # one merge (a,b): "abab" -> [ab, ab] = 2 subtokens; "xyz" -> 3 chars
     assert out["n_words"] == 4 and out["n_subtokens"] == 3 * 2 + 3
     assert out["fertility"] == round(9 / 4, 6)
+
+
+def test_bpe_oracle_exhaustion_parity(spark):
+    """When the pair supply exhausts before n_merges, Spark breaks and
+    KEEPS the final vocab; the DuckDB chain must pass the vocab through
+    empty-m iterations instead of zeroing it (r9 self-review finding:
+    a cross join against the empty m{k} made v{k} empty and the
+    fertility twin returned 0 rows)."""
+    import duckdb
+    import pandas as pd
+
+    from data_pipeline_agent_spark.operators.bpe import bpe_fertility
+    from data_pipeline_agent_spark.plans.queries_text import (
+        _bpe_fertility_oracle,
+        _bpe_oracle,
+    )
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["ab ab cd", "ab cd"]})
+    docs = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    sdf = (
+        bpe_fertility(docs, n_merges=8)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    odf = con.execute(_bpe_fertility_oracle(8)).df()
+    odf = odf.sort_values("doc_id").reset_index(drop=True).astype(sdf.dtypes.to_dict())
+    assert len(sdf) == 2, "exhausted vocab must still score every doc"
+    assert sdf.equals(odf)
+
+    # the merges twin must also agree on the truncated rule list
+    from data_pipeline_agent_spark.operators.bpe import bpe_train
+
+    m_s = bpe_train(docs, n_merges=8).toPandas().sort_values("merge_rank")
+    m_o = con.execute(_bpe_oracle(8)).df().sort_values("merge_rank")
+    assert list(m_s["token"]) == list(m_o["token"]) == ["ab", "cd"]
