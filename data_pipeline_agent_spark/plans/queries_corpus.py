@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from data_pipeline_agent_spark.functions.text_hash import tokens, word_ngrams
 from data_pipeline_agent_spark.plans.registry import register, table
 from data_pipeline_agent_spark.session import fan_out
-from data_pipeline_agent_spark.plans.sql_text import sql_ngrams, sql_tokens
+from data_pipeline_agent_spark.plans.sql_text import sql_h32, sql_ngrams, sql_tokens
 
 # Eval-set membership: a deterministic 1/97 slice of the corpus stands in
 # for a benchmark suite (the container ships no external eval files).
@@ -332,4 +332,59 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_prob = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
     return docs.where(u < keep_prob * F.lit(1_000_000)).select(
         "doc_id", "n_chars", F.round(keep_prob, 6).alias("keep_prob")
+    )
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+        WITH p AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                 greatest(n_chars, 1) * 4294967296.0
+                   / ({sql_h32("CAST(doc_id AS VARCHAR)")} + 1) AS pri
+          FROM documents
+        )
+        SELECT doc_id, n_chars, pri,
+               CAST(row_number() OVER (ORDER BY pri DESC, doc_id ASC)
+                    AS BIGINT) AS rk
+        FROM p
+        QUALIFY rk <= 100
+    """,
+    description="exact-k weighted sample via PRIORITY SAMPLING (Duffield/"
+    "Lund/Thorup 2007): priority = weight/u with u a deterministic md5 "
+    "uniform in (0,1], keep the top-100 priorities — weighted-without-"
+    "replacement with unbiased subset-sum estimators, no RNG, identical "
+    "pick-set on every run/layout/engine",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The priority is ONE IEEE division of exact integers (w * 2^32 /
+    (h+1)); unlike the Efraimidis-Spirakis exponential keys (ln(u)/w),
+    it involves no libm transcendental, so Spark and DuckDB produce the
+    SAME double bit-for-bit and the selected set cannot flip on a
+    boundary ulp. Top-k is TakeOrdered (map-side partial top-100, no
+    global sort); the weight here is document length, standing in for
+    any per-doc quality weight."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.functions.text_hash import h32
+
+    docs = table(spark, sf_dir, "documents")
+    pri = (
+        F.greatest(F.col("n_chars"), F.lit(1)) * F.lit(4294967296.0)
+        / (h32(F.col("doc_id")) + F.lit(1))
+    )
+    ranked = (
+        docs.select(
+            "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+            pri.alias("pri"),
+        )
+        .orderBy(F.desc("pri"), F.asc("doc_id"))
+        .limit(100)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pri"), F.asc("doc_id"))
+    return ranked.select(
+        "doc_id", "n_chars", "pri",
+        F.row_number().over(w).cast("long").alias("rk"),
     )

@@ -567,3 +567,91 @@ def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_blocks_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_blocks(table(spark, sf_dir, "documents"))
+
+
+_SPLIT_CASE = """CASE
+  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14' THEN 'test'
+  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28' THEN 'val'
+  ELSE 'train' END"""
+
+
+@register(
+    "corpus_split_leakage",
+    oracle=f"""
+        WITH {_SHINGLES_CTE},
+        {_minhash_cte()},
+        bands AS ({_bands_sql()}),
+        cands AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        ),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cands c JOIN ex ea ON ea.id = c.id_a
+                       JOIN ex eb ON eb.id = c.id_b AND eb.g = ea.g
+          GROUP BY 1, 2
+        ),
+        prs AS (
+          SELECT i.id_a, i.id_b,
+                 round(i.inter / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+          FROM inter i JOIN sh sa ON i.id_a = sa.id
+                       JOIN sh sb ON i.id_b = sb.id
+          WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8
+        ),
+        spl AS (SELECT doc_id AS id, {_SPLIT_CASE} AS split FROM documents)
+        SELECT least(sa.split, sb.split) AS split_lo,
+               greatest(sa.split, sb.split) AS split_hi,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(sum(jaccard), 6) AS sum_jaccard,
+               least(sa.split, sb.split) <> greatest(sa.split, sb.split)
+                 AS leaked
+        FROM prs JOIN spl sa ON prs.id_a = sa.id
+                 JOIN spl sb ON prs.id_b = sb.id
+        GROUP BY 1, 2
+    """,
+    description="train/val/test leakage guard: MinHash near-dup pairs "
+    "(>= 0.8 verified Jaccard) whose members land in DIFFERENT splits of "
+    "a deterministic md5 hash split (~7.8%/7.8%/84.4%) — the cross-split "
+    "contamination a benchmark-only check misses; grouped per split pair "
+    "with the leaked flag",
+)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split assignment is the same hash-threshold pattern as
+    sample_stratified_deterministic (repartition-stable, engine-stable —
+    a seeded RNG split would leak differently on every layout). The
+    near-dup pair table is the already-verified LSH operator's output;
+    leakage adds two node-scale label joins and a 6-row aggregate, so
+    the guard costs nothing beyond the dedup pass a pipeline already
+    runs. The split CASE stays a scan-stage expression: no shuffle is
+    keyed on the split (bounded domain — the salted-agg hazard)."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(docs, threshold=0.8)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "14", "test")
+        .when(bucket < "28", "val")
+        .otherwise("train")
+    )
+    spl = docs.select(F.col("doc_id").alias("id"), split.alias("split"))
+    j = (
+        pairs.join(
+            spl.select(F.col("id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            spl.select(F.col("id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+    )
+    lo, hi = F.least("sa", "sb"), F.greatest("sa", "sb")
+    return (
+        j.groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.sum("jaccard"), 6).alias("sum_jaccard"),
+        )
+        .withColumn("leaked", F.col("split_lo") != F.col("split_hi"))
+    )

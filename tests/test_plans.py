@@ -346,6 +346,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "label_encode_orderstatus",  # distinct o_orderstatus values (3); the
     # high-cardinality path routes through _rank_distincts_distributed
     "ml_class_balance_report",  # class-label grain (bounded by construction)
+    "sample_weighted_priority",  # rank window runs ABOVE the top-100
+    # TakeOrdered limit — 100-row input by construction (r9)
 }
 
 
