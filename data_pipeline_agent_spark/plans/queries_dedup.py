@@ -655,3 +655,90 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("leaked", F.col("split_lo") != F.col("split_hi"))
     )
+
+
+@register(
+    "corpus_split_assign_leakfree",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        {_minhash_cte()},
+        bands AS ({_bands_sql()}),
+        cands AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        ),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cands c JOIN ex ea ON ea.id = c.id_a
+                       JOIN ex eb ON eb.id = c.id_b AND eb.g = ea.g
+          GROUP BY 1, 2
+        ),
+        dups AS (
+          SELECT i.id_a, i.id_b
+          FROM inter i JOIN sh sa ON i.id_a = sa.id
+                       JOIN sh sb ON i.id_b = sb.id
+          WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM dups
+          UNION
+          SELECT id_b, id_a FROM dups
+        ),
+        reach(node, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+        ),
+        cc AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+        assign AS (
+          SELECT d.doc_id,
+                 coalesce(c.comp, d.doc_id) AS anchor_id
+          FROM documents d LEFT JOIN cc c ON c.node = d.doc_id
+        )
+        SELECT doc_id, CAST(anchor_id AS BIGINT) AS anchor_id,
+               {_SPLIT_CASE.replace('doc_id', 'anchor_id')} AS split,
+               anchor_id <> doc_id AS moved_with_cluster
+        FROM assign
+    """,
+    description="leakage-FREE split assignment: every near-dup cluster "
+    "(transitive closure of >=0.8 MinHash pairs) is split by its ANCHOR "
+    "(min doc id), so no verified near-duplicates can ever straddle "
+    "train/val/test — the repair for what corpus_split_leakage detects",
+)
+def corpus_split_assign_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect -> repair: cluster membership comes from the same
+    oracle-checked CC operator as dedup_minhash_groups; the split hash
+    is then taken on the cluster ANCHOR instead of the doc itself, so
+    cluster members inherit one split deterministically. Singleton docs
+    (no near-dup) anchor themselves — the assignment is identical to
+    corpus_split_leakage's split for them. One left join of the corpus
+    against the (tiny) clustered-node table; the split CASE stays a
+    scan-stage expression."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(docs, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    assign = docs.join(
+        cc.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("comp", F.col("doc_id")).cast("long").alias("anchor_id"),
+    )
+    bucket = F.substring(F.md5(F.col("anchor_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "14", "test")
+        .when(bucket < "28", "val")
+        .otherwise("train")
+    )
+    return assign.select(
+        "doc_id",
+        "anchor_id",
+        split.alias("split"),
+        (F.col("anchor_id") != F.col("doc_id")).alias("moved_with_cluster"),
+    )

@@ -1,0 +1,59 @@
+"""Split-leakage guard + leak-free assignment (queries_dedup.py r9)."""
+
+import hashlib
+import os
+
+from data_pipeline_agent_spark.plans.registry import REGISTRY
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _split_of(doc_id: int) -> str:
+    b = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+    return "test" if b < "14" else ("val" if b < "28" else "train")
+
+
+def test_assignment_is_leakfree_at_default_sf(spark):
+    """THE invariant: under the repaired assignment no verified near-dup
+    pair straddles splits (the detector query may legitimately show
+    leaked pairs under the naive per-doc split; the repair must show
+    zero)."""
+    from pyspark.sql import functions as F
+
+    assign = REGISTRY["corpus_split_assign_leakfree"].spark(spark, SF_DIR)
+    pairs = REGISTRY["dedup_minhash_lsh"].spark(spark, SF_DIR)
+    a = assign.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = assign.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    leaked = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert leaked == 0
+
+
+def test_singletons_keep_their_own_split(spark):
+    """Docs with no near-dup anchor themselves: split identical to the
+    naive per-doc hash split used by corpus_split_leakage."""
+    rows = (
+        REGISTRY["corpus_split_assign_leakfree"]
+        .spark(spark, SF_DIR)
+        .where("NOT moved_with_cluster")
+        .collect()
+    )
+    assert rows, "expected singleton docs"
+    for r in rows[:50]:
+        assert r["split"] == _split_of(r["doc_id"])
+
+
+def test_cluster_members_share_anchor_split(spark):
+    rows = (
+        REGISTRY["corpus_split_assign_leakfree"]
+        .spark(spark, SF_DIR)
+        .where("moved_with_cluster")
+        .collect()
+    )
+    assert rows, "corpus should contain near-dup clusters"
+    for r in rows:
+        assert r["split"] == _split_of(r["anchor_id"])
+        assert r["anchor_id"] < r["doc_id"]  # anchor is the min member
