@@ -534,6 +534,11 @@ _100X_QUERIES = [
     "text_bpe_merges",
     "dedup_blocks_global",
     "corpus_dsir_logratio",
+    # round-9 final trio representative: the leak-free split assignment
+    # composes the two heaviest machines (banded LSH pair generation +
+    # pointer-jumping CC) with a corpus-wide left join — the composition,
+    # not just its parts, gets a second-decade row
+    "corpus_split_assign_leakfree",
 ]
 _100X_TABLES = {
     "customer",
