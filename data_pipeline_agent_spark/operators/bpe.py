@@ -203,18 +203,32 @@ def bpe_fertility(
     """
     _merges, vocab = _train(docs, n_merges, text_col)
     seg = vocab.select("word", F.size("syms").alias("__nsub"))
-    tok = docs.select(
-        F.col(id_col),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
-    ).where(F.col("word").rlike(BPE_WORD_RE))
+    # pre-aggregate to (doc, word, cnt) BEFORE the vocab join (r10, r9
+    # verdict task 4): the join's probe side shrinks by the within-doc
+    # repeat factor (one row per distinct word per doc instead of one
+    # per occurrence), and the pre-agg itself is map-side-combinable.
+    # The arithmetic is identical — sum(cnt) == count(*) and
+    # sum(cnt * nsub) == sum(nsub) over occurrences, all integers — so
+    # the oracle hashes are unchanged.
+    grouped = (
+        docs.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+        )
+        .where(F.col("word").rlike(BPE_WORD_RE))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    )
     out = (
-        tok.join(seg, "word")
+        grouped.join(seg, "word")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("__nsub").cast("long").alias("n_subtokens"),
+            F.sum("__cnt").cast("long").alias("n_words"),
+            F.sum(F.col("__cnt") * F.col("__nsub"))
+            .cast("long")
+            .alias("n_subtokens"),
             F.round(
-                F.sum("__nsub") / F.count(F.lit(1)), 6
+                F.sum(F.col("__cnt") * F.col("__nsub")) / F.sum("__cnt"), 6
             ).alias("fertility"),
         )
         .localCheckpoint(eager=True)  # materialize before dropping vocab

@@ -75,7 +75,12 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
 
 def _pair_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact Jaccard for given (id_a, id_b) pairs via shingle-explode join.
-    Cost O(candidate shingle overlap), never all-pairs."""
+    Cost O(candidate shingle overlap), never all-pairs.
+
+    Carries BOTH the raw ratio (``__jacc_raw``, for thresholding — the
+    DuckDB twins filter the unrounded ratio, so thresholding the rounded
+    display value would admit pairs in [t - 5e-5, t) the oracle rejects;
+    ADVICE r9) and the 4-dp display value (``jaccard``)."""
     ex = sh.select("id", F.explode("grams").alias("g"))
     sizes = sh.select("id", "sz")
     ea = ex.select(F.col("id").alias("id_a"), F.col("g"))
@@ -92,10 +97,11 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
-            ).alias("jaccard"),
+            (
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("__jacc_raw"),
         )
+        .withColumn("jaccard", F.round(F.col("__jacc_raw"), 4))
     )
 
 
@@ -176,7 +182,15 @@ def minhash_near_dup_pairs(df: DataFrame, threshold: float = 0.8) -> DataFrame:
     sides of the candidate join)."""
     sh = shingles(df).persist()
     cands = lsh_candidate_pairs(minhash_signatures(df, sh=sh))
-    return _pair_jaccard(sh, cands).where(F.col("jaccard") >= threshold)
+    # threshold on the UNROUNDED ratio (ADVICE r9): every DuckDB twin's
+    # WHERE clause filters the raw ratio, so filtering the 4-dp display
+    # value would keep pairs with raw jaccard in [threshold - 5e-5,
+    # threshold) that the oracle drops — a hash-red boundary at scale.
+    return (
+        _pair_jaccard(sh, cands)
+        .where(F.col("__jacc_raw") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

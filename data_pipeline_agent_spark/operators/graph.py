@@ -228,6 +228,15 @@ def pagerank(
     (parquet footer metadata via registry.table_num_rows — no counting
     scan).
     """
+    # fail-loud (ADVICE r9): n_nodes = 0 would raise a bare
+    # ZeroDivisionError below, and an understated n_nodes silently
+    # inflates every node's base mass (the oracle twin, fed the true
+    # count, would diverge) — reject both with an actionable message.
+    if n_nodes < 1:
+        raise ValueError(
+            f"pagerank: n_nodes must be >= 1, got {n_nodes} — pass the "
+            "node-table row count (e.g. plans.registry.table_num_rows)"
+        )
     base = PR_UNIT // n_nodes
     teleport = ((100 - damping_pct) * base) // 100
     out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))

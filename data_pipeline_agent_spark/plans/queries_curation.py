@@ -534,16 +534,21 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, lang, unnest({sql_tokens('lower(text)')}) AS w
             FROM documents
         ),
+        g AS (
+            SELECT doc_id, lang, w, count(*) AS c
+            FROM tok GROUP BY doc_id, lang, w
+        ),
         v AS (
-            SELECT w, count(*) AS cs,
-                   count(*) FILTER (lang = 'en') AS ct
-            FROM tok GROUP BY w
+            SELECT w, sum(c) AS cs,
+                   coalesce(sum(c) FILTER (lang = 'en'), 0) AS ct
+            FROM g GROUP BY w
         ),
         t AS (SELECT sum(cs) AS ts, sum(ct) AS tt, count(*) AS vsz FROM v)
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-               round(avg(ln((ct + 1.0) / (tt + vsz))
-                         - ln((cs + 1.0) / (ts + vsz))), 6) AS dsir_logratio
-        FROM tok JOIN v USING (w), t
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               round(sum(c * (ln((ct + 1.0) / (tt + vsz))
+                              - ln((cs + 1.0) / (ts + vsz)))) / sum(c), 6)
+                 AS dsir_logratio
+        FROM g JOIN v USING (w), t
         GROUP BY doc_id
     """,
     description="DSIR importance weighting (Xie et al. 2023): per-document "
@@ -565,17 +570,30 @@ def corpus_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast vs shuffle. The target slice is defined by a column
     predicate, so no second corpus ever materializes; at 100 TB the
     marginal cost over plain surprisal is one long column in the vocab
-    shuffle."""
+    shuffle.
+
+    r10 (r9 verdict task 4): the score join's probe side is
+    pre-aggregated to (doc, word, cnt) — one extra map-side-combinable
+    groupBy shrinks the vocab join's input by the within-doc repeat
+    factor (this query posted the tier table's second-highest ratio at
+    token grain). The per-doc score becomes sum(cnt * logratio) /
+    sum(cnt); the oracle applies the identical regrouping, so both
+    engines sum the same (doc, word)-grain multiset."""
     docs = fan_out(table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id",
-        F.explode(tokens(F.lower(F.col("text")))).alias("w"),
-        (F.col("lang") == "en").alias("tgt"),
-    ).persist()
+    grouped = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("w"),
+            (F.col("lang") == "en").alias("tgt"),
+        )
+        .groupBy("doc_id", "w", "tgt")  # tgt is per-doc constant
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
     try:
-        vocab = tok.groupBy("w").agg(
-            F.count(F.lit(1)).alias("cs"),
-            F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
+        vocab = grouped.groupBy("w").agg(
+            F.sum("c").alias("cs"),
+            F.sum(F.when(F.col("tgt"), F.col("c")).otherwise(0)).alias("ct"),
         )
         totals = vocab.agg(
             F.sum("cs").alias("ts"),
@@ -583,22 +601,26 @@ def corpus_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("vsz"),
         )
         out = (
-            tok.join(vocab, "w")
+            grouped.join(vocab, "w")
             .crossJoin(F.broadcast(totals))
             .groupBy("doc_id")
             .agg(
-                F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum("c").cast("long").alias("n_tokens"),
                 F.round(
-                    F.avg(
-                        F.log(
-                            (F.col("ct") + F.lit(1.0))
-                            / (F.col("tt") + F.col("vsz"))
+                    F.sum(
+                        F.col("c")
+                        * (
+                            F.log(
+                                (F.col("ct") + F.lit(1.0))
+                                / (F.col("tt") + F.col("vsz"))
+                            )
+                            - F.log(
+                                (F.col("cs") + F.lit(1.0))
+                                / (F.col("ts") + F.col("vsz"))
+                            )
                         )
-                        - F.log(
-                            (F.col("cs") + F.lit(1.0))
-                            / (F.col("ts") + F.col("vsz"))
-                        )
-                    ),
+                    )
+                    / F.sum("c"),
                     6,
                 ).alias("dsir_logratio"),
             )
@@ -607,5 +629,5 @@ def corpus_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         # text_unigram_surprisal.
         out = out.localCheckpoint(eager=True)
     finally:
-        tok.unpersist()
+        grouped.unpersist()
     return out

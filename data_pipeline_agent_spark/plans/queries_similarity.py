@@ -863,6 +863,10 @@ def _pagerank_oracle(iters: int) -> str:
               FROM nd CROSS JOIN nn LEFT JOIN c{k} c ON c.node = nd.node
             )""",
         ]
+    parts.append(
+        f"tot AS (SELECT CAST(sum(r) AS BIGINT) AS s, count(*) AS c "
+        f"FROM r{iters})"
+    )
     return (
         "WITH "
         + ",\n".join(parts)
@@ -871,8 +875,12 @@ def _pagerank_oracle(iters: int) -> str:
                CAST(coalesce(od.deg, 0) AS BIGINT) AS out_deg,
                CAST(coalesce(idg.deg, 0) AS BIGINT) AS in_deg,
                CAST(r{iters}.r AS BIGINT) AS pr_u,
-               round(r{iters}.r / {float(PR_UNIT)}, 6) AS pr
+               round(r{iters}.r / {float(PR_UNIT)}, 6) AS pr,
+               (tot.c = nn.n
+                AND tot.s >= nn.n * (({100 - d} * ({PR_UNIT} // nn.n)) // 100)
+                AND tot.s <= {PR_UNIT}) AS mass_ok
         FROM r{iters}
+          CROSS JOIN tot CROSS JOIN nn
           LEFT JOIN od ON od.src = r{iters}.node
           LEFT JOIN idg ON idg.dst = r{iters}.node
     """
@@ -890,7 +898,10 @@ _PR_ITERS = 3
     "(every quantity a BIGINT count of 1e-12 rank units, floor-div by out-"
     "degree, integer percentage damping) — the only iterative-algorithm "
     "query whose DuckDB twin hash-matches bit-exactly instead of via "
-    "contract booleans; dangling mass dropped, convention documented",
+    "contract booleans; dangling mass dropped, convention documented and "
+    "BOUNDED by the in-row mass_ok boolean (r10): total mass within "
+    "[n*teleport, PR_UNIT] and exactly n rank rows, so an edge-list "
+    "change that silently orphans nodes flips the hash",
     materializes_on_build=True,  # iterations run (checkpointed) at build
 )
 def sim_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -912,10 +923,11 @@ def sim_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    n_nodes = table_num_rows(sf_dir, "embeddings")
     pr = pagerank(
         edges,
         emb.select(F.col("vec_id").alias("node")),
-        n_nodes=table_num_rows(sf_dir, "embeddings"),
+        n_nodes=n_nodes,
         iters=_PR_ITERS,
     )
     out_deg = edges.groupBy(F.col("src").alias("node")).agg(
@@ -924,16 +936,37 @@ def sim_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_deg = edges.groupBy(F.col("dst").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("in_deg")
     )
-    from data_pipeline_agent_spark.operators.graph import PR_UNIT
+    from data_pipeline_agent_spark.operators.graph import PR_DAMP_PCT, PR_UNIT
 
+    # mass-accounting contract (r10, r9 verdict task 6): dangling mass
+    # is dropped by design, so total rank shrinks per iteration — but
+    # never below the teleport floor every node receives, and never
+    # above one unit of mass. An edge-list change that silently orphans
+    # nodes (rank rows lost, or mass leaking past the bounds) flips
+    # this boolean and the driver's value-hash goes red instead of
+    # staying vacuously green. Same integer arithmetic as the oracle:
+    # teleport = ((100-d) * (PR_UNIT // n)) // 100, all Python ints.
+    teleport = ((100 - PR_DAMP_PCT) * (PR_UNIT // n_nodes)) // 100
+    mass = pr.agg(
+        F.sum("pr_u").cast("long").alias("__s"),
+        F.count(F.lit(1)).alias("__c"),
+    ).select(
+        (
+            (F.col("__c") == F.lit(n_nodes))
+            & (F.col("__s") >= F.lit(n_nodes * teleport))
+            & (F.col("__s") <= F.lit(PR_UNIT))
+        ).alias("mass_ok")
+    )
     return (
         pr.join(out_deg, "node", "left")
         .join(in_deg, "node", "left")
+        .crossJoin(F.broadcast(mass))
         .select(
             F.col("node").alias("vec_id"),
             F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
             F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
             F.col("pr_u").cast("long").alias("pr_u"),
             F.round(F.col("pr_u") / F.lit(float(PR_UNIT)), 6).alias("pr"),
+            "mass_ok",
         )
     )
