@@ -452,6 +452,7 @@ def span_trimmed_text(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_one: bool = False,
 ) -> DataFrame:
     """The span-dedup DECISION applied (r9): each document's text with
     every duplicated region removed — the cleaned-corpus emitter that
@@ -473,17 +474,36 @@ def span_trimmed_text(
     Reconstruction buffers one document's kept tokens per group row
     (array_sort of (pos, token) structs — collect_list order is not
     deterministic); a document is the natural memory grain everywhere
-    else in this package (the text column itself). Trimming every
-    occurrence (not keep-one-copy) is the conservative variant of the
-    paper's removal; the keep-one-copy exemplar map is span_partners'
-    output and can exempt keeper docs downstream.
+    else in this package (the text column itself). With the default
+    ``keep_one=False`` every occurrence trims (the conservative variant
+    of the paper's removal — duplicated content disappears from the
+    corpus entirely).
+
+    ``keep_one=True`` (r10, r9 verdict task 2) is the actual Lee et al.
+    2022 removal semantics: each duplicated gram's KEEPER — its min-id
+    participant, the same keep-first canon span_partners' exemplar map
+    elects (rank-1 exemplar == min doc_id) — retains its text; only the
+    trailing copies trim. The keeper is computed as a min over the SAME
+    gram-keyed window exchange that counts occurrences, so the plan
+    still has zero Join nodes. Scope note: keeper election is per GRAM
+    at doc grain — a keeper doc retains all its occurrences of that
+    gram, including within-doc repeats (a within-doc-only duplicate
+    therefore keeps both copies; the keep_one=False mode is the tool
+    for intra-doc boilerplate).
 
     Returns (doc_id, n_tokens, kept_tokens, trimmed_text)."""
     occ = _gram_occurrences(df, n, text_col, id_col)
     wg = Window.partitionBy("__gram")
+    marked = occ.withColumn("__cnt", F.count(F.lit(1)).over(wg))
+    trims = F.col("__cnt") >= min_count
+    if keep_one:
+        # rides the same gram-keyed window exchange as the count —
+        # window expressions can't live in a WHERE, so materialize first
+        marked = marked.withColumn("__keeper", F.min(id_col).over(wg))
+        trims = trims & (F.col(id_col) != F.col("__keeper"))
     anchors = (
-        occ.withColumn("__cnt", F.count(F.lit(1)).over(wg))
-        .where(F.col("__cnt") >= min_count)
+        marked
+        .where(trims)
         .select(
             F.col(id_col),
             F.col("pos"),

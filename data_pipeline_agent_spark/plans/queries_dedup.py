@@ -525,6 +525,59 @@ def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_trim_keep_one",
+    oracle=f"""
+        WITH {_occ_cte(D.SPAN_GRAM_N)},
+        anchors AS (
+          SELECT doc_id, pos
+          FROM (SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY gram) AS cnt,
+                       min(doc_id) OVER (PARTITION BY gram) AS keeper
+                FROM occ)
+          WHERE cnt >= 2 AND doc_id <> keeper
+        ),
+        tok AS (
+          SELECT doc_id, pos, tk[pos] AS tok
+          FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1, len(tk))) AS pos
+                FROM toks)
+        ),
+        fl AS (
+          SELECT t.doc_id, t.pos, t.tok, a.pos AS apos
+          FROM tok t LEFT JOIN anchors a
+            ON a.doc_id = t.doc_id AND a.pos = t.pos
+        ),
+        cov AS (
+          SELECT doc_id, pos, tok,
+                 max(apos) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS last_a
+          FROM fl
+        ),
+        k AS (SELECT doc_id, pos, tok,
+                     (last_a IS NOT NULL
+                      AND last_a >= pos - {D.SPAN_GRAM_N - 1}) AS covd
+              FROM cov)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN covd THEN 0 ELSE 1 END) AS BIGINT)
+                 AS kept_tokens,
+               coalesce(string_agg(CASE WHEN covd THEN NULL ELSE tok END,
+                        ' ' ORDER BY pos), '') AS trimmed_text
+        FROM k GROUP BY doc_id
+    """,
+    description="KEEP-ONE-COPY span dedup (r10, r9 verdict task 2) — the "
+    "actual Lee et al. 2022 removal semantics: each duplicated 8-gram's "
+    "min-id keeper (the rank-1 exemplar span_partners elects) RETAINS its "
+    "text and only the trailing copies trim; keeper election is a min "
+    "over the SAME gram-keyed window exchange as the occurrence count, so "
+    "the plan still has zero Join nodes; trimmed text hash-compared "
+    "byte-for-byte",
+)
+def dedup_span_trim_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.span_trimmed_text(table(spark, sf_dir, "documents"), keep_one=True)
+
+
+@register(
     "dedup_blocks_global",
     oracle=f"""
         WITH tk AS (
@@ -741,4 +794,103 @@ def corpus_split_assign_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchor_id",
         split.alias("split"),
         (F.col("anchor_id") != F.col("doc_id")).alias("moved_with_cluster"),
+    )
+
+
+@register(
+    "corpus_split_survivor",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        {_minhash_cte()},
+        bands AS ({_bands_sql()}),
+        cands AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        ),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cands c JOIN ex ea ON ea.id = c.id_a
+                       JOIN ex eb ON eb.id = c.id_b AND eb.g = ea.g
+          GROUP BY 1, 2
+        ),
+        dups AS (
+          SELECT i.id_a, i.id_b
+          FROM inter i JOIN sh sa ON i.id_a = sa.id
+                       JOIN sh sb ON i.id_b = sb.id
+          WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM dups
+          UNION
+          SELECT id_b, id_a FROM dups
+        ),
+        reach(node, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+        ),
+        cc AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+        q AS ({_quality_sql()}),
+        ranked AS (
+          SELECT cc.comp, cc.node, q.qs,
+                 row_number() OVER (PARTITION BY cc.comp
+                                    ORDER BY q.qs DESC, cc.node ASC) AS rk,
+                 count(*) OVER (PARTITION BY cc.comp) AS gsz
+          FROM cc JOIN q ON q.qid = cc.node
+        )
+        SELECT comp AS group_id,
+               {_SPLIT_CASE.replace('doc_id', 'comp')} AS split,
+               node AS survivor_doc_id,
+               qs AS survivor_quality,
+               CAST(gsz AS BIGINT) AS group_size
+        FROM ranked WHERE rk = 1
+    """,
+    description="leak-free split x quality survivorship COMPOSED (r10, r9 "
+    "verdict task 5): per duplicate cluster, the anchor-keyed split "
+    "assignment (corpus_split_assign_leakfree's rule — the cluster's min "
+    "id hashes, so members can never straddle splits) together with the "
+    "quality-elected survivor (dedup_survivor_best_quality's rule) and "
+    "member count — the one-pass answer a real pipeline needs: which doc "
+    "to keep AND which split its whole cluster lands in; the anchor-split "
+    "rule cannot fight the survivor rule because the split is a function "
+    "of the cluster id, never of the surviving doc",
+)
+def corpus_split_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of three oracle-checked stages (LSH pairs -> CC ->
+    quality window) plus the anchor-split CASE: the survivor row carries
+    the split of its CLUSTER (md5 of group_id == the cluster's min-id
+    anchor), so the kept document always lands in the same split as
+    every member it replaced — the invariant tests/test_split_leakage.py
+    pins against corpus_split_assign_leakfree."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.graph import duplicate_groups
+    from data_pipeline_agent_spark.operators.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    groups = duplicate_groups(pairs)
+    q = quality_score(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    bucket = F.substring(F.md5(F.col("group_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "14", "test")
+        .when(bucket < "28", "val")
+        .otherwise("train")
+    )
+    return (
+        groups.join(q, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "group_id",
+            split.alias("split"),
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("quality_score").alias("survivor_quality"),
+            "group_size",
+        )
     )

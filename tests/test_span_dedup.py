@@ -229,6 +229,126 @@ def test_span_trim_consistent_with_duplicated_spans(spark):
     assert bad == 0
 
 
+def _trim_keep_one(spark, rows, **kw):
+    from data_pipeline_agent_spark.operators.dedup import span_trimmed_text
+
+    out = span_trimmed_text(_docs(spark, rows), keep_one=True, **kw).collect()
+    return {r.doc_id: (r.n_tokens, r.kept_tokens, r.trimmed_text) for r in out}
+
+
+def test_span_trim_keep_one_keeper_retains_trailing_copies_trim(spark):
+    # the min-id participant of the shared run KEEPS it (Lee et al.
+    # keep-one-copy); only the trailing copy trims
+    shared = [f"s{i}" for i in range(10)]
+    rows = [
+        (1, W(["a1", "a2"] + shared + ["a3"])),
+        (2, W(shared + ["b1", "b2", "b3"])),
+    ]
+    got = _trim_keep_one(spark, rows, n=8)
+    assert got[1] == (13, 13, W(["a1", "a2"] + shared + ["a3"]))
+    assert got[2] == (13, 3, "b1 b2 b3")
+
+
+def test_span_trim_keep_one_mixed_keeper_roles(spark):
+    # doc 2 is the TRAILING copy of run A (keeper: doc 1) but the KEEPER
+    # of run B (shared with doc 3): it trims A and retains B
+    run_a = [f"a{i}" for i in range(8)]
+    run_b = [f"b{i}" for i in range(8)]
+    rows = [
+        (1, W(run_a + ["u1"])),
+        (2, W(run_a + ["u2"] + run_b)),
+        (3, W(run_b + ["u3"])),
+    ]
+    got = _trim_keep_one(spark, rows, n=8)
+    assert got[1] == (9, 9, W(run_a + ["u1"]))
+    assert got[2] == (17, 9, W(["u2"] + run_b))
+    assert got[3] == (9, 1, "u3")
+
+
+def test_span_trim_keep_one_within_doc_repeat_fully_kept(spark):
+    # keeper election is per gram at DOC grain: a within-doc-only
+    # duplicate's doc is its own keeper, so both copies stay (documented
+    # scope choice — keep_one=False is the intra-doc boilerplate tool)
+    run = [f"r{i}" for i in range(8)]
+    gap = [f"g{i}" for i in range(12)]
+    rows = [(1, W(run + gap + run))]
+    got = _trim_keep_one(spark, rows, n=8)
+    assert got[1] == (28, 28, W(run + gap + run))
+
+
+def test_span_trim_keep_one_identities_on_corpus(spark):
+    """Cross-operator identities on the real corpus (r9 verdict task 2's
+    'done' bar): (a) a doc that anchors (is min-id keeper of) EVERY
+    duplicated gram it contains keeps all its tokens; (b) keep-one never
+    trims more than trim-all: kept_keep_one >= kept_all per doc, equal
+    n_tokens totals."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.dedup import (
+        SPAN_GRAM_N,
+        _gram_occurrences,
+        span_trimmed_text,
+    )
+    from pyspark.sql import Window
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    wg = Window.partitionBy("__gram")
+    occ = (
+        _gram_occurrences(docs, SPAN_GRAM_N, "text", "doc_id")
+        .withColumn("__cnt", F.count(F.lit(1)).over(wg))
+        .withColumn("__keeper", F.min("doc_id").over(wg))
+        .where(F.col("__cnt") >= 2)
+    )
+    # docs with >= 1 duplicated gram, all of which they anchor
+    all_anchor = (
+        occ.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("doc_id") != F.col("__keeper"), 1).otherwise(0)
+            ).alias("foreign")
+        )
+        .where(F.col("foreign") == 0)
+        .select("doc_id")
+    )
+    keep1 = span_trimmed_text(docs, keep_one=True).alias("k1")
+    # (a) pure keepers lose nothing
+    bad_keeper = (
+        keep1.join(all_anchor, "doc_id")
+        .where(F.col("kept_tokens") != F.col("n_tokens"))
+        .count()
+    )
+    assert bad_keeper == 0
+    # (b) keep-one dominates trim-all
+    alltrim = span_trimmed_text(docs).select(
+        "doc_id",
+        F.col("n_tokens").alias("nt_all"),
+        F.col("kept_tokens").alias("kept_all"),
+    )
+    joined = keep1.join(alltrim, "doc_id")
+    assert joined.where(F.col("n_tokens") != F.col("nt_all")).count() == 0
+    assert joined.where(F.col("kept_tokens") < F.col("kept_all")).count() == 0
+    # and the corpus genuinely exercises both modes differing
+    assert joined.where(F.col("kept_tokens") > F.col("kept_all")).count() > 0
+
+
+def test_span_trim_keep_one_plan_no_join(spark):
+    """Plan gate: keeper election rides the gram window's exchange —
+    still zero Join nodes, two generators, like dedup_span_trim."""
+    import re
+
+    from data_pipeline_agent_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    df = REGISTRY["dedup_span_trim_keep_one"].spark(spark, SF_DIR)
+    txt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in txt
+    assert "Join" not in txt
+    assert len(re.findall(r"\(\d+\) Generate\b", txt)) == 2
+
+
 def test_span_trim_plan_no_join_one_window_pass(spark):
     """Plan gate: the trim plan must carry anchors into the token stream
     by UNION (rides the per-doc window's shuffle), never a (doc, pos)

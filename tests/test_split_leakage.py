@@ -49,6 +49,37 @@ def test_singletons_keep_their_own_split(spark):
         assert r["split"] == _split_of(r["doc_id"])
 
 
+def test_split_survivor_composition_invariants(spark):
+    """r10 (r9 verdict task 5): the composed corpus_split_survivor query
+    must agree with corpus_split_assign_leakfree — every cluster's
+    survivor AND members land in the cluster's one split — and the
+    survivor must be a member of its own cluster."""
+    from pyspark.sql import functions as F
+
+    comp = REGISTRY["corpus_split_survivor"].spark(spark, SF_DIR)
+    assign = REGISTRY["corpus_split_assign_leakfree"].spark(spark, SF_DIR)
+    assert comp.count() > 0, "corpus should contain duplicate clusters"
+    # member splits == the composed cluster split (survivor included:
+    # it is one of the members)
+    j = assign.join(
+        comp.select(
+            F.col("group_id").alias("anchor_id"),
+            F.col("split").alias("cluster_split"),
+        ),
+        "anchor_id",
+    )
+    assert j.where(F.col("split") != F.col("cluster_split")).count() == 0
+    # survivor is a member of the cluster it represents
+    memb = assign.select(
+        F.col("doc_id").alias("survivor_doc_id"),
+        F.col("anchor_id").alias("group_id"),
+    )
+    assert comp.join(memb, ["survivor_doc_id", "group_id"], "left_anti").count() == 0
+    # and the split is a pure function of the anchor hash
+    for r in comp.collect():
+        assert r["split"] == _split_of(r["group_id"])
+
+
 def test_cluster_members_share_anchor_split(spark):
     rows = (
         REGISTRY["corpus_split_assign_leakfree"]
