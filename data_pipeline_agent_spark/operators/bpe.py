@@ -105,35 +105,131 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(syms: F.Column, lhs: str, rhs: str) -> F.Column:
-    """Greedy left-to-right merge of adjacent (lhs, rhs) in a symbol
-    list — a map-side fold, no shuffle. See module docstring for the
-    scan-equivalence argument."""
-    merged = F.lit(lhs + rhs)
+def _apply_merges(
+    syms: F.Column, rules: list[tuple[str, str]]
+) -> F.Column:
+    """Greedy left-to-right application of a PAIRWISE NON-INTERACTING
+    rule set in ONE fold pass — a map-side expression, no shuffle.
+
+    For a single rule this is exactly the sequential greedy scan (see
+    the module docstring's equivalence argument). For several rules the
+    one-pass fold equals applying each rule's own greedy scan in
+    sequence BECAUSE the batch selector (_select_batch) guarantees no
+    symbol of one rule equals another rule's lhs/rhs/merged token:
+    merging rule j can then neither create nor destroy a match site for
+    rule i (created adjacencies always involve rule j's new token;
+    destroyed adjacencies always involve rule j's lhs/rhs), and at most
+    one rule can match any (last-symbol, next-symbol) position, so the
+    when-chain's order is irrelevant."""
+    def step(acc: F.Column, s: F.Column) -> F.Column:
+        expr = F.concat(acc, F.array(s))
+        for lhs, rhs in rules:
+            expr = F.when(
+                (F.element_at(acc, -1) == F.lit(lhs)) & (s == F.lit(rhs)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(lhs + rhs)),
+                ),
+            ).otherwise(expr)
+        return expr
+
     return F.when(F.size(syms) < 2, syms).otherwise(
         F.aggregate(
             F.slice(syms, 2, F.size(syms) - 1),
             F.slice(syms, 1, 1),
-            lambda acc, s: F.when(
-                (F.element_at(acc, -1) == F.lit(lhs)) & (s == F.lit(rhs)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
+            step,
         )
     )
 
 
+def _apply_merge(syms: F.Column, lhs: str, rhs: str) -> F.Column:
+    """Greedy left-to-right merge of adjacent (lhs, rhs) in a symbol
+    list — the single-rule case of _apply_merges."""
+    return _apply_merges(syms, [(lhs, rhs)])
+
+
+def _select_batch(
+    ranked: list[tuple[str, str, int]],
+    max_batch: int,
+    exhaustive: bool,
+) -> list[tuple[str, str, int]]:
+    """Driver-side selection of a SEQUENTIAL-EQUIVALENT merge batch from
+    the collected top-W pair window (r10, r9 verdict task 1).
+
+    ``ranked`` is (l, r, cnt) in the argmax total order (cnt DESC, l, r
+    ASC); ``exhaustive`` says the window holds the ENTIRE pair list.
+    Returns the batch as a list in merge order; always non-empty when
+    ``ranked`` is (a batch of one is literally the sequential argmax).
+
+    The batch is the maximal rank-PREFIX satisfying four conditions,
+    each required by the equivalence proof (see bpe_train's docstring):
+
+    1. pairwise non-interacting: no symbol of one selected rule equals
+       another selected rule's lhs, rhs, OR merged token;
+    2. prefix stops at the FIRST interacting pair (never skips past
+       it): every pair outside the batch then ranks at-or-after the
+       stop position, bounding the counts of all pairs any batch rule
+       can create or shrink;
+    3. a self-pairable rule (lhs == rhs, e.g. (a,a)) closes the batch:
+       its own merges mint (t,t)/(t,lhs) pairs whose counts derive from
+       the rule's OWN count — unbounded by the stop position — so it is
+       only sequential-safe as the batch's final rule;
+    4. strict count gap: selected counts must exceed the first excluded
+       pair's count (ties across the boundary could flip the argmax's
+       lexicographic tie-break mid-batch).
+    """
+    if not ranked:
+        return []
+    # a truncated window can hide pairs tied with its last row: treat
+    # the last row as the sentinel bound, never select it
+    window = ranked if exhaustive else ranked[:-1]
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    bound: int | None = None  # count of the first excluded pair
+    for idx, (l, r, cnt) in enumerate(window):
+        if len(accepted) == max_batch:
+            bound = cnt
+            break
+        if {l, r, l + r} & used:
+            bound = cnt
+            break
+        accepted.append((l, r, cnt))
+        used.update((l, r, l + r))
+        if l == r:  # condition 3: close the batch after this rule
+            nxt = idx + 1
+            if nxt < len(ranked):
+                bound = ranked[nxt][2]
+            break
+    else:
+        if not exhaustive and len(ranked) > len(window):
+            bound = ranked[len(window)][2]
+    if bound is not None:
+        accepted = [p for p in accepted if p[2] > bound]
+    return accepted if accepted else [ranked[0]]
+
+
 def _train(
-    docs: DataFrame, n_merges: int, text_col: str
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str,
+    batch: int = 1,
+    stats: dict | None = None,
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Shared training loop: returns (merge rules, final segmented vocab
     ``(word, freq, syms)``). The caller must unpersist the returned
     frame when done.
 
-    The per-iteration argmax is a bounded driver collect of exactly ONE
-    row (the same bounded-scalar convention as the CC edge count and the
+    The per-round argmax is a bounded driver collect — ONE row at
+    ``batch=1``, a 2*batch+8 row window otherwise (the same
+    bounded-scalar convention as the CC edge count and the
     adaptive-bits lookup); everything corpus-sized stays distributed.
+
+    ``batch=M`` accepts up to M merge rules per round (see bpe_train's
+    docstring for the sequential-equivalence proof); each round costs
+    the SAME ~2 Spark stages + one driver round-trip as a single
+    sequential merge (the collision guard is a driver-side set lookup,
+    zero extra jobs), so wall-clock per rule drops by the realized
+    batch factor (``stats['rounds']`` reports it).
     """
     wf = word_freq(docs, text_col).localCheckpoint(eager=True)
     # Size the iteration frame's layout from the VOCAB row count, not the
@@ -150,36 +246,116 @@ def _train(
     )
     wf.unpersist()
     merges: list[tuple[int, str, str, str, int]] = []
-    for k in range(1, n_merges + 1):
-        top = (
-            _pair_counts(vocab)
+    minted: set[str] = set()  # every multi-char symbol the vocab can hold
+    rounds = 0
+    while len(merges) < n_merges:
+        remaining = n_merges - len(merges)
+        take = min(batch, remaining)
+        window = 1 if take == 1 else 2 * take + 8
+        top = [
+            (row["l"], row["r"], int(row["cnt"]))
+            for row in _pair_counts(vocab)
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(window)
             .collect()
-        )
+        ]
         if not top:
             break
-        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-        merges.append((k, l, r, l + r, cnt))
+        rounds += 1
+        accepted = _select_batch(top, take, exhaustive=len(top) < window)
+        if len(accepted) > 1 and any(
+            l + r in minted for l, r, _ in accepted
+        ):
+            # Collision guard: a selected rule's merged token equals a
+            # symbol the vocab may ALREADY hold — its existing pair
+            # counts would absorb newly created occurrences and could
+            # outgrow a later in-batch rule, breaking sequential
+            # equivalence. The check is a pure DRIVER-SIDE set lookup
+            # (zero Spark jobs): initial symbols are single chars, so
+            # every multi-char symbol is exactly an earlier round's
+            # minted token, all of which the driver recorded.
+            # Conservative (the colliding token may have been fully
+            # consumed since) — the fallback is a plain sequential
+            # argmax round, always safe.
+            accepted = accepted[:1]
+        for l, r, cnt in accepted:
+            merges.append((len(merges) + 1, l, r, l + r, cnt))
+            minted.add(l + r)
         nxt = vocab.select(
-            "word", "freq", _apply_merge(F.col("syms"), l, r).alias("syms")
+            "word",
+            "freq",
+            _apply_merges(
+                F.col("syms"), [(l, r) for l, r, _ in accepted]
+            ).alias("syms"),
         ).localCheckpoint(eager=True)
         vocab.unpersist()
         vocab = nxt
+        # no early exit on a consumed window: applying the batch can MINT
+        # new pairs (merged tokens pairing with neighbors — e.g. (a,a)
+        # over "aaaa" leaves (aa,aa) behind), so exhaustion is only
+        # decided by the NEXT round's recomputed pair stats coming back
+        # empty
+    if stats is not None:
+        stats["rounds"] = rounds  # driver round-trips: the batching win
     return merges, vocab
 
 
 def bpe_train(
-    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    batch: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merge rules from ``docs``.
 
     Returns a ``n_merges``-row DataFrame: (merge_rank, lhs, rhs, token,
     cnt) — the rule sequence a tokenizer would replay, with the
     freq-weighted pair count each rule won with.
+
+    ``batch=M`` (r10, r9 verdict task 1) makes the trainer
+    production-shaped in MERGE COUNT, not just data size: sequential
+    training costs ~2 Spark stages + one driver round-trip PER MERGE —
+    fine for 8 rules, a wall-clock wall at a production tokenizer's
+    10k-50k (tens of thousands of sequential stages). Batched rounds
+    accept up to M rules per round while provably emitting the
+    IDENTICAL rule sequence as ``batch=1``:
+
+    The round collects the top-(2M+8) pair window in argmax order and
+    accepts the maximal prefix that is pairwise symbol-disjoint (incl.
+    minted tokens), stops at the first interacting pair, closes after
+    any lhs==rhs rule, and keeps only counts strictly above the first
+    excluded pair's (_select_batch). Equivalence argument: disjoint
+    rules' own counts are invariant under each other's application
+    (no shared symbol means no match site created or destroyed), and
+    every pair a batch rule can CREATE — (x, t_j) from an original
+    (x, lhs_j) adjacency, (t_j, y) from (rhs_j, y), (t_i, t_j) from
+    (rhs_i, lhs_j) — derives its count from a pair that interacts with
+    an accepted rule, which by the stop-at-first-interaction rule ranks
+    at-or-after the stop position, so its count is <= the excluded
+    bound < every accepted count. At each sequential step the argmax is
+    therefore the next accepted rule, in rank order. Two escapes stay
+    sequential-exact: lhs==rhs rules close the batch (their residue
+    pairs derive from their OWN count and dodge the bound), and a
+    minted token colliding with a symbol already in the vocab (only
+    possible via an earlier round's token, e.g. ("a","bc") after
+    ("ab","c") minted "abc") falls back to a 1-rule round via a
+    vocab-scale probe of the pair frame. A batch of one is literally
+    the sequential argmax, so every fallback is safe.
+
+    tests/test_bpe.py pins rule-set equality against both batch=1 and a
+    pure-Python sequential reference on fixture corpora engineered to
+    hit the escapes (ties at the boundary, interacting top pairs,
+    lhs==rhs runs) plus randomized tiny-alphabet corpora that surface
+    cascades the fixtures miss; the registered text_bpe_merges_batched
+    query hash-matches the SEQUENTIAL DuckDB replay cross-engine. The
+    collision guard is defense-in-depth and FREE: initial symbols are
+    single chars, so every multi-char symbol is an earlier round's
+    minted token — the check is a driver-side set lookup, zero Spark
+    jobs.
     """
     spark = docs.sparkSession
-    merges, vocab = _train(docs, n_merges, text_col)
+    merges, vocab = _train(docs, n_merges, text_col, batch=batch, stats=stats)
     vocab.unpersist()
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
@@ -189,6 +365,7 @@ def bpe_fertility(
     n_merges: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch: int = 1,
 ) -> DataFrame:
     """APPLY the learned merges: per-document subtoken counts under the
     ``n_merges``-rule BPE — the tokenizer-"fertility" metric (mean
@@ -201,7 +378,7 @@ def bpe_fertility(
     Words outside BPE_WORD_RE never trained and are excluded here too
     (fertility over the trainable subset; documented scope choice).
     """
-    _merges, vocab = _train(docs, n_merges, text_col)
+    _merges, vocab = _train(docs, n_merges, text_col, batch=batch)
     seg = vocab.select("word", F.size("syms").alias("__nsub"))
     # pre-aggregate to (doc, word, cnt) BEFORE the vocab join (r10, r9
     # verdict task 4): the join's probe side shrinks by the within-doc

@@ -292,6 +292,29 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_merges_batched",
+    oracle=_bpe_oracle(_BPE_MERGES),
+    description="BPE training in BATCHED merge rounds (r10, r9 verdict "
+    "task 1): up to 4 pairwise non-interacting rules accepted per round "
+    "(~2 Spark stages + 1 driver round-trip per ROUND instead of per "
+    "merge — the production path to 10k-50k-rule tokenizers), provably "
+    "emitting the identical rule sequence as sequential training: the "
+    "DuckDB twin is deliberately the SEQUENTIAL per-merge replay, so the "
+    "hash match IS the cross-engine equivalence proof",
+    materializes_on_build=True,
+)
+def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_agent_spark.operators.bpe import bpe_train
+    from data_pipeline_agent_spark.session import fan_out
+
+    return bpe_train(
+        fan_out(table(spark, sf_dir, "documents")),
+        n_merges=_BPE_MERGES,
+        batch=4,
+    )
+
+
+@register(
     "text_bpe_fertility",
     oracle=_bpe_fertility_oracle(_BPE_MERGES),
     description="tokenizer fertility under the learned 8-merge BPE: "

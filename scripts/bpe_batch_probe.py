@@ -1,0 +1,103 @@
+"""Merges-vs-wall-clock probe for BPE training (r10, r9 verdict task 1).
+
+The tier table's text_bpe_merges row proves DATA scaling (0.84x/decade at
+8 merges); the r9 verdict's open question was MERGE-COUNT scaling: the
+sequential trainer costs ~2 Spark stages + 1 driver round-trip per merge,
+so a production tokenizer's 10k-50k rules mean tens of thousands of
+sequential stages regardless of data size. This probe measures wall-clock
+at sf0.1 for a merge-count ramp under batch=1 vs batch=8 and records the
+realized per-rule speedup (the batch selector accepts fewer than M rules
+per round when the pair order interacts, so the speedup is measured, not
+assumed).
+
+Writes bpe_batch_probe.json. Run exclusively (no concurrent Spark work).
+
+Usage: python scripts/bpe_batch_probe.py [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from data_pipeline_agent_spark.operators.bpe import bpe_train  # noqa: E402
+from data_pipeline_agent_spark.session import fan_out, get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--merges", nargs="*", type=int, default=[8, 32, 64])
+    ap.add_argument("--sweeps", type=int, default=2)
+    args = ap.parse_args()
+
+    spark = get_spark("bpe_batch_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = fan_out(spark.read.parquet(f"{args.sf_dir}/documents.parquet"))
+
+    # warm-up outside the timed region
+    bpe_train(docs, n_merges=2).collect()
+
+    rows = []
+    for n in args.merges:
+        for batch in (1, 8):
+            best, n_rules, rounds = None, None, None
+            for _ in range(args.sweeps):
+                stats: dict = {}
+                t0 = time.perf_counter()
+                out = bpe_train(docs, n_merges=n, batch=batch, stats=stats).collect()
+                dt = round(time.perf_counter() - t0, 3)
+                best = dt if best is None else min(best, dt)
+                n_rules = len(out)
+                rounds = stats["rounds"]
+            rows.append(
+                {
+                    "n_merges": n,
+                    "batch": batch,
+                    "sec": best,
+                    "rules_learned": n_rules,
+                    "rounds": rounds,
+                    "realized_batch_factor": round(n_rules / max(rounds, 1), 2),
+                }
+            )
+            print(json.dumps(rows[-1]))
+    # rule-set equality across modes at the largest ramp point (the
+    # equivalence guarantee, re-checked in the probe itself)
+    n = max(args.merges)
+    seq = [tuple(r) for r in bpe_train(docs, n_merges=n, batch=1).collect()]
+    bat = [tuple(r) for r in bpe_train(docs, n_merges=n, batch=8).collect()]
+    payload = {
+        "sf_dir": args.sf_dir,
+        "rows": rows,
+        "rules_equal_at_max_ramp": seq == bat,
+        "note": (
+            "sequential cost is ~2 stages + 1 driver argmax per MERGE; "
+            "batched rounds amortize that over up to 8 accepted rules. "
+            "Measured reality: the realized batch factor is high on the "
+            "head of training (distinct counts, disjoint pairs) and "
+            "collapses toward 1 in tie-dense regions — the "
+            "stop-at-first-interaction and strict-count-gap conditions "
+            "are the PRICE OF EXACTNESS (rule-for-rule equality with "
+            "sequential BPE, which the hash-matched DuckDB twin proves). "
+            "A production 50k-rule trainer accepting the standard "
+            "approximation (symbol-disjointness alone) would keep the "
+            "full batch amortization; this engine deliberately ships "
+            "only the exact mode because every registered query is "
+            "oracle-checked"
+        ),
+    }
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(repo, "bpe_batch_probe.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({"rules_equal_at_max_ramp": seq == bat}))
+    spark.stop()
+    sys.exit(0 if seq == bat else 1)
+
+
+if __name__ == "__main__":
+    main()

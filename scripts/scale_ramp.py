@@ -539,6 +539,14 @@ _100X_QUERIES = [
     # pointer-jumping CC) with a corpus-wide left join — the composition,
     # not just its parts, gets a second-decade row
     "corpus_split_assign_leakfree",
+    # round-10 (r9 verdict tasks 2+3): the keep-one-copy span trim adds
+    # a second aggregate (min) to the gram window — same shuffle, probed
+    # to confirm; and the FULL all-points multiprobe graph gets its
+    # first measured decade — the (bits+1)x candidate-volume claim was
+    # the one scale claim in the similarity family resting on arithmetic
+    # alone (pinned bits, so the probe is static across tiers)
+    "dedup_span_trim_keep_one",
+    "sim_knn_graph_multiprobe",
 ]
 _100X_TABLES = {
     "customer",
@@ -583,7 +591,12 @@ def _split_sections(txt: str) -> tuple[str, str, str]:
     return txt, t100, stream
 
 
-def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
+def run_tier100(
+    spark: SparkSession,
+    base: str,
+    skip_gen: bool = False,
+    queries: list[str] | None = None,
+) -> None:
     """Generate a 100x tile (sf10-equivalent: ~60M lineitem rows, 500k
     documents, 200k embeddings — well under the 128 GiB budget) for the
     tables the probe queries touch and measure the second decade: ratio
@@ -592,17 +605,38 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
     Writes scale_ramp_100x.json and appends/replaces the "## 100x tier"
     section of SCALE.md. ``skip_gen`` reuses any already-generated table
     directory (per-table, so adding a probe family regenerates only its
-    tables)."""
+    tables). ``queries`` measures only the named subset and merges its
+    rows into the existing scale_ramp_100x.json (other rows carried
+    forward unchanged, their provenance visible in the per-row sample
+    counts) — the cheap path for adding a new probe family mid-round;
+    a full default run re-measures every row like-for-like."""
+    names = [n for n in _100X_QUERIES if n in (queries or _100X_QUERIES)]
     generate_scaled(spark, base, SCALED_DIR, 10, reuse=skip_gen)
     t0 = time.time()
     generate_scaled(spark, base, SF10_DIR, 100, tables=_100X_TABLES, reuse=skip_gen)
     print(f"generated {SF10_DIR} in {round(time.time() - t0, 1)}s", file=sys.stderr)
-    for n in _100X_QUERIES:
+    for n in names:
         _materialize(REGISTRY[n].spark(spark, "/root/testdata/sf0.001"))
     n_sf1: dict[str, int] = {}
     n_sf10: dict[str, int] = {}
-    r_sf1 = time_suite(spark, SCALED_DIR, _100X_QUERIES, counts_out=n_sf1)
-    r_sf10 = time_suite(spark, SF10_DIR, _100X_QUERIES, counts_out=n_sf10)
+    r_sf1 = time_suite(spark, SCALED_DIR, names, counts_out=n_sf1)
+    r_sf10 = time_suite(spark, SF10_DIR, names, counts_out=n_sf10)
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    if queries:
+        # carry forward the unmeasured rows from the committed artifact
+        prior_path = os.path.join(repo, "scale_ramp_100x.json")
+        prior = (
+            json.load(open(prior_path))["queries"]
+            if os.path.exists(prior_path)
+            else {}
+        )
+        for n in _100X_QUERIES:
+            if n in names or n not in prior:
+                continue
+            r_sf1[n] = prior[n]["sf1"]
+            r_sf10[n] = prior[n]["sf10"]
+            n_sf1[n] = prior[n].get("samples_sf1", 0)
+            n_sf10[n] = prior[n].get("samples_sf10", 0)
 
     def _flag(t1: float, t10: float) -> tuple[float, bool]:
         ratio = round(t10 / t1, 2) if t1 > 0 else float("inf")
@@ -616,7 +650,7 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
     # first-pass ratio crosses the flag rule get two more dedicated
     # samples per tier (both tiers, so the re-measure cannot bias the
     # ratio's direction) before a SUPER-LINEAR verdict is recorded.
-    for n in _100X_QUERIES:
+    for n in names:
         _r, fl = _flag(r_sf1[n], r_sf10[n])
         if not fl:
             continue
@@ -639,12 +673,13 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
             spark.catalog.clearCache()
     rows, flagged = [], []
     for n in _100X_QUERIES:
+        if n not in r_sf1:
+            continue  # subset run and no prior row to carry forward
         t1, t10 = r_sf1[n], r_sf10[n]
         ratio, fl = _flag(t1, t10)
         if fl:
             flagged.append(n)
         rows.append((n, t1, t10, ratio, fl, n_sf1.get(n, 0), n_sf10.get(n, 0)))
-    repo = os.path.join(os.path.dirname(__file__), "..")
     with open(os.path.join(repo, "scale_ramp_100x.json"), "w") as f:
         json.dump(
             {
@@ -708,7 +743,12 @@ def run_tier100(spark: SparkSession, base: str, skip_gen: bool = False) -> None:
         "(the iterative loop must track the Heaps'-law VOCAB, not the",
         "corpus — a super-linear row here would mean the iteration frame",
         "is corpus-sized), aligned-block first-occurrence dedup, and the",
-        "DSIR two-LM log-ratio.",
+        "DSIR two-LM log-ratio. Round 10: the keep-one-copy span trim",
+        "(second aggregate on the same gram window) and the FULL",
+        "all-points multiprobe kNN graph (pinned 8-bit buckets x 4",
+        "rotations, 9 probe keys per rotation) — the (bits+1)x",
+        "candidate-volume claim gets its measured decade (r9 verdict",
+        "task 3).",
         "Ratio = t(sf10)/t(sf1) against 10x data — the same",
         "flag rule as above, applied one decade further out to confirm",
         "the 10x trend is a trend and not a plateau artifact. Flag",
@@ -753,7 +793,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     base = "/root/testdata/sf0.1"
     if args.tier100:
-        run_tier100(spark, base, skip_gen=args.skip_gen)
+        run_tier100(spark, base, skip_gen=args.skip_gen, queries=args.queries)
         spark.stop()
         return
     if not args.skip_gen or not os.path.isdir(SCALED_DIR):
