@@ -194,6 +194,7 @@ def knn_graph(
     n_hint: int | None = None,
     dim_hint: int | None = None,
     multiprobe: bool = False,
+    probe_t: int | None = None,
 ) -> DataFrame:
     """k-NN GRAPH: top-k cosine neighbors for EVERY vector (not a small
     anchor set) — the building block for graph-based curation (SemDeDup
@@ -295,28 +296,90 @@ def knn_graph(
     )
     if multiprobe:
         # flip-one-bit multi-probe (the other recall dial, r9): the QUERY
-        # side additionally probes every 1-Hamming neighbor of its home
-        # bucket — bits+1 probe keys per rotation; the candidate side
-        # stays home-only, so candidate volume grows (bits+1)x per
-        # rotation (still linear in N) and per-rotation recall covers
-        # every single-hyperplane miss — use FEWER rotations with
-        # multiprobe (R=4 multiprobe ~= 20 bucket-probes vs adaptive
-        # R=8's 8) when recall matters more than cost. Measured at R=4
-        # on the 4-bit floor: 0.947-0.960 vs 0.41-0.49 plain. Within a
-        # rotation a pair can match at most one probe key (the
-        # candidate has ONE bucket), so no new dedup grain is
-        # introduced.
-        probe_arr = F.array(
-            F.col("__bkt"),
-            *[F.col("__bkt").bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
-        )
-        a = a.select(
-            "query_id",
-            "__qv",
-            "__qn",
-            "__rot",
-            F.explode(probe_arr).alias("__bkt"),
-        )
+        # side additionally probes 1-Hamming neighbors of its home
+        # bucket; the candidate side stays home-only, so no new dedup
+        # grain is introduced (within a rotation a pair can match at
+        # most one probe key — the candidate has ONE bucket).
+        #
+        # probe_t=None (the recall CEILING): flip EVERY bit — bits+1
+        # probe keys per rotation, covering every single-hyperplane
+        # miss. Measured at R=4 on the 4-bit floor: 0.947-0.960 vs
+        # 0.41-0.49 plain. Candidate volume is (bits+1)x per rotation —
+        # and since the adaptive bit width grows with log N, the
+        # FULL-flip build is super-linear by a log factor across
+        # decades (expected ratio 10 * (bits10+1)/(bits1+1) per 10x
+        # data): the right gate for a bounded probe set, the wrong
+        # shape for an all-points build at 100 TB.
+        #
+        # probe_t=T (the SCALE mode, r10 — Lv et al. 2007 multi-probe
+        # LSH, public): flip only the T hyperplanes with the smallest
+        # |margin| (|v[dim]| is the query's distance to the sign
+        # boundary — exactly the bits most likely to be wrong), T+1
+        # probe keys per rotation REGARDLESS of the adaptive width, so
+        # candidate volume is (T+1) * target_bucket * R per query —
+        # strictly linear in N. Margin ranking is deterministic
+        # (array_sort on (margin, bit) structs, ties by bit index), so
+        # the DuckDB twin replays it exactly.
+        if probe_t is None:
+            a = a.select(
+                "query_id",
+                "__qv",
+                "__qn",
+                "__rot",
+                F.explode(
+                    F.array(
+                        F.col("__bkt"),
+                        *[
+                            F.col("__bkt").bitwiseXOR(F.lit(1 << i))
+                            for i in range(bits)
+                        ],
+                    )
+                ).alias("__bkt"),
+            )
+        else:
+            if probe_t > bits:
+                raise ValueError(
+                    f"knn_graph: probe_t = {probe_t} exceeds the bucket "
+                    f"width ({bits} bits) — at most every bit can flip"
+                )
+            flip_idx = F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(bits - 1)),
+                        lambda i: F.struct(
+                            F.abs(
+                                F.try_element_at(
+                                    F.col("__qv"),
+                                    (F.col("__rot") * bits + i + 1).cast(
+                                        "integer"
+                                    ),
+                                ).cast("double")
+                            ).alias("m"),
+                            i.cast("integer").alias("i"),
+                        ),
+                    )
+                ),
+                1,
+                probe_t,
+            )
+            probe_arr = F.concat(
+                F.array(F.col("__bkt")),
+                F.transform(
+                    flip_idx,
+                    # 2^i via pow: shiftleft needs a literal shift; the
+                    # double is exact for i <= 15 (bits caps at 16)
+                    lambda s: F.col("__bkt").bitwiseXOR(
+                        F.pow(F.lit(2.0), s["i"]).cast("long")
+                    ),
+                ),
+            )
+            a = a.select(
+                "query_id",
+                "__qv",
+                "__qn",
+                "__rot",
+                F.explode(probe_arr).alias("__bkt"),
+            )
     e = b.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__ev"),

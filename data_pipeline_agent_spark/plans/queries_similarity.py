@@ -364,6 +364,87 @@ def sim_knn_graph_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFra
     return exact.crossJoin(F.broadcast(rec))
 
 
+# Aggregate-recall floor for the margin-bounded LINEAR multiprobe mode
+# (r10): rotations=4, T=2 lowest-|margin| flips per rotation (3 probe
+# keys of 2^bits buckets). Measured 0.853 / 0.847 / 0.853 at sf0.001 /
+# 0.01 / 0.1 — ABOVE the adaptive R=8 default (0.69-0.79) at strictly
+# linear probe volume, because the flipped bits are chosen where the
+# query sits closest to the sign boundary (exactly the bits most likely
+# to be wrong) instead of uniformly. Chance base at the 4-bit floor:
+# 3/16 probed buckets per rotation -> 1-(13/16)^4 ~= 0.56; the 0.75
+# floor separates both ways with margin (deterministic planes, stable).
+KNN_MP_LINEAR_RECALL_FLOOR = 0.75
+
+
+@register(
+    "sim_knn_graph_multiprobe_linear_recall",
+    materializes_on_build=True,
+    oracle=f"""
+        WITH a AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 50),
+        scored AS (
+          SELECT a.query_id, e.vec_id AS neighbor_id,
+                 round({_sql_cos('a.qv', 'e.embedding')}, 6) AS cos_sim
+          FROM embeddings e, a WHERE e.vec_id != a.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk,
+               TRUE AS recall_ok
+        FROM scored
+        QUALIFY rk <= 3
+    """,
+    description="recall gate for the margin-bounded LINEAR multiprobe "
+    "mode (r10): exact brute-force top-3 rows for 50 probes plus an "
+    "in-row boolean gating aggregate recall at >= 0.75 (measured "
+    "0.847-0.853 at R=4/T=2 — above the adaptive R=8 default at "
+    "strictly linear probe volume, because flips target the lowest-"
+    "|margin| hyperplanes; chance base ~0.56 at the 4-bit floor)",
+)
+def sim_knn_graph_multiprobe_linear_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same contract shape as sim_knn_graph_recall (bounded 50-anchor
+    gate; the full-graph scale probe is sim_knn_graph_multiprobe_linear
+    itself, exact-hash-checked and 100x-tier-probed)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.plans.registry import table_num_rows
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 50)
+    exact = S.brute_force_topk(emb, probes, k=3).localCheckpoint(eager=True)
+    g = S.knn_graph(
+        emb,
+        k=3,
+        bits=None,
+        rotations=_MP_LINEAR_ROTATIONS,
+        multiprobe=True,
+        probe_t=_MP_T,
+        n_hint=table_num_rows(sf_dir, "embeddings"),
+        dim_hint=EMB_DIM,
+    ).where(F.col("query_id") < 50)
+    hits = exact.join(
+        g.select(
+            F.col("query_id").alias("__aq"), F.col("neighbor_id").alias("__an")
+        ),
+        (exact["query_id"] == F.col("__aq"))
+        & (exact["neighbor_id"] == F.col("__an")),
+        "left_semi",
+    )
+    rec = (
+        hits.agg(F.count(F.lit(1)).alias("__nh"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("__nt")))
+        .select(
+            (
+                F.col("__nh")
+                >= F.lit(KNN_MP_LINEAR_RECALL_FLOOR) * F.col("__nt")
+            ).alias("recall_ok")
+        )
+    )
+    return exact.crossJoin(F.broadcast(rec))
+
+
 _MP_BITS = SIGN_BITS  # pinned so the multiprobe twin is a static SQL string
 
 
@@ -406,6 +487,97 @@ def _multiprobe_oracle() -> str:
         FROM scored
         QUALIFY rk <= 3
     """
+
+
+_MP_T = 2  # margin-ranked flips probed per rotation in the LINEAR mode
+_MP_LINEAR_ROTATIONS = 4
+
+
+def _multiprobe_linear_oracle() -> str:
+    """DuckDB twin of the margin-bounded multiprobe graph: adaptive bits
+    computed INSIDE the SQL (the sim_knn_graph_adaptive pattern), then
+    per (vector, rotation) the T lowest-|margin| hyperplane indices via
+    a struct sort (ties by bit index — both engines sort (m, i) structs
+    field-by-field), probe keys = home plus those T flips."""
+    t = _MP_T
+    nrot = _MP_LINEAR_ROTATIONS
+    return f"""
+        WITH p0 AS (
+          SELECT greatest(4, least(16,
+                 CAST(ceil(log2(count(*) / 500.0 + 1)) AS INT))) AS bits
+          FROM embeddings
+        ),
+        rots AS (SELECT unnest(generate_series(0, {nrot - 1})) AS rot),
+        b AS (
+          SELECT e.vec_id, e.embedding, rots.rot,
+                 CAST(list_sum(list_transform(generate_series(0, p0.bits - 1),
+                      i -> CASE WHEN e.embedding[rots.rot * p0.bits + i + 1] > 0
+                                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+                      AS BIGINT) AS bkt
+          FROM embeddings e, p0, rots
+        ),
+        fl AS (
+          SELECT vec_id, rot, bkt,
+                 list_transform(
+                   list_sort(list_transform(generate_series(0, p0.bits - 1),
+                     i -> {{'m': abs(CAST(embedding[rot * p0.bits + i + 1]
+                                         AS DOUBLE)),
+                            'i': i}}))[1:{t}],
+                   s -> s.i) AS flips
+          FROM b, p0
+        ),
+        q AS (
+          SELECT vec_id, rot, CAST(xor(bkt, f) AS BIGINT) AS bkt
+          FROM (
+            SELECT vec_id, rot, bkt,
+                   unnest(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(flips,
+                           i -> (CAST(1 AS BIGINT) << i)))) AS f
+            FROM fl
+          )
+        ),
+        scored AS (
+          SELECT DISTINCT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+                 round({_sql_cos('qe.embedding', 'e2.embedding')}, 6) AS cos_sim
+          FROM q JOIN b e2
+            ON e2.rot = q.rot AND e2.bkt = q.bkt AND e2.vec_id != q.vec_id
+          JOIN embeddings qe ON qe.vec_id = q.vec_id
+        )
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+        FROM scored
+        QUALIFY rk <= 3
+    """
+
+
+@register(
+    "sim_knn_graph_multiprobe_linear",
+    oracle=_multiprobe_linear_oracle(),
+    description="multiprobe kNN graph in its SCALE mode (r10): "
+    "margin-bounded probing (Lv et al. 2007 multi-probe LSH) — each "
+    "query flips only the 2 hyperplanes with the smallest |margin| (the "
+    "bits most likely to be wrong), so probe volume is (T+1) keys per "
+    "rotation REGARDLESS of the adaptive bit width and candidate volume "
+    "stays strictly linear in N — the fix for the full-flip build, whose "
+    "(bits+1)x volume grows with log N across decades; adaptive bits "
+    "computed inside the oracle SQL, margin ranking replayed exactly "
+    "(struct sort, ties by bit index); full graph, exact-hash, "
+    "100x-tier-probed",
+)
+def sim_knn_graph_multiprobe_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_agent_spark.plans.registry import table_num_rows
+
+    return S.knn_graph(
+        table(spark, sf_dir, "embeddings"),
+        k=3,
+        bits=None,
+        rotations=_MP_LINEAR_ROTATIONS,
+        multiprobe=True,
+        probe_t=_MP_T,
+        n_hint=table_num_rows(sf_dir, "embeddings"),
+        dim_hint=EMB_DIM,
+    )
 
 
 @register(

@@ -541,12 +541,16 @@ _100X_QUERIES = [
     "corpus_split_assign_leakfree",
     # round-10 (r9 verdict tasks 2+3): the keep-one-copy span trim adds
     # a second aggregate (min) to the gram window — same shuffle, probed
-    # to confirm; and the FULL all-points multiprobe graph gets its
-    # first measured decade — the (bits+1)x candidate-volume claim was
-    # the one scale claim in the similarity family resting on arithmetic
-    # alone (pinned bits, so the probe is static across tiers)
+    # to confirm; and the all-points multiprobe graph gets its first
+    # measured decade via its LINEAR mode (margin-bounded probing,
+    # T+1 keys per rotation regardless of the adaptive bit width). The
+    # full-flip build (sim_knn_graph_multiprobe, pinned bits) is
+    # deliberately NOT the tier row: pinned bits are quadratic across
+    # decades by construction, and even at adaptive bits the full flip's
+    # (bits+1)x probe volume grows with log N — bounding T IS the fix
+    # the r9 verdict asked to measure-or-make
     "dedup_span_trim_keep_one",
-    "sim_knn_graph_multiprobe",
+    "sim_knn_graph_multiprobe_linear",
 ]
 _100X_TABLES = {
     "customer",
