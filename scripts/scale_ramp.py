@@ -748,11 +748,24 @@ def run_tier100(
         "corpus — a super-linear row here would mean the iteration frame",
         "is corpus-sized), aligned-block first-occurrence dedup, and the",
         "DSIR two-LM log-ratio. Round 10: the keep-one-copy span trim",
-        "(second aggregate on the same gram window) and the FULL",
-        "all-points multiprobe kNN graph (pinned 8-bit buckets x 4",
-        "rotations, 9 probe keys per rotation) — the (bits+1)x",
-        "candidate-volume claim gets its measured decade (r9 verdict",
-        "task 3).",
+        "(keeper election is a second aggregate on the same gram window —",
+        "measured 2.62x, inside the trim-all row's 3.62x) and the",
+        "multiprobe kNN graph via its LINEAR mode (margin-bounded",
+        "probing, T+1 = 3 keys per rotation regardless of the adaptive",
+        "bit width): measured 10.82x vs an expected 12.5x from pure",
+        "bucket-size quantization (bits 6 -> 9 across the decade leaves",
+        "expected bucket size 312 -> 390, x10 data = 12.5x candidates;",
+        "the probe factor contributes exactly 1 by construction) — the",
+        "same bounded ceil() regime as the adaptive row's 11.24x, now",
+        "measured for the multiprobe build too (r9 verdict task 3). The",
+        "FULL-flip multiprobe build is deliberately not tier-probed:",
+        "pinned bits are quadratic across decades by construction, and",
+        "its adaptive-bits probe volume grows with log N — bounding T is",
+        "the fix, and the linear row above is its measurement. DSIR",
+        "re-measured after the r10 (doc, word, cnt) pre-aggregation of",
+        "the vocab join's probe side: 9.82x -> 1.80x per decade (sf10",
+        "25.9 s -> 5.5 s) — the shuffle had been carrying the within-doc",
+        "token repeat factor (r9 verdict task 4).",
         "Ratio = t(sf10)/t(sf1) against 10x data — the same",
         "flag rule as above, applied one decade further out to confirm",
         "the 10x trend is a trend and not a plateau artifact. Flag",
