@@ -62,6 +62,16 @@ SHOWCASE = {
     "dedup_span_trim": "r9 cleaned-corpus emitter: anchor rows UNIONED "
     "into the token stream and resolved by one per-doc running-max "
     "window — zero Join nodes, no (doc,pos) equi-join, no range join",
+    "dedup_span_trim_keep_one": "r10 keep-one-copy trim: keeper "
+    "election (per-gram min doc_id) rides the SAME gram-keyed window "
+    "exchange as the occurrence count — still zero Join nodes, same "
+    "shuffle count as the trim-all plan",
+    "sim_knn_graph_multiprobe_linear": "r10 margin-bounded multiprobe: "
+    "query side explodes home + T=2 lowest-|margin| flip keys (a "
+    "deterministic struct sort inside the projection — no extra "
+    "shuffle), candidate side home-only; same bucketed sort-merge "
+    "self-join shape as the adaptive graph at (T+1)x the probe keys, "
+    "candidate volume linear in N by construction",
     "sim_knn_graph_adaptive": "scale-default kNN graph: bucketed "
     "sort-merge SELF-join on (rotation, bucket), one shuffle per side, "
     "WindowGroupLimit top-k pushdown, ONE dot product per candidate "
