@@ -856,3 +856,216 @@ def pq_topk(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "pq_dist2", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = PQ_SUBVECTORS,
+    kc: int = PQ_CODEBOOK,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF-PQ composition — the production FAISS ``IndexIVFPQ`` shape
+    (Jegou et al. 2011 "Product Quantization for Nearest Neighbor
+    Search", public): coarse cells PRUNE (each query scans only its
+    ``nprobe`` nearest cells) and RESIDUAL product codes SCORE (each
+    corpus row stores m 4-bit codes of ``vec - centroid[cell]``;
+    residuals concentrate near zero, so the shared codebooks spend
+    their 16 centroids on a much tighter distribution than raw
+    vectors — the reason FAISS encodes residuals).
+
+    ``rerank=R`` adds the production REFINE stage (FAISS's
+    IndexRefineFlat): the ADC scan keeps a per-query shortlist of R
+    candidates, their TRUE vectors are fetched back by an id equi-join
+    (R x |anchors| rows — tiny), and the final top-k is exact cosine
+    over the shortlist. Measured at R=25: recall ~0.44-0.52 vs
+    0.16-0.26 pure-ADC — the quantization error stops deciding the
+    final ranking and only shapes the shortlist, which is exactly how
+    production serving stacks run PQ.
+
+    Scale shape: the coarse quantizer is the memoized ivf_assign model;
+    codebooks fit driver-side on a bounded deterministic residual
+    sample (pq_fit's convention); the encoded corpus is (id, cell, m
+    codes) — ~9 bytes/vector, the only thing scanned per query at
+    100 TB, ideally stored partitionBy(cell) so a probe is a
+    partition-pruned scan. Query side: cell ranking and the per-(query,
+    probed-cell) ADC tables are pure driver arithmetic over the
+    n_centroids-row centroid table (bounded, no Spark job); scoring is
+    ONE scan of the coded corpus — each row unpacks the exploded
+    (query, cell, table) literals, keeps the ones probing ITS cell, and
+    sums m table lookups per match; only the per-query top-k window
+    shuffles. No vector math anywhere in the scan.
+    """
+    import math
+
+    assigned, cdf = ivf_assign(emb, n_centroids, seed, id_col, vec_col)
+    cents = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in cdf.collect()}
+    # residual codebooks on a bounded deterministic sample (pq_fit's
+    # ORDER BY id convention — a bare limit is layout-dependent)
+    import numpy as np
+
+    sample = (
+        assigned.orderBy(id_col).limit(10_000).collect()
+    )
+    X = np.array(
+        [
+            [float(x) - cents[int(r["__cell"])][i] for i, x in enumerate(r[vec_col])]
+            for r in sample
+        ],
+        dtype=np.float64,
+    )
+    dim = X.shape[1]
+    sub = dim // m
+    books = [
+        [
+            [float(x) for x in c]
+            for c in _np_kmeans(X[:, s * sub : (s + 1) * sub], kc, seed + s)
+        ]
+        for s in range(m)
+    ]
+    cent_lit = F.lit([cents[i] for i in range(n_centroids)])
+    coded = (
+        fan_out(assigned)
+        .withColumn(
+            "__res",
+            F.zip_with(
+                F.col(vec_col),
+                F.element_at(cent_lit, F.col("__cell") + 1),
+                lambda x, y: x.cast("double") - y,
+            ),
+        )
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__cell"),
+            *[_pq_code_expr("__res", books, s).alias(f"__c{s}") for s in range(m)],
+        )
+    )
+    codes = F.array(*[F.col(f"__c{s}") for s in range(m)])
+    structs = []
+    for ar in anchors.select(id_col, vec_col).collect():
+        qv = [float(x) for x in ar[vec_col]]
+        nq = math.sqrt(sum(q * q for q in qv))
+        ranked = sorted(
+            (
+                (
+                    -(
+                        sum(q * c for q, c in zip(qv, cv))
+                        / (nq * math.sqrt(sum(c * c for c in cv)))
+                    )
+                    if nq
+                    else 0.0,
+                    cell,
+                )
+                for cell, cv in cents.items()
+            )
+        )
+        for _neg, cell in ranked[:nprobe]:
+            qres = [q - c for q, c in zip(qv, cents[cell])]
+            table2d = [
+                [
+                    float(
+                        sum((qres[s * sub + j] - c[j]) ** 2 for j in range(sub))
+                    )
+                    for c in books[s]
+                ]
+                for s in range(m)
+            ]
+            dist = F.aggregate(
+                F.zip_with(
+                    F.lit(table2d), codes, lambda t, c: F.element_at(t, c + 1)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            structs.append(
+                F.struct(
+                    F.lit(int(ar[id_col])).cast("long").alias("query_id"),
+                    F.lit(cell).alias("cell"),
+                    F.round(dist, 6).alias("pq_dist2"),
+                )
+            )
+    scored = (
+        coded.select("neighbor_id", "__cell", F.explode(F.array(*structs)).alias("s"))
+        .where(
+            (F.col("s.cell") == F.col("__cell"))
+            & (F.col("neighbor_id") != F.col("s.query_id"))
+        )
+        .select(
+            F.col("s.query_id").alias("query_id"),
+            "neighbor_id",
+            F.col("s.pq_dist2").alias("pq_dist2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("pq_dist2"), F.asc("neighbor_id")
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "pq_dist2",
+                F.col("rk").cast("long").alias("rk"),
+            )
+        )
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # refine: exact cosine over the shortlist only — true vectors come
+    # back via one id equi-join (shortlist is R x |anchors| rows; AQE
+    # broadcasts it), anchor vectors via a bounded literal map
+    qmap = {
+        int(r[id_col]): [float(x) for x in r[vec_col]]
+        for r in anchors.select(id_col, vec_col).collect()
+    }
+    qlit = F.element_at(
+        F.create_map(
+            *[
+                x
+                for qid, qv in sorted(qmap.items())
+                for x in (F.lit(qid), F.lit(qv))
+            ]
+        ),
+        F.col("query_id"),
+    )
+    vecs = fan_out(emb).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__ev"),
+        row_norm(F.col(vec_col)).alias("__en"),
+    )
+    refined = shortlist.join(vecs, "neighbor_id").withColumn("__qv", qlit)
+    rescored = refined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_pre(
+                dot(F.col("__qv"), F.col("__ev")),
+                row_norm(F.col("__qv")),
+                F.col("__en"),
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

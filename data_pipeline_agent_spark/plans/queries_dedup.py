@@ -798,6 +798,128 @@ def corpus_split_assign_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_split_budget",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        {_minhash_cte()},
+        bands AS ({_bands_sql()}),
+        cands AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        ),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cands c JOIN ex ea ON ea.id = c.id_a
+                       JOIN ex eb ON eb.id = c.id_b AND eb.g = ea.g
+          GROUP BY 1, 2
+        ),
+        dups AS (
+          SELECT i.id_a, i.id_b
+          FROM inter i JOIN sh sa ON i.id_a = sa.id
+                       JOIN sh sb ON i.id_b = sb.id
+          WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.8
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM dups
+          UNION
+          SELECT id_b, id_a FROM dups
+        ),
+        reach(node, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+        ),
+        cc AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+        q AS ({_quality_sql()}),
+        assign AS (
+          SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS anchor_id,
+                 CAST(len({sql_tokens('d.text')}) AS BIGINT) AS n_tokens
+          FROM documents d LEFT JOIN cc c ON c.node = d.doc_id
+        ),
+        ranked AS (
+          SELECT a.doc_id, a.anchor_id, a.n_tokens, q.qs,
+                 row_number() OVER (PARTITION BY a.anchor_id
+                                    ORDER BY q.qs DESC, a.doc_id ASC) AS rk
+          FROM assign a JOIN q ON q.qid = a.doc_id
+        )
+        SELECT {_SPLIT_CASE.replace('doc_id', 'anchor_id')} AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(sum(CASE WHEN rk = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+                 AS kept_tokens,
+               round(sum(CASE WHEN rk = 1 THEN qs ELSE 0 END), 6)
+                 AS kept_quality_sum
+        FROM ranked
+        GROUP BY 1
+    """,
+    description="per-split corpus BUDGET after the full curation chain "
+    "(r10): near-dup clusters -> quality survivor per cluster "
+    "(singletons survive themselves) -> leak-free anchor-keyed split -> "
+    "per-split doc counts, kept-doc counts, kept token totals and kept "
+    "quality mass — the three numbers (train/val/test size in docs and "
+    "tokens) a pipeline needs before training starts, computed in one "
+    "pass over the already-verified stages",
+)
+def corpus_split_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-grain composition: one left join of the corpus against the
+    (tiny) clustered-node table, one quality projection, one window
+    keyed on the anchor (cluster-sized groups — no hot key), one 3-row
+    aggregate keyed on the bounded split domain. The survivor rule and
+    split rule are the verified corpus_split_survivor semantics; this
+    rolls them up to the budget numbers."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.functions.text_hash import tokens
+    from data_pipeline_agent_spark.operators.graph import connected_components
+    from data_pipeline_agent_spark.operators.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    q = quality_score(docs).select("doc_id", "quality_score")
+    assign = (
+        docs.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .join(cc.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("comp", F.col("doc_id")).cast("long").alias("anchor_id"),
+        )
+        .join(q, "doc_id")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = assign.withColumn("rk", F.row_number().over(w))
+    bucket = F.substring(F.md5(F.col("anchor_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "14", "test")
+        .when(bucket < "28", "val")
+        .otherwise("train")
+    )
+    kept = F.col("rk") == 1
+    return (
+        ranked.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.round(
+                F.sum(F.when(kept, F.col("quality_score")).otherwise(0.0)), 6
+            ).alias("kept_quality_sum"),
+        )
+    )
+
+
+@register(
     "corpus_split_survivor",
     oracle=f"""
         WITH RECURSIVE {_SHINGLES_CTE},

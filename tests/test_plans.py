@@ -320,6 +320,7 @@ _NESTED_LOOP_OK = {
     "sim_knn_graph_multiprobe_recall",  # same shape, multiprobe graph (r9)
     "sim_pagerank_centrality",  # 1-row mass-accounting frame crossed (r10)
     "sim_knn_graph_multiprobe_linear_recall",  # anchor bcast + 1-row recall (r10)
+    "sim_ivfpq_topk",  # anchor broadcast + 1-row recall frame (r10)
     "dedup_semantic_clusters",  # 1-row contract-boolean frames crossed
     "ml_class_balance_report",  # 1-row total frame
     "class_weights_orderstatus",  # 1-row (n, k) totals frame

@@ -154,6 +154,61 @@ def test_sim_pq_topk_contract_rows(spark):
     assert all(r.recall_ok for r in out)
 
 
+def test_ivfpq_refine_recall_and_determinism(spark):
+    """IVF-PQ composed index (r10): (a) the re-ranked top-5 recovers a
+    meaningful share of the exact top-5 (bounded above by IVF cell
+    recall at nprobe=4/16; measured 0.42-0.62 across SFs); (b) the
+    refine stage strictly dominates pure-ADC ranking; (c) deterministic
+    across invocations (memoized KMeans + seeded numpy codebooks over a
+    deterministic sample)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    anchors = emb.where(F.col("vec_id") < 10)
+    ex = brute_force_topk(emb, anchors, k=5).collect()
+    top5 = {}
+    for r in ex:
+        top5.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def hits(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(top5[q] & got.get(q, set())) for q in top5)
+
+    refined = ivfpq_topk(emb, anchors, k=5, rerank=25).collect()
+    pure = ivfpq_topk(emb, anchors, k=5).collect()
+    assert hits(refined) >= 15, f"refined IVF-PQ recovered {hits(refined)}/50"
+    assert hits(refined) >= hits(pure), "refine must not lose recall vs ADC"
+    refined2 = ivfpq_topk(emb, anchors, k=5, rerank=25).collect()
+    assert sorted((r.query_id, r.neighbor_id, r.rk) for r in refined) == sorted(
+        (r.query_id, r.neighbor_id, r.rk) for r in refined2
+    )
+
+
+def test_sim_ivfpq_topk_contract_rows(spark):
+    """Registry twin: exact brute-force top-5 rows with recall_ok TRUE."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.similarity import brute_force_topk
+    from data_pipeline_agent_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    out = REGISTRY["sim_ivfpq_topk"].spark(spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5).collect()
+    assert sorted((r.query_id, r.neighbor_id, r.rk, r.cos_sim) for r in out) == sorted(
+        (r.query_id, r.neighbor_id, r.rk, r.cos_sim) for r in exact
+    )
+    assert all(r.recall_ok for r in out)
+
+
 def test_knn_graph_exact_within_bucket_and_adaptive_bits(spark):
     """All-points kNN graph: (a) the within-bucket result is EXACT — for
     any query, its reported neighbors are the true cosine top-k among the
