@@ -551,6 +551,11 @@ _100X_QUERIES = [
     # the r9 verdict asked to measure-or-make
     "dedup_span_trim_keep_one",
     "sim_knn_graph_multiprobe_linear",
+    # r10 second batch: the composed IVF-PQ index (residual encode scan
+    # + ADC shortlist + exact re-rank) — probes that the coded-corpus
+    # encode/scan dominates and stays linear while the driver-side cell
+    # math stays constant
+    "sim_ivfpq_topk",
 ]
 _100X_TABLES = {
     "customer",
@@ -765,7 +770,11 @@ def run_tier100(
         "re-measured after the r10 (doc, word, cnt) pre-aggregation of",
         "the vocab join's probe side: 9.82x -> 1.80x per decade (sf10",
         "25.9 s -> 5.5 s) — the shuffle had been carrying the within-doc",
-        "token repeat factor (r9 verdict task 4).",
+        "token repeat factor (r9 verdict task 4). The r10 second batch",
+        "adds the composed IVF-PQ index (residual encode scan + ADC",
+        "shortlist + exact re-rank): 2.18x per decade — the seeded",
+        "KMeans fit and driver-side codebook/table math are constant, so",
+        "the decade cost is the linear coded-corpus scan.",
         "Ratio = t(sf10)/t(sf1) against 10x data — the same",
         "flag rule as above, applied one decade further out to confirm",
         "the 10x trend is a trend and not a plateau artifact. Flag",
