@@ -554,8 +554,11 @@ _100X_QUERIES = [
     # r10 second batch: the composed IVF-PQ index (residual encode scan
     # + ADC shortlist + exact re-rank) — probes that the coded-corpus
     # encode/scan dominates and stays linear while the driver-side cell
-    # math stays constant
+    # math stays constant; and the per-split corpus budget, the round's
+    # widest composition (LSH pairs -> CC -> quality -> anchor window ->
+    # 3-row agg)
     "sim_ivfpq_topk",
+    "corpus_split_budget",
 ]
 _100X_TABLES = {
     "customer",
@@ -774,7 +777,11 @@ def run_tier100(
         "adds the composed IVF-PQ index (residual encode scan + ADC",
         "shortlist + exact re-rank): 2.18x per decade — the seeded",
         "KMeans fit and driver-side codebook/table math are constant, so",
-        "the decade cost is the linear coded-corpus scan.",
+        "the decade cost is the linear coded-corpus scan. The per-split",
+        "corpus budget — the round's widest composition (LSH pairs -> CC",
+        "-> quality -> anchor window -> 3-row agg) — measures 7.3x per",
+        "decade, consistent with its two component rows (split assignment",
+        "5.37x, survivorship 5.34x) plus the added quality/window stages.",
         "Ratio = t(sf10)/t(sf1) against 10x data — the same",
         "flag rule as above, applied one decade further out to confirm",
         "the 10x trend is a trend and not a plateau artifact. Flag",
