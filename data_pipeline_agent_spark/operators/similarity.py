@@ -249,6 +249,14 @@ def knn_graph(
     ``rotations=None``. The registered oracle twin pins
     ``bits=SIGN_BITS`` instead: the DuckDB oracle is a static SQL
     string and must compute the identical bucket key."""
+    # probe_t only has meaning inside the multiprobe branch; silently
+    # ignoring it would hand the caller the plain home-bucket graph (and
+    # skip the probe_t > bits validation) with no warning (ADVICE r10)
+    if probe_t is not None and not multiprobe:
+        raise ValueError(
+            "knn_graph: probe_t is a multiprobe dial — pass "
+            "multiprobe=True (got probe_t set with multiprobe=False)"
+        )
     if bits is None:
         n = n_hint if n_hint is not None else emb.count()
         bits = adaptive_bits(n, target_bucket)
@@ -560,7 +568,14 @@ def ivf_assign(
             featuresCol="__fv",
             predictionCol="__cell",
         )
-        model = km.fit(vecs.sample(fraction=1.0, seed=seed).limit(100_000))
+        # deterministic fit sample: ORDER BY id, the pq_fit convention
+        # (r11). A bare limit hands KMeans whichever rows' tasks finish
+        # first, so the fitted centroids — and every recall number
+        # measured against them — silently varied ACROSS SESSIONS (the
+        # r10 ivfpq recall was recorded at 0.42 on sf0.1 and reproduced
+        # at 0.26 a session later, same code, same data). TakeOrdered on
+        # a bounded k: a few MB on the driver pipeline at any scale.
+        model = km.fit(vecs.orderBy(id_col).limit(100_000))
         _KMEANS_CACHE[key] = model
     assigned = model.transform(vecs).select(id_col, vec_col, "__cell")
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
@@ -706,6 +721,14 @@ def _np_kmeans(X, k: int, seed: int, iters: int = 12):
     frames cost ~25 s of pure scheduling for the same centroids."""
     import numpy as np
 
+    if len(X) < k:
+        # fail loud with the actionable message (ADVICE r10) instead of
+        # numpy's uninformative "Cannot take a larger sample than
+        # population" from the replace=False init
+        raise ValueError(
+            f"_np_kmeans: sample has {len(X)} rows but k = {k} — "
+            "codebook training needs at least k distinct sample rows"
+        )
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=k, replace=False)].copy()
     for _ in range(iters):
@@ -858,6 +881,22 @@ def pq_topk(
     )
 
 
+def _driver_cosine(qv: list[float], cv: list[float]) -> float:
+    """Driver-side cosine over two bounded vectors (ivfpq cell ranking).
+
+    A zero-norm query OR centroid yields similarity 0.0, mirroring the
+    Spark-side try_divide NULL convention — an all-zero KMeans centroid
+    must not raise ZeroDivisionError here while every distributed cosine
+    path degrades gracefully (ADVICE r10)."""
+    import math
+
+    nq = math.sqrt(sum(q * q for q in qv))
+    nc = math.sqrt(sum(c * c for c in cv))
+    if not nq or not nc:
+        return 0.0
+    return sum(q * c for q, c in zip(qv, cv)) / (nq * nc)
+
+
 def ivfpq_topk(
     emb: DataFrame,
     anchors: DataFrame,
@@ -884,10 +923,13 @@ def ivfpq_topk(
     IndexRefineFlat): the ADC scan keeps a per-query shortlist of R
     candidates, their TRUE vectors are fetched back by an id equi-join
     (R x |anchors| rows — tiny), and the final top-k is exact cosine
-    over the shortlist. Measured at R=25: recall ~0.44-0.52 vs
-    0.16-0.26 pure-ADC — the quantization error stops deciding the
+    over the shortlist — the quantization error stops deciding the
     final ranking and only shapes the shortlist, which is exactly how
-    production serving stacks run PQ.
+    production serving stacks run PQ. At the r11 registry dials
+    (nprobe=8, m=16, R=50; scripts/ivfpq_sweep.py) measured composed
+    recall is 0.66-0.76 across SFs — session-stable since ivf_assign's
+    deterministic fit sample (r11); the old nprobe=4/m=8/R=25 regime
+    measured 0.26-0.58.
 
     Scale shape: the coarse quantizer is the memoized ivf_assign model;
     codebooks fit driver-side on a bounded deterministic residual
@@ -902,8 +944,15 @@ def ivfpq_topk(
     sums m table lookups per match; only the per-query top-k window
     shuffles. No vector math anywhere in the scan.
     """
-    import math
-
+    # bounded anchor collect, shared by the ADC-table loop and the
+    # re-rank literal map; empty anchors would otherwise surface as an
+    # uninformative F.array()/create_map() analysis error (ADVICE r10)
+    a_rows = anchors.select(id_col, vec_col).collect()
+    if not a_rows:
+        raise ValueError(
+            "ivfpq_topk: anchors is empty — at least one query row is "
+            "required (the ADC tables and re-rank map are per-anchor)"
+        )
     assigned, cdf = ivf_assign(emb, n_centroids, seed, id_col, vec_col)
     cents = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in cdf.collect()}
     # residual codebooks on a bounded deterministic sample (pq_fit's
@@ -948,22 +997,10 @@ def ivfpq_topk(
     )
     codes = F.array(*[F.col(f"__c{s}") for s in range(m)])
     structs = []
-    for ar in anchors.select(id_col, vec_col).collect():
+    for ar in a_rows:
         qv = [float(x) for x in ar[vec_col]]
-        nq = math.sqrt(sum(q * q for q in qv))
         ranked = sorted(
-            (
-                (
-                    -(
-                        sum(q * c for q, c in zip(qv, cv))
-                        / (nq * math.sqrt(sum(c * c for c in cv)))
-                    )
-                    if nq
-                    else 0.0,
-                    cell,
-                )
-                for cell, cv in cents.items()
-            )
+            (-_driver_cosine(qv, cv), cell) for cell, cv in cents.items()
         )
         for _neg, cell in ranked[:nprobe]:
             qres = [q - c for q, c in zip(qv, cents[cell])]
@@ -1024,10 +1061,7 @@ def ivfpq_topk(
     # refine: exact cosine over the shortlist only — true vectors come
     # back via one id equi-join (shortlist is R x |anchors| rows; AQE
     # broadcasts it), anchor vectors via a bounded literal map
-    qmap = {
-        int(r[id_col]): [float(x) for x in r[vec_col]]
-        for r in anchors.select(id_col, vec_col).collect()
-    }
+    qmap = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in a_rows}
     qlit = F.element_at(
         F.create_map(
             *[

@@ -67,6 +67,12 @@ def main() -> None:
         "sim_knn_graph@ann_only": lambda: S.knn_graph(
             emb, k=3, bits=None, rotations=None
         ),
+        # r11 (VERDICT r10 what's-wrong 2): the composed index at the
+        # registry dials, without the contract's brute-force twin or
+        # the recall semi-join — the index's own latency
+        "sim_ivfpq_topk@ann_only": lambda: S.ivfpq_topk(
+            emb, anchors, k=5, n_centroids=16, nprobe=8, m=16, rerank=50
+        ),
     }
     # separate artifact: profile.json's total is compared against
     # bench.py's full_total (<=15% target), which has no ANN-only entries

@@ -192,6 +192,86 @@ def test_ivfpq_refine_recall_and_determinism(spark):
     )
 
 
+# measured composed recall at the r11 registry dials (n_centroids=16,
+# nprobe=8, m=16, rerank=50) — session-stable since ivf_assign's
+# deterministic ORDER BY id fit sample: 0.72 / 0.76 / 0.66. Gates sit
+# just under the measured value per SF (the PQ per-SF pattern), so a
+# regression that costs even a tenth of recall fails HERE while the
+# registry boolean (floor 0.6) guards the driver hash at every SF.
+_IVFPQ_SF_FLOOR = {
+    "/root/testdata/sf0.001": 0.70,
+    "/root/testdata/sf0.01": 0.70,
+    "/root/testdata/sf0.1": 0.60,
+}
+
+
+def test_ivfpq_per_sf_recall_gate(spark):
+    """r11 (VERDICT r10 task 1): the composed IVF-PQ recall at the
+    registry dials must clear the per-SF floor — deterministic, so the
+    gate can sit within 0.06 of the measured value."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    floor = _IVFPQ_SF_FLOOR.get(SF_DIR, 0.6)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    anchors = emb.where(F.col("vec_id") < 10)
+    ex = brute_force_topk(emb, anchors, k=5).collect()
+    top5 = {}
+    for r in ex:
+        top5.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = ivfpq_topk(
+        emb, anchors, k=5, n_centroids=16, nprobe=8, m=16, rerank=50
+    ).collect()
+    mine = {}
+    for r in got:
+        mine.setdefault(r.query_id, set()).add(r.neighbor_id)
+    total = sum(len(v) for v in top5.values())
+    recall = sum(len(top5[q] & mine.get(q, set())) for q in top5) / total
+    assert recall >= floor, f"IVF-PQ recall {recall} under the {floor} gate"
+
+
+def test_ivfpq_guards_fail_loud(spark):
+    """ADVICE r10: empty anchors and an undersized codebook sample must
+    raise actionable ValueErrors, and probe_t without multiprobe must
+    not silently degrade to the plain graph."""
+    import numpy as np
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.similarity import (
+        _np_kmeans,
+        ivfpq_topk,
+        knn_graph,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="anchors is empty"):
+        ivfpq_topk(emb, emb.where(F.col("vec_id") < 0), k=5)
+    with pytest.raises(ValueError, match="at least k distinct sample rows"):
+        _np_kmeans(np.zeros((3, 4)), k=16, seed=42)
+    with pytest.raises(ValueError, match="probe_t is a multiprobe dial"):
+        knn_graph(emb, k=3, bits=8, probe_t=2)
+
+
+def test_ivfpq_zero_norm_centroid_ranking():
+    """ADVICE r10: the driver-side cell ranking must treat a zero-norm
+    centroid (or query) as similarity 0.0 — the try_divide convention —
+    instead of raising ZeroDivisionError."""
+    from data_pipeline_agent_spark.operators.similarity import _driver_cosine
+
+    assert _driver_cosine([1.0, 0.0], [0.0, 0.0]) == 0.0
+    assert _driver_cosine([0.0, 0.0], [1.0, 0.0]) == 0.0
+    assert _driver_cosine([1.0, 0.0], [1.0, 0.0]) == 1.0
+    assert _driver_cosine([1.0, 0.0], [0.0, 2.0]) == 0.0
+
+
 def test_sim_ivfpq_topk_contract_rows(spark):
     """Registry twin: exact brute-force top-5 rows with recall_ok TRUE."""
     from pyspark.sql import functions as F
