@@ -360,6 +360,161 @@ def bpe_train(
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
+def _min_rank(syms: F.Column, rank_map: F.Column) -> F.Column:
+    """Lowest merge rank present among ``syms``' adjacent pairs (NULL if
+    none apply). ``rank_map`` maps 'l r' -> rank; try_element_at returns
+    NULL for non-rule pairs and array_min skips NULLs. The size guard
+    matters: ``sequence(1, 0)`` REVERSES in Spark, so a 1-symbol word
+    would otherwise probe indices [1, 0]."""
+    return F.when(
+        F.size(syms) >= 2,
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.try_element_at(
+                    rank_map,
+                    F.concat(
+                        F.element_at(syms, i),
+                        F.lit(" "),
+                        F.element_at(syms, i + 1),
+                    ),
+                ),
+            )
+        ),
+    )
+
+
+def _apply_merge_dyn(syms: F.Column, lhs: F.Column, rhs: F.Column) -> F.Column:
+    """Greedy left-to-right merge of adjacent (lhs, rhs) where the rule
+    is a per-ROW column pair (the encode path: each word applies ITS
+    min-rank rule), not a Python literal — otherwise identical fold
+    semantics to _apply_merges' single-rule case (a merged symbol never
+    immediately re-merges: the accumulator's last element becomes
+    lhs||rhs, which cannot equal lhs since rhs is non-empty). NULL
+    lhs/rhs (no applicable rule) make every match condition NULL, so
+    the fold degrades to identity."""
+
+    def step(acc: F.Column, s: F.Column) -> F.Column:
+        return F.when(
+            (F.element_at(acc, -1) == lhs) & (s == rhs),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(lhs, rhs)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.when(F.size(syms) < 2, syms).otherwise(
+        F.aggregate(
+            F.slice(syms, 2, F.size(syms) - 1),
+            F.slice(syms, 1, 1),
+            step,
+        )
+    )
+
+
+def bpe_encode_unseen(
+    docs: DataFrame,
+    new_docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    new_text_col: str = "text",
+    batch: int = 1,
+) -> DataFrame:
+    """ENCODE unseen text with a FROZEN merge list (r11, r10 verdict
+    task 1 of the extension list) — the apply path a production pipeline
+    runs daily: the tokenizer is trained ONCE (here: ``n_merges`` rules
+    from ``docs``) and then segments words it has never seen.
+
+    Semantics are subword-nmt's encode (Sennrich et al. 2016, public):
+    repeatedly find the LOWEST-RANK merge rule present among the word's
+    adjacent symbol pairs and apply it greedily left-to-right (all
+    occurrences), until no rule applies. Implemented as a rank-bounded
+    fold: ranks present strictly increase across iterations (a merge can
+    only mint pairs involving its new token, and rules referencing that
+    token rank later), so ``len(rules)`` iterations reach the fixpoint —
+    and an in-plan assert_true embedded as an arithmetically-required
+    coalesce term of n_subtokens fails LOUD if they ever don't (the
+    minted-token-collision corner where a later rule re-creates an
+    earlier rule's pair; cf. _select_batch condition 3).
+
+    Scale shape: the encode operates at DISTINCT-WORD grain (Heaps'-law
+    bounded, never per occurrence), is a pure map-side expression chain
+    (the iteration is an F.aggregate over sequence(1, K) — ONE
+    expression tree evaluated K times per row at runtime, not unrolled
+    K times at plan time), and the rule set ships as three bounded map
+    literals. The only shuffles are the distinct-word aggregate and the
+    anti-join against the trained vocab.
+
+    Returns (word, n_subtokens, seg) for every BPE_WORD_RE word of
+    ``new_docs`` NOT in the training vocabulary; ``seg`` is the
+    space-joined segmentation (byte-exact oracle comparison).
+    """
+    merges, vocab = _train(docs, n_merges, text_col, batch=batch)
+    unseen = (
+        new_docs.select(
+            F.explode(tokens(F.lower(F.col(new_text_col)))).alias("word")
+        )
+        .where(F.col("word").rlike(BPE_WORD_RE))
+        .distinct()
+        .join(vocab.select("word"), "word", "left_anti")
+    )
+    syms0 = F.split("word", "")
+    if not merges:
+        encoded = syms0
+        final_mr = F.lit(None).cast("long")
+    else:
+        rank_map = F.create_map(
+            *[
+                x
+                for (rank, l, r, _tok, _cnt) in merges
+                for x in (F.lit(f"{l} {r}"), F.lit(rank))
+            ]
+        )
+        lhs_map = F.create_map(
+            *[x for (rank, l, _r, _tok, _cnt) in merges for x in (F.lit(rank), F.lit(l))]
+        )
+        rhs_map = F.create_map(
+            *[x for (rank, _l, r, _tok, _cnt) in merges for x in (F.lit(rank), F.lit(r))]
+        )
+
+        def one_step(acc: F.Column, _i: F.Column) -> F.Column:
+            mr = _min_rank(acc, rank_map)
+            return F.when(mr.isNull(), acc).otherwise(
+                _apply_merge_dyn(
+                    acc,
+                    F.try_element_at(lhs_map, mr),
+                    F.try_element_at(rhs_map, mr),
+                )
+            )
+
+        encoded = F.aggregate(
+            F.sequence(F.lit(1), F.lit(len(merges))), syms0, one_step
+        )
+        final_mr = _min_rank(encoded, rank_map)
+    # fixpoint guard: len(rules) iterations MUST consume every applicable
+    # rank (see docstring); embedded as a required term of n_subtokens so
+    # neither constant folding nor column pruning can drop it
+    guard = F.coalesce(
+        F.assert_true(
+            final_mr.isNull(),
+            F.lit(
+                "bpe_encode_unseen: merge ranks still applicable after "
+                f"{len(merges)} iterations — a minted-token collision "
+                "re-created an earlier rule's pair; raise the iteration "
+                "bound for this rule list"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    out = unseen.select(
+        "word",
+        (F.size(encoded) + guard).cast("long").alias("n_subtokens"),
+        F.concat_ws(" ", encoded).alias("seg"),
+    ).localCheckpoint(eager=True)  # materialize before dropping vocab
+    vocab.unpersist()
+    return out
+
+
 def bpe_fertility(
     docs: DataFrame,
     n_merges: int = 8,

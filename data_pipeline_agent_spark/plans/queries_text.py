@@ -182,8 +182,14 @@ def _bpe_cte_chain(k_merges: int) -> str:
     fully segmented vocab)."""
     from data_pipeline_agent_spark.operators.bpe import BPE_WORD_RE
 
+    # v{k} is MATERIALIZED: each iteration references its predecessor
+    # several times (pair stats, merge application), and DuckDB's default
+    # CTE inlining re-expands the whole chain per reference — ~3^K scans
+    # of the parquet file, which exhausts the fd limit past K=8 (hit when
+    # the r11 encode twin pushed K to 16). Materialization pins each
+    # iteration to one evaluation; results are identical.
     parts = [
-        f"""wf AS (
+        f"""wf AS MATERIALIZED (
           SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
             SELECT unnest({sql_tokens('lower(text)')}) AS word FROM documents
           ) WHERE regexp_matches(word, '{BPE_WORD_RE}') GROUP BY word
@@ -225,7 +231,7 @@ def _bpe_cte_chain(k_merges: int) -> str:
               SELECT *, coalesce(lag(keep_m) OVER
                 (PARTITION BY word ORDER BY pos), false) AS dropped FROM k{k}
             )""",
-            f"""v{k} AS (
+            f"""v{k} AS MATERIALIZED (
               SELECT word, freq,
                      list(CASE WHEN keep_m THEN tk ELSE sym END ORDER BY pos)
                        FILTER (NOT dropped) AS syms
@@ -266,6 +272,87 @@ def _bpe_fertility_oracle(k_merges: int) -> str:
         FROM tok t JOIN v{k_merges} v ON t.word = v.word
         WHERE regexp_matches(t.word, '{BPE_WORD_RE}')
         GROUP BY t.doc_id
+    """
+    )
+
+
+def _bpe_encode_oracle(k_merges: int) -> str:
+    """DuckDB twin of operators/bpe.bpe_encode_unseen: re-learn the K
+    rules via the shared training chain (_bpe_cte_chain), then replay
+    the encode loop — K steps, each joining every still-unfinished word
+    to its LOWEST-RANK applicable rule and applying it via the same
+    gaps-and-islands greedy-merge formulation the training twin uses
+    (two independent implementations of the greedy scan that must agree
+    rule-for-rule for the byte-exact ``seg`` hash to match). Unseen
+    words come from part.p_name — a vocabulary disjoint from the
+    documents corpus except 'small' (the anti-join against wf drops
+    it), standing in for the new text a frozen tokenizer meets daily."""
+    from data_pipeline_agent_spark.operators.bpe import BPE_WORD_RE
+
+    rules_union = " UNION ALL ".join(
+        f"SELECT {k} AS rk, l, r FROM m{k}" for k in range(1, k_merges + 1)
+    )
+    # rules and enc{k} MATERIALIZED for the same fd-explosion reason as
+    # the training chain's v{k} (see _bpe_cte_chain)
+    parts = [
+        f"rules AS MATERIALIZED ({rules_union})",
+        f"""uw AS (
+          SELECT word FROM (
+            SELECT DISTINCT lower(unnest(string_split(p_name, ' '))) AS word
+            FROM part
+          )
+          WHERE regexp_matches(word, '{BPE_WORD_RE}')
+            AND word NOT IN (SELECT word FROM wf)
+        )""",
+        "enc0 AS (SELECT word, string_split(word, '') AS syms FROM uw)",
+    ]
+    for k in range(1, k_merges + 1):
+        p = k - 1
+        parts += [
+            f"""mr{k} AS (
+              SELECT e.word, min(ru.rk) AS mrank
+              FROM enc{p} e,
+                   unnest(generate_series(1, len(e.syms) - 1)) AS u(i)
+              JOIN rules ru
+                ON ru.l = e.syms[u.i] AND ru.r = e.syms[u.i + 1]
+              WHERE len(e.syms) >= 2
+              GROUP BY e.word
+            )""",
+            f"""ee{k} AS (
+              SELECT e.word, u.i AS pos, e.syms[u.i] AS sym,
+                     coalesce(e.syms[u.i] = ru.l
+                      AND coalesce(e.syms[u.i + 1], '') = ru.r, false) AS mt,
+                     ru.l || ru.r AS tk
+              FROM enc{p} e
+              LEFT JOIN mr{k} mm ON mm.word = e.word
+              LEFT JOIN rules ru ON ru.rk = mm.mrank,
+                   unnest(generate_series(1, len(e.syms))) AS u(i)
+            )""",
+            f"gg{k} AS (SELECT *, pos - row_number() OVER "
+            f"(PARTITION BY word, mt ORDER BY pos) AS grp FROM ee{k})",
+            f"""kk{k} AS (
+              SELECT *, mt AND ((pos - min(pos) OVER
+                (PARTITION BY word, mt, grp)) % 2 = 0) AS keep_m FROM gg{k}
+            )""",
+            f"""oo{k} AS (
+              SELECT *, coalesce(lag(keep_m) OVER
+                (PARTITION BY word ORDER BY pos), false) AS dropped FROM kk{k}
+            )""",
+            f"""enc{k} AS MATERIALIZED (
+              SELECT word,
+                     list(CASE WHEN keep_m THEN tk ELSE sym END ORDER BY pos)
+                       FILTER (NOT dropped) AS syms
+              FROM oo{k} GROUP BY word
+            )""",
+        ]
+    return (
+        _bpe_cte_chain(k_merges)
+        + ",\n"
+        + ",\n".join(parts)
+        + f"""
+        SELECT word, CAST(len(syms) AS BIGINT) AS n_subtokens,
+               array_to_string(syms, ' ') AS seg
+        FROM enc{k_merges}
     """
     )
 
@@ -311,6 +398,35 @@ def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(table(spark, sf_dir, "documents")),
         n_merges=_BPE_MERGES,
         batch=4,
+    )
+
+
+_BPE_ENCODE_MERGES = 16
+
+
+@register(
+    "text_bpe_encode_unseen",
+    oracle=_bpe_encode_oracle(_BPE_ENCODE_MERGES),
+    description="BPE ENCODE for UNSEEN text (r11, r10 verdict task 2): "
+    "a 16-rule tokenizer frozen from the documents corpus segments the "
+    "part-name vocabulary it has never seen (15 of 16 part words are "
+    "out-of-vocabulary) — subword-nmt encode semantics (repeatedly apply "
+    "the lowest-rank rule present, greedy left-to-right), implemented as "
+    "a rank-bounded map-side fold at distinct-word grain with an in-plan "
+    "fixpoint assert; byte-exact seg hash vs a DuckDB replay of the same "
+    "K steps",
+    materializes_on_build=True,
+)
+def text_bpe_encode_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_agent_spark.operators.bpe import bpe_encode_unseen
+    from data_pipeline_agent_spark.session import fan_out
+
+    return bpe_encode_unseen(
+        fan_out(table(spark, sf_dir, "documents")),
+        table(spark, sf_dir, "part"),
+        n_merges=_BPE_ENCODE_MERGES,
+        new_text_col="p_name",
+        batch=4,  # proven sequential-equivalent; the twin replays per-merge
     )
 
 

@@ -264,3 +264,133 @@ def test_bpe_oracle_exhaustion_parity(spark):
     m_s = bpe_train(docs, n_merges=8).toPandas().sort_values("merge_rank")
     m_o = con.execute(_bpe_oracle(8)).df().sort_values("merge_rank")
     assert list(m_s["token"]) == list(m_o["token"]) == ["ab", "cd"]
+
+
+# --- encode for unseen text (r11, r10 verdict task 2) -------------------------
+
+
+def _ref_encode(word: str, rules: list[tuple[int, str, str]]) -> list[str]:
+    """Pure-Python subword-nmt ENCODE reference: repeatedly apply the
+    lowest-rank rule present (all occurrences, greedy left-to-right)
+    until no rule applies — the min-rank loop bpe_encode_unseen's
+    rank-bounded fold must reproduce."""
+    syms = list(word)
+    ranks = {(l, r): k for k, l, r in rules}
+    while True:
+        cand = [
+            ranks[(syms[i], syms[i + 1])]
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in ranks
+        ]
+        if not cand:
+            return syms
+        mr = min(cand)
+        l, r = next((l, r) for k, l, r in rules if k == mr)
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == l and s == r:
+                out[-1] = l + r
+            else:
+                out.append(s)
+        syms = out
+
+
+def _encode_case(spark, corpus: str, new_text: str, n: int):
+    """Train on ``corpus``, encode ``new_text``'s unseen words, and
+    return (spark rows, reference segs keyed by word)."""
+    from data_pipeline_agent_spark.operators.bpe import bpe_encode_unseen
+
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, new_text)], "doc_id long, text string")
+    rules = [
+        (r["merge_rank"], r["lhs"], r["rhs"])
+        for r in bpe_train(docs, n_merges=n).collect()
+    ]
+    got = {r["word"]: r for r in bpe_encode_unseen(docs, new, n_merges=n).collect()}
+    seen = set(corpus.lower().split())
+    want = {
+        w: _ref_encode(w, rules)
+        for w in set(new_text.lower().split())
+        if w not in seen and w.isascii() and w.isalnum()
+    }
+    return got, want
+
+
+def _assert_encode_matches(spark, corpus: str, new_text: str, n: int):
+    got, want = _encode_case(spark, corpus, new_text, n)
+    assert set(got) == set(want), f"word sets differ: {set(got)} vs {set(want)}"
+    for w, segs in want.items():
+        assert got[w]["seg"] == " ".join(segs), (
+            f"{w!r}: spark {got[w]['seg']!r} != reference {' '.join(segs)!r}"
+        )
+        assert got[w]["n_subtokens"] == len(segs)
+
+
+def test_bpe_encode_heldout_spellings(spark):
+    # rules learned from "abab"/"cd" corpora applied to NEW spellings
+    # that chain and interleave those pairs
+    corpus = " ".join(["abab"] * 6 + ["cd"] * 4)
+    _assert_encode_matches(spark, corpus, "abcd dcba ababab cdcd xyz a", n=4)
+
+
+def test_bpe_encode_self_pair_runs(spark):
+    # l==r rules on unseen overlapping runs: "aaa"/"aaaa"/"baaab" must
+    # collapse every-other-pair exactly like the greedy scan, across
+    # cascaded (a,a) -> (aa,aa) ranks
+    corpus = " ".join(["aaaaaaaa"] * 5 + ["xy"] * 2)
+    _assert_encode_matches(spark, corpus, "aaa baaaab aaaaaa yx", n=6)
+
+
+def test_bpe_encode_rank_order_beats_position(spark):
+    # a word where a HIGHER-rank pair appears first positionally: the
+    # min-rank loop must apply the lower rank first even though it sits
+    # later in the word ("zq" precedes "ab" in "zqab" but (a,b) ranks 1)
+    corpus = " ".join(["ab"] * 9 + ["zq"] * 3)
+    _assert_encode_matches(spark, corpus, "zqab abzq zqzqab", n=2)
+
+
+def test_bpe_encode_seen_words_excluded_and_gate(spark):
+    from data_pipeline_agent_spark.operators.bpe import bpe_encode_unseen
+
+    corpus = " ".join(["abab"] * 3 + ["cd"] * 2)
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "abab cd NEW7 foo-bar éé")], "doc_id long, text string"
+    )
+    got = {r["word"] for r in bpe_encode_unseen(docs, new, n_merges=3).collect()}
+    # seen words anti-joined away; non-ASCII-alnum gated; NEW7 lowercases
+    assert got == {"new7"}
+
+
+def test_bpe_encode_randomized_vs_reference(spark):
+    import random
+
+    for seed in (11, 29):
+        rnd = random.Random(seed)
+        words = [
+            "".join(rnd.choice("abc") for _ in range(rnd.randint(1, 6)))
+            for _ in range(20)
+        ]
+        corpus = " ".join(w for w in words for _ in range(rnd.randint(1, 3)))
+        unseen = " ".join(
+            "".join(rnd.choice("abc") for _ in range(rnd.randint(1, 9)))
+            for _ in range(12)
+        )
+        _assert_encode_matches(spark, corpus, unseen, n=8)
+
+
+def test_bpe_encode_registry_nonvacuous(spark):
+    """The registered cross-domain query must actually exercise the
+    encoder: every part-name word except 'small' is out-of-vocabulary,
+    and the learned rules must genuinely compress several of them."""
+    from data_pipeline_agent_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    rows = REGISTRY["text_bpe_encode_unseen"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 15
+    assert all(r["word"] != "small" for r in rows)
+    compressed = [r for r in rows if r["n_subtokens"] < len(r["word"])]
+    assert len(compressed) >= 5, (
+        f"only {len(compressed)} part words got a merge applied — "
+        "the encode would be vacuous"
+    )
