@@ -401,6 +401,51 @@ def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_APPROX_MERGES = 16
+
+
+def _bpe_approx_oracle(k_merges: int) -> str:
+    """Twin of bpe_merges_with_approx_contract: the SEQUENTIAL rules
+    (the same per-merge replay as _bpe_oracle) with the two tolerance
+    booleans pinned TRUE — the approximate trainer's drift is gated, not
+    replayed (its rule sequence is deliberately not rule-for-rule equal;
+    that deviation is the documented price of the 6-10x batch factor)."""
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, "
+        f"l || r AS token, CAST(cnt AS BIGINT) AS cnt, "
+        "TRUE AS vocab_overlap_ok, TRUE AS fertility_delta_ok "
+        f"FROM m{k}"
+        for k in range(1, k_merges + 1)
+    )
+    return _bpe_cte_chain(k_merges) + "\n" + sel
+
+
+@register(
+    "text_bpe_merges_approx",
+    oracle=_bpe_approx_oracle(_BPE_APPROX_MERGES),
+    description="APPROXIMATE batched BPE training under a tolerance "
+    "contract (r11, r10 verdict task 3): exact=False keeps only pairwise "
+    "symbol-disjointness (skip interacting pairs, no count gap, no "
+    "self-pair closing) — the standard production amortization, realized "
+    "batch factor 6.4-10.7x at the 64/128-merge ramp where exactness "
+    "collapses to ~1.1x; hash-comparable rows are the SEQUENTIAL 16 "
+    "rules plus booleans gating the approximation's vocab overlap "
+    "(>= 0.625, measured 0.688) and corpus fertility delta (<= 0.05, "
+    "measured <= 0.034)",
+    materializes_on_build=True,
+)
+def text_bpe_merges_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_agent_spark.operators.bpe import (
+        bpe_merges_with_approx_contract,
+    )
+    from data_pipeline_agent_spark.session import fan_out
+
+    return bpe_merges_with_approx_contract(
+        fan_out(table(spark, sf_dir, "documents")),
+        n_merges=_BPE_APPROX_MERGES,
+    )
+
+
 _BPE_ENCODE_MERGES = 16
 
 

@@ -394,3 +394,77 @@ def test_bpe_encode_registry_nonvacuous(spark):
         f"only {len(compressed)} part words got a merge applied — "
         "the encode would be vacuous"
     )
+
+
+# --- approximate batched mode (r11, r10 verdict task 3) -----------------------
+
+
+def test_select_batch_approx_skips_instead_of_stopping():
+    from data_pipeline_agent_spark.operators.bpe import _select_batch
+
+    # interacting pair (b,c) is SKIPPED, scan continues to (x,y);
+    # exact mode stops at it
+    ranked = [("a", "b", 10), ("b", "c", 8), ("x", "y", 7)]
+    assert _select_batch(ranked, 4, exhaustive=True, exact=False) == [
+        ("a", "b", 10),
+        ("x", "y", 7),
+    ]
+    assert _select_batch(ranked, 4, exhaustive=True, exact=True) == [
+        ("a", "b", 10)
+    ]
+    # no count-gap filter: a tie across the boundary stays accepted
+    ranked = [("a", "b", 10), ("c", "d", 7), ("c", "e", 7)]
+    assert _select_batch(ranked, 2, exhaustive=True, exact=False) == [
+        ("a", "b", 10),
+        ("c", "d", 7),
+    ]
+    # no self-pair closing: (a,a) does not end the batch
+    ranked = [("a", "a", 10), ("x", "y", 7)]
+    assert _select_batch(ranked, 4, exhaustive=True, exact=False) == ranked
+    # every accepted set is still pairwise symbol-disjoint incl. tokens:
+    # (a,b) mints "ab", so ("ab","c") must be skipped
+    ranked = [("a", "b", 10), ("ab", "c", 9), ("d", "e", 8)]
+    assert _select_batch(ranked, 4, exhaustive=True, exact=False) == [
+        ("a", "b", 10),
+        ("d", "e", 8),
+    ]
+
+
+def test_bpe_approx_learns_full_rule_count(spark):
+    # the approximate mode must still learn n_merges rules (in fewer
+    # rounds) and every round's batch must leave a consistent vocab —
+    # checked indirectly: the rule count, distinct tokens, and that each
+    # rule's lhs/rhs were available symbols when applied (token of an
+    # earlier rule or a single char)
+    text = " ".join(["abcd"] * 6 + ["efgh"] * 5 + ["ijkl"] * 4 + ["mnop"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    stats: dict = {}
+    out = bpe_train(docs, n_merges=8, batch=8, exact=False, stats=stats).collect()
+    assert len(out) == 8
+    assert stats["rounds"] < 8, "approx batching must beat one-rule rounds"
+    tokens_so_far: set[str] = set()
+    for r in sorted(out, key=lambda r: r["merge_rank"]):
+        for side in (r["lhs"], r["rhs"]):
+            assert len(side) == 1 or side in tokens_so_far, (
+                f"rule {r['merge_rank']} uses symbol {side!r} that no "
+                "earlier rule minted"
+            )
+        tokens_so_far.add(r["token"])
+
+
+def test_bpe_approx_contract_registry(spark):
+    """The registered tolerance contract: hash-comparable rows are the
+    SEQUENTIAL rules; both booleans genuinely TRUE on the test corpus."""
+    from data_pipeline_agent_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    out = REGISTRY["text_bpe_merges_approx"].spark(spark, SF_DIR).collect()
+    assert len(out) == 16
+    assert all(r["vocab_overlap_ok"] for r in out)
+    assert all(r["fertility_delta_ok"] for r in out)
+    seq = bpe_train(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), n_merges=16
+    ).collect()
+    assert [(r["merge_rank"], r["token"]) for r in sorted(out, key=lambda r: r["merge_rank"])] == [
+        (r["merge_rank"], r["token"]) for r in seq
+    ]
