@@ -919,6 +919,215 @@ def corpus_split_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dual_grain_split_assign(
+    docs: DataFrame, emb: DataFrame, n_clusters: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The dual-grain assignment itself (shared by the registry query
+    and tests/test_split_leakage.py's constructed-instance invariant):
+    lexical MinHash pairs ∪ SemDeDup semantic pairs -> one transitive
+    clustering -> (doc_id, n_tokens, anchor_id, quality_score, rk,
+    split) with rk=1 the per-cluster quality survivor and split the
+    anchor-keyed md5 split. Returns (ranked, lex_pairs, sem_pairs);
+    the pair frames are eagerly checkpointed (post-threshold grains)
+    because they feed both the closure and the cohesion contracts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.functions.text_hash import tokens
+    from data_pipeline_agent_spark.operators.graph import connected_components
+    from data_pipeline_agent_spark.operators.similarity import semantic_dup_pairs
+    from data_pipeline_agent_spark.operators.text import quality_score
+
+    lex = (
+        D.minhash_near_dup_pairs(docs, threshold=0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    sem = (
+        semantic_dup_pairs(emb, n_clusters=n_clusters, threshold=0.4)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    cc = connected_components(lex.unionByName(sem), src="id_a", dst="id_b")
+    q = quality_score(docs).select("doc_id", "quality_score")
+    assign = (
+        docs.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .join(cc.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("comp", F.col("doc_id")).cast("long").alias("anchor_id"),
+        )
+        .join(q, "doc_id")
+    )
+    bucket = F.substring(F.md5(F.col("anchor_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "14", "test")
+        .when(bucket < "28", "val")
+        .otherwise("train")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = (
+        assign.withColumn("rk", F.row_number().over(w))
+        .withColumn("split", split)
+        # corpus-grain checkpoint: the frame feeds five contract
+        # consumers (same convention as source_token_stats)
+        .localCheckpoint(eager=True)
+    )
+    return ranked, lex, sem
+
+
+@register(
+    "corpus_split_budget_dual",
+    materializes_on_build=True,
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               TRUE AS assignment_unique_ok,
+               TRUE AS lexical_cohesion_ok,
+               TRUE AS semantic_cohesion_ok,
+               TRUE AS one_survivor_per_cluster_ok,
+               TRUE AS survivor_split_matches_members_ok,
+               TRUE AS budget_conserved_ok
+        FROM documents
+    """,
+    description="DUAL-GRAIN curation composition (r11, r10 verdict task "
+    "4): real curation dedups at BOTH grains — MinHash >=0.8 lexical "
+    "pairs AND SemDeDup embedding-cluster pairs (threshold 0.4, cells "
+    "~n/750) union into ONE transitive clustering, then the verified "
+    "chain runs once over it: quality survivor per joint cluster, "
+    "anchor-keyed md5 split, per-split docs/kept/token budget. Cluster "
+    "composition is KMeans-cell-dependent, so the oracle is the "
+    "dedup_semantic_clusters-style CONTRACT: corpus count plus in-row "
+    "booleans — unique assignment, BOTH edge grains never straddle a "
+    "split, exactly one survivor per cluster, the survivor shares its "
+    "members' split, and the per-split budget conserves doc/token "
+    "totals; any violation turns the driver hash red",
+)
+def corpus_split_budget_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The invariant a single-grain pipeline breaks: a doc lexically
+    tied to one near-dup set and semantically tied to another must land
+    in EXACTLY one split with both sets (the union closure merges the
+    two clusters; tests/test_split_leakage.py pins a constructed
+    instance). The embeddings table's vec_id shares the documents
+    table's id domain (vec_id ⊆ doc_id, TESTDATA convention), so
+    semantic pairs map to doc pairs by identity; docs without a vector
+    simply contribute no semantic edges.
+
+    Scale shape: both pair generators are the already-verified bucketed
+    operators (LSH bands / KMeans cells — never all-pairs); the union
+    adds one node-scale CC pass; survivor election is one window keyed
+    on cluster anchors; every contract boolean is an aggregate or one
+    anti-join on post-closure (tiny) grains. The budget frame itself is
+    3 rows."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.functions.text_hash import tokens
+    from data_pipeline_agent_spark.plans.registry import table_num_rows
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    n_clusters = max(16, table_num_rows(sf_dir, "embeddings") // 750)
+    ranked, lex, sem = dual_grain_split_assign(docs, emb, n_clusters)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ok_unique = ranked.agg(
+        (F.count(F.lit(1)) == F.count_distinct("doc_id")).alias(
+            "assignment_unique_ok"
+        )
+    )
+
+    def cohesion(pairs: DataFrame, name: str) -> DataFrame:
+        spl = ranked.select("doc_id", "split")
+        j = (
+            pairs.join(
+                spl.select(
+                    F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+                ),
+                "id_a",
+            )
+            .join(
+                spl.select(
+                    F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+                ),
+                "id_b",
+            )
+        )
+        return j.agg(
+            F.coalesce(F.every(F.col("sa") == F.col("sb")), F.lit(True)).alias(
+                name
+            )
+        )
+
+    ok_lex = cohesion(lex, "lexical_cohesion_ok")
+    ok_sem = cohesion(sem, "semantic_cohesion_ok")
+    per_cluster = ranked.groupBy("anchor_id").agg(
+        F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).alias("__k"),
+        F.count_distinct("split").alias("__ns"),
+    )
+    ok_surv = per_cluster.agg(
+        F.coalesce(F.every(F.col("__k") == 1), F.lit(True)).alias(
+            "one_survivor_per_cluster_ok"
+        ),
+        F.coalesce(F.every(F.col("__ns") == 1), F.lit(True)).alias(
+            "survivor_split_matches_members_ok"
+        ),
+    )
+    budget = ranked.groupBy("split").agg(
+        F.count(F.lit(1)).alias("__docs"),
+        F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).alias("__kept"),
+        F.sum("n_tokens").alias("__tok"),
+        F.sum(F.when(F.col("rk") == 1, F.col("n_tokens")).otherwise(0)).alias(
+            "__ktok"
+        ),
+    )
+    tot = docs.select(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.size(tokens(F.col("text")))).alias("__t"),
+    )
+    ok_budget = (
+        budget.agg(
+            F.sum("__docs").alias("__sd"),
+            F.sum("__tok").alias("__st"),
+            F.coalesce(
+                F.every(
+                    (F.col("__kept") >= 1)
+                    & (F.col("__kept") <= F.col("__docs"))
+                    & (F.col("__ktok") <= F.col("__tok"))
+                ),
+                F.lit(True),
+            ).alias("__rows_ok"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("__sd") == F.col("__n"))
+                & (F.col("__st") == F.col("__t"))
+                & F.col("__rows_ok")
+            ).alias("budget_conserved_ok")
+        )
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(ok_unique))
+        .crossJoin(F.broadcast(ok_lex))
+        .crossJoin(F.broadcast(ok_sem))
+        .crossJoin(F.broadcast(ok_surv))
+        .crossJoin(F.broadcast(ok_budget))
+        .select(
+            "n_docs",
+            "assignment_unique_ok",
+            "lexical_cohesion_ok",
+            "semantic_cohesion_ok",
+            "one_survivor_per_cluster_ok",
+            "survivor_split_matches_members_ok",
+            "budget_conserved_ok",
+        )
+    )
+
+
 @register(
     "corpus_split_survivor",
     oracle=f"""

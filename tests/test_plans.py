@@ -322,6 +322,7 @@ _NESTED_LOOP_OK = {
     "sim_knn_graph_multiprobe_linear_recall",  # anchor bcast + 1-row recall (r10)
     "sim_ivfpq_topk",  # anchor broadcast + 1-row recall frame (r10)
     "dedup_semantic_clusters",  # 1-row contract-boolean frames crossed
+    "corpus_split_budget_dual",  # 1-row contract-boolean frames crossed (r11)
     "ml_class_balance_report",  # 1-row total frame
     "class_weights_orderstatus",  # 1-row (n, k) totals frame
     "histogram_extendedprice",  # 1-row min/max bounds frame

@@ -91,3 +91,66 @@ def test_cluster_members_share_anchor_split(spark):
     for r in rows:
         assert r["split"] == _split_of(r["anchor_id"])
         assert r["anchor_id"] < r["doc_id"]  # anchor is the min member
+
+
+def test_dual_grain_constructed_instance(spark):
+    """r11 (r10 verdict task 4) — THE invariant the dual-grain closure
+    exists for: doc B is LEXICALLY near-dup with A and SEMANTICALLY
+    near-dup with C; a single-grain pipeline could split {A,B} and
+    {B,C} independently (B in two clusters -> potentially two splits),
+    the union closure must land A, B, C in exactly ONE cluster and ONE
+    split, with one survivor."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.plans.queries_dedup import (
+        dual_grain_split_assign,
+    )
+
+    lex_text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, lex_text),
+            (2, lex_text),  # lexical pair with 1 (identical shingles)
+            (3, "completely different words about spark shuffles and joins"),
+            (4, "an unrelated singleton document with its own words here"),
+        ],
+        "doc_id long, text string",
+    )
+    e1 = [0.0, 1.0, 0.0, 0.0]
+    e23 = [1.0, 0.0, 0.0, 0.0]  # 2 and 3 identical -> semantic pair
+    e4 = [0.0, 0.0, 1.0, 0.0]
+    emb = spark.createDataFrame(
+        [(1, e1), (2, e23), (3, e23), (4, e4)],
+        "vec_id long, embedding array<float>",
+    )
+    ranked, lex, sem = dual_grain_split_assign(docs, emb, n_clusters=2)
+    rows = {r["doc_id"]: r for r in ranked.collect()}
+    assert {(r["id_a"], r["id_b"]) for r in lex.collect()} == {(1, 2)}
+    assert (2, 3) in {(r["id_a"], r["id_b"]) for r in sem.collect()}
+    # one row per doc; A, B, C one cluster (anchor = min id = 1), D alone
+    assert sorted(rows) == [1, 2, 3, 4]
+    assert rows[1]["anchor_id"] == rows[2]["anchor_id"] == rows[3]["anchor_id"] == 1
+    assert rows[4]["anchor_id"] == 4
+    assert len({rows[i]["split"] for i in (1, 2, 3)}) == 1
+    assert rows[1]["split"] == _split_of(1)  # anchor-keyed
+    assert sum(1 for i in (1, 2, 3) if rows[i]["rk"] == 1) == 1
+    assert rows[4]["rk"] == 1
+    ranked.unpersist(), lex.unpersist(), sem.unpersist()
+
+
+def test_dual_grain_registry_contract(spark):
+    """The registered contract query: every boolean genuinely TRUE on
+    the test corpus, corpus count carried."""
+    out = REGISTRY["corpus_split_budget_dual"].spark(spark, SF_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 500
+    for c in (
+        "assignment_unique_ok",
+        "lexical_cohesion_ok",
+        "semantic_cohesion_ok",
+        "one_survivor_per_cluster_ok",
+        "survivor_split_matches_members_ok",
+        "budget_conserved_ok",
+    ):
+        assert r[c] is True, f"{c} violated"
