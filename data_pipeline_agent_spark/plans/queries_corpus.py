@@ -335,6 +335,119 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def density_penalized_topk(docs: DataFrame, emb: DataFrame, k: int = 100) -> DataFrame:
+    """Density-penalized priority sampling (r11, r10 verdict task 5 —
+    the SSL-prototypes/D4 curation signal): weight = quality / (1 +
+    kNN-density), so the exact-k weighted sampler drains redundant
+    regions first and keeps sparse novel ones. Composes two verified
+    stages: sim_knn_density's summed top-3 bucket-neighbor cosine (the
+    redundancy score; docs without a vector or without bucket neighbors
+    get density 0) and sample_weighted_priority's Duffield/Lund/Thorup
+    priority rule (pri = w * 2^32 / (h+1), one IEEE division of
+    bit-identical operands — no RNG, identical pick-set on every
+    run/layout/engine). Both weight inputs are the 6-dp-rounded values
+    the twins already hash-match, so the derived priority is
+    bit-identical cross-engine too."""
+    from pyspark.sql import Window
+
+    from data_pipeline_agent_spark.functions.text_hash import h32
+    from data_pipeline_agent_spark.operators.similarity import (
+        SIGN_BITS,
+        knn_graph,
+    )
+    from data_pipeline_agent_spark.operators.text import quality_score
+
+    g = knn_graph(emb, k=3, bits=SIGN_BITS)
+    dens = g.groupBy(F.col("query_id").alias("doc_id")).agg(
+        F.round(F.sum("cos_sim"), 6).alias("density")
+    )
+    q = quality_score(docs).select("doc_id", "quality_score")
+    base = q.join(dens, "doc_id", "left").select(
+        "doc_id",
+        "quality_score",
+        F.coalesce("density", F.lit(0.0)).alias("density"),
+    )
+    pri = (
+        F.greatest(F.col("quality_score"), F.lit(0.0))
+        / (F.lit(1.0) + F.col("density"))
+        * F.lit(4294967296.0)
+        / (h32(F.col("doc_id")) + F.lit(1))
+    )
+    ranked = (
+        base.select("doc_id", "quality_score", "density", pri.alias("pri"))
+        .orderBy(F.desc("pri"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("pri"), F.asc("doc_id"))
+    return ranked.select(
+        "doc_id",
+        "quality_score",
+        "density",
+        "pri",
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+
+
+def _density_penalized_oracle(k: int) -> str:
+    from data_pipeline_agent_spark.plans.queries_dedup import _quality_sql
+    from data_pipeline_agent_spark.plans.queries_similarity import (
+        _sql_bucket,
+        _sql_cos,
+    )
+
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bkt
+                   FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 round({_sql_cos('a.embedding', 'e.embedding')}, 6) AS cos_sim
+          FROM b a JOIN b e ON e.bkt = a.bkt AND e.vec_id != a.vec_id
+        ),
+        knn AS (
+          SELECT query_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+          FROM scored QUALIFY rk <= 3
+        ),
+        dens AS (
+          SELECT query_id AS doc_id, round(sum(cos_sim), 6) AS density
+          FROM knn GROUP BY query_id
+        ),
+        q AS ({_quality_sql()}),
+        p AS (
+          SELECT q.qid AS doc_id, q.qs AS quality_score,
+                 coalesce(d.density, 0.0) AS density,
+                 greatest(q.qs, 0.0) / (1.0 + coalesce(d.density, 0.0))
+                   * 4294967296.0
+                   / ({sql_h32("CAST(q.qid AS VARCHAR)")} + 1) AS pri
+          FROM q LEFT JOIN dens d ON d.doc_id = q.qid
+        )
+        SELECT doc_id, quality_score, density, pri,
+               CAST(row_number() OVER (ORDER BY pri DESC, doc_id ASC)
+                    AS BIGINT) AS rk
+        FROM p
+        QUALIFY rk <= {k}
+    """
+
+
+@register(
+    "sample_density_penalized",
+    oracle=_density_penalized_oracle(100),
+    description="density-penalized exact-k sampling (r11): priority "
+    "weight = quality / (1 + kNN-density) composed from sim_knn_density's "
+    "redundancy score and the Duffield/Lund/Thorup priority rule — dense "
+    "near-dup regions drain first, sparse novel docs survive; "
+    "deterministic md5 uniforms, bit-identical pick-set cross-engine, "
+    "exact-hash twin",
+)
+def sample_density_penalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return density_penalized_topk(
+        table(spark, sf_dir, "documents"),
+        table(spark, sf_dir, "embeddings"),
+        k=100,
+    )
+
+
 @register(
     "sample_weighted_priority",
     oracle=f"""

@@ -352,6 +352,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "ml_class_balance_report",  # class-label grain (bounded by construction)
     "sample_weighted_priority",  # rank window runs ABOVE the top-100
     # TakeOrdered limit — 100-row input by construction (r9)
+    "sample_density_penalized",  # same shape: rank window above the
+    # top-100 TakeOrdered limit (r11)
 }
 
 

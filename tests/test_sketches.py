@@ -125,3 +125,49 @@ def test_hll_trailing_window_error_bound(spark):
         # and every merged estimate must sit inside the oracle-checked bound
         assert row.n_users_7d_exact == n, f"{d}: {row.n_users_7d_exact} vs {n}"
         assert row.hll_within_2pct, f"{d}: sketch-union estimate out of bound"
+
+
+def test_density_penalized_sampler_drains_dense_regions(spark):
+    """r11 (r10 verdict task 5): with equal quality everywhere, docs in
+    a dense near-dup clump (identical embeddings -> top-3 neighbor
+    cosine sum = 3.0 -> 4x priority penalty) must be under-sampled vs
+    the quality-only ordering (same sampler, no vectors -> density 0).
+    Everything is deterministic (md5 uniforms, fixed sign buckets), so
+    the counts are exact, not statistical."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.plans.queries_corpus import (
+        density_penalized_topk,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(40)], "doc_id long, text string"
+    )
+    dense_vec = [1.0] * 8  # bucket 255 for all 20 -> each has 19 mates
+    rows = [(i, dense_vec) for i in range(20)]
+    for j in range(20, 40):  # unique sign pattern per doc -> no mates
+        rows.append((j, [1.0 if (j >> b) & 1 else -1.0 for b in range(8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+    pen = density_penalized_topk(docs, emb, k=10).collect()
+    base = density_penalized_topk(docs, empty, k=10).collect()
+    dens = {r["doc_id"]: r["density"] for r in pen}
+    assert all(r["density"] == 0.0 for r in base)
+    for d, v in dens.items():
+        assert v == (3.0 if d < 20 else 0.0), f"doc {d} density {v}"
+    n_dense_pen = sum(1 for r in pen if r["doc_id"] < 20)
+    n_dense_base = sum(1 for r in base if r["doc_id"] < 20)
+    assert n_dense_pen < n_dense_base, (
+        f"penalty did not under-sample the clump: {n_dense_pen} vs "
+        f"{n_dense_base} dense docs in the top-10"
+    )
+    # the penalty is exactly the composition: pri_pen = pri_base/(1+density)
+    base_all = {
+        r["doc_id"]: r["pri"]
+        for r in density_penalized_topk(docs, empty, k=40).collect()
+    }
+    for r in pen:
+        expect = base_all[r["doc_id"]] / (1.0 + r["density"])
+        assert abs(r["pri"] - expect) < 1e-9 * max(abs(expect), 1.0)
