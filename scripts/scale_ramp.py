@@ -559,6 +559,18 @@ _100X_QUERIES = [
     # 3-row agg)
     "sim_ivfpq_topk",
     "corpus_split_budget",
+    # r11: the frozen-tokenizer encode (distinct-word-grain fold + vocab
+    # anti-join — probes that the encode tracks the Heaps'-law unseen
+    # vocabulary, never the corpus), the approximate batched trainer
+    # (the production amortization: rounds, not merges, should track the
+    # ramp), the dual-grain clustering (the round's widest composition:
+    # LSH pairs + SemDeDup pairs -> one CC -> survivor/split/budget +
+    # six contract aggregates), and the density-penalized sampler (kNN
+    # graph -> density agg -> corpus-wide left join -> top-k)
+    "text_bpe_encode_unseen",
+    "text_bpe_merges_approx",
+    "corpus_split_budget_dual",
+    "sample_density_penalized",
 ]
 _100X_TABLES = {
     "customer",
