@@ -515,6 +515,71 @@ def _apply_merge_dyn(syms: F.Column, lhs: F.Column, rhs: F.Column) -> F.Column:
     )
 
 
+def _frozen_rule_fold(
+    merges: list[tuple], syms0: F.Column
+) -> tuple[F.Column, F.Column]:
+    """The frozen-merge-list encode fold shared by bpe_encode_unseen and
+    bpe_tokenize_records: apply ``merges`` (the driver-side rule list
+    ``_train`` returns) to an initial symbol array ``syms0`` with
+    subword-nmt's greedy lowest-rank-first semantics — a rank-bounded
+    F.aggregate over sequence(1, K), ONE expression tree evaluated K
+    times per row at runtime (see bpe_encode_unseen's docstring for the
+    rank-monotonicity argument that K = len(merges) iterations reach the
+    fixpoint). Returns ``(encoded, guard)`` where ``guard`` is the
+    in-plan fixpoint assert embedded as an arithmetically-required
+    0-valued coalesce term — add it to any count derived from
+    ``encoded`` so neither constant folding nor column pruning can drop
+    the check."""
+    if not merges:
+        encoded = syms0
+        final_mr = F.lit(None).cast("long")
+    else:
+        rank_map = F.create_map(
+            *[
+                x
+                for (rank, l, r, _tok, _cnt) in merges
+                for x in (F.lit(f"{l} {r}"), F.lit(rank))
+            ]
+        )
+        lhs_map = F.create_map(
+            *[x for (rank, l, _r, _tok, _cnt) in merges for x in (F.lit(rank), F.lit(l))]
+        )
+        rhs_map = F.create_map(
+            *[x for (rank, _l, r, _tok, _cnt) in merges for x in (F.lit(rank), F.lit(r))]
+        )
+
+        def one_step(acc: F.Column, _i: F.Column) -> F.Column:
+            mr = _min_rank(acc, rank_map)
+            return F.when(mr.isNull(), acc).otherwise(
+                _apply_merge_dyn(
+                    acc,
+                    F.try_element_at(lhs_map, mr),
+                    F.try_element_at(rhs_map, mr),
+                )
+            )
+
+        encoded = F.aggregate(
+            F.sequence(F.lit(1), F.lit(len(merges))), syms0, one_step
+        )
+        final_mr = _min_rank(encoded, rank_map)
+    # fixpoint guard: len(rules) iterations MUST consume every applicable
+    # rank (see docstring); embedded as a required term of the caller's
+    # counts so neither constant folding nor column pruning can drop it
+    guard = F.coalesce(
+        F.assert_true(
+            final_mr.isNull(),
+            F.lit(
+                "bpe frozen-rule fold: merge ranks still applicable "
+                f"after {len(merges)} iterations — a minted-token "
+                "collision re-created an earlier rule's pair; raise the "
+                "iteration bound for this rule list"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    return encoded, guard
+
+
 def bpe_encode_unseen(
     docs: DataFrame,
     new_docs: DataFrame,
@@ -561,54 +626,7 @@ def bpe_encode_unseen(
         .distinct()
         .join(vocab.select("word"), "word", "left_anti")
     )
-    syms0 = F.split("word", "")
-    if not merges:
-        encoded = syms0
-        final_mr = F.lit(None).cast("long")
-    else:
-        rank_map = F.create_map(
-            *[
-                x
-                for (rank, l, r, _tok, _cnt) in merges
-                for x in (F.lit(f"{l} {r}"), F.lit(rank))
-            ]
-        )
-        lhs_map = F.create_map(
-            *[x for (rank, l, _r, _tok, _cnt) in merges for x in (F.lit(rank), F.lit(l))]
-        )
-        rhs_map = F.create_map(
-            *[x for (rank, _l, r, _tok, _cnt) in merges for x in (F.lit(rank), F.lit(r))]
-        )
-
-        def one_step(acc: F.Column, _i: F.Column) -> F.Column:
-            mr = _min_rank(acc, rank_map)
-            return F.when(mr.isNull(), acc).otherwise(
-                _apply_merge_dyn(
-                    acc,
-                    F.try_element_at(lhs_map, mr),
-                    F.try_element_at(rhs_map, mr),
-                )
-            )
-
-        encoded = F.aggregate(
-            F.sequence(F.lit(1), F.lit(len(merges))), syms0, one_step
-        )
-        final_mr = _min_rank(encoded, rank_map)
-    # fixpoint guard: len(rules) iterations MUST consume every applicable
-    # rank (see docstring); embedded as a required term of n_subtokens so
-    # neither constant folding nor column pruning can drop it
-    guard = F.coalesce(
-        F.assert_true(
-            final_mr.isNull(),
-            F.lit(
-                "bpe_encode_unseen: merge ranks still applicable after "
-                f"{len(merges)} iterations — a minted-token collision "
-                "re-created an earlier rule's pair; raise the iteration "
-                "bound for this rule list"
-            ),
-        ).cast("long"),
-        F.lit(0),
-    )
+    encoded, guard = _frozen_rule_fold(merges, F.split("word", ""))
     out = unseen.select(
         "word",
         (F.size(encoded) + guard).cast("long").alias("n_subtokens"),
@@ -665,6 +683,74 @@ def bpe_fertility(
             F.round(
                 F.sum(F.col("__cnt") * F.col("__nsub")) / F.sum("__cnt"), 6
             ).alias("fertility"),
+        )
+        .localCheckpoint(eager=True)  # materialize before dropping vocab
+    )
+    vocab.unpersist()
+    return out
+
+
+def bpe_tokenize_records(
+    docs: DataFrame,
+    recs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    rec_text_col: str = "text",
+    rec_id_cols: tuple[str, ...] = ("doc_id",),
+    batch: int = 1,
+) -> DataFrame:
+    """Tokenize a NEW record corpus under a tokenizer FROZEN on ``docs``
+    (r11): per record, the word count and total subtoken count at
+    TOKENIZER grain — the number a training pipeline actually budgets
+    and packs by (whitespace counts under- or over-state sequence length
+    by the tokenizer's fertility). Seen words (in the training vocab)
+    resolve by LOOKUP against the trained segmentation frame; unseen
+    words run the frozen-rule encode fold of bpe_encode_unseen — both at
+    DISTINCT-WORD grain (Heaps'-law bounded), then ONE broadcast join
+    maps word -> subtoken count back onto the exploded record corpus.
+
+    Scale shape: the corpus-sized side is touched exactly twice (the
+    explode for distinct words, the explode for the final map-back); the
+    distinct-word frame, the vocab, and the rule maps are all
+    vocab-sized. The word -> n_sub map is explicitly broadcast: it is
+    the Heaps'-law frame, megabytes at 100 TB corpus scale, and the
+    map-back join must not shuffle the exploded corpus.
+
+    Words outside BPE_WORD_RE are excluded from both counts (the
+    trainable-subset scope bpe_fertility documents). Returns
+    ``rec_id_cols`` + (n_words, n_bpe_tokens); records with zero
+    in-scope words are absent (inner map-back join), matching the twin.
+    """
+    merges, vocab = _train(docs, n_merges, text_col, batch=batch)
+    occurrences = (
+        recs.select(
+            *rec_id_cols,
+            F.explode(tokens(F.lower(F.col(rec_text_col)))).alias("word"),
+        )
+        .where(F.col("word").rlike(BPE_WORD_RE))
+        .groupBy(*rec_id_cols, "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    )
+    words = occurrences.select("word").distinct()
+    seen = words.join(
+        vocab.select("word", F.size("syms").alias("__nsub")), "word"
+    )
+    unseen_words = words.join(vocab.select("word"), "word", "left_anti")
+    encoded, guard = _frozen_rule_fold(merges, F.split("word", ""))
+    unseen = unseen_words.select(
+        "word", (F.size(encoded) + guard).cast("int").alias("__nsub")
+    )
+    # seen ∩ unseen = ∅ by the anti-join; union is a disjoint cover of
+    # every distinct in-scope word, so the map-back join drops nothing
+    word_map = seen.unionByName(unseen)
+    out = (
+        occurrences.join(F.broadcast(word_map), "word")
+        .groupBy(*rec_id_cols)
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_words"),
+            F.sum(F.col("__cnt") * F.col("__nsub"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
         )
         .localCheckpoint(eager=True)  # materialize before dropping vocab
     )

@@ -67,11 +67,19 @@ def language_id(
     return staged.select(F.col(id_col), *[F.col(c) for c in keep], pred.alias("pred_lang"))
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality features + composite score:
     n_chars, n_tokens, mean token length, punctuation ratio, stopword
     ratio; score = stopword_ratio-centered minus punctuation penalty,
-    scaled by a length prior. All ratios rounded to 6."""
+    scaled by a length prior. All ratios rounded to 6.
+
+    ``keep`` passes source columns through (language_id's convention) so
+    compositions like corpus_source_quota don't join back to the corpus."""
     staged = fan_out(df).select("*", tokens(F.col(text_col)).alias("__toks"))
     t = F.col(text_col)
     toks = F.col("__toks")  # staged: tokenization runs once per row
@@ -87,6 +95,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     score = length_prior * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4)) - punct_ratio)
     return staged.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),
@@ -373,4 +382,76 @@ def pii_redact(
         *[F.col(c) for c in keep],
         red.alias("redacted"),
         *[c.cast("long").alias(f"n_{name}") for name, c in counts.items()],
+    )
+
+
+def ngram_vocab_growth(
+    df: DataFrame,
+    n: int = 3,
+    buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law n-gram vocabulary growth (r11): split the corpus into
+    ``buckets`` equal id-range slices and report, per slice, how many
+    documents and per-doc-distinct n-grams it holds, how many n-grams
+    appear there for the FIRST time, and the cumulative n-gram
+    vocabulary — the growth curve that sizes n-gram LM tables,
+    contamination indexes, and shingle-dedup state before committing a
+    100 TB pass (sub-linear growth = Heaps' law; linear growth = the
+    corpus keeps minting novelty and the index won't fit).
+
+    Scale shape: one corpus scan stages per-doc distinct grams; slice
+    totals are a map-side-combinable groupBy; first-occurrence slices
+    are min(bucket) per gram (combinable, gram-domain-sized shuffle);
+    the only windows run over the ``buckets``-row frame. The id bounds
+    ship as a 1-row broadcast (the decile_customer_acctbal pattern).
+    Slice = floor((doc_id - lo) * buckets / (hi - lo + 1)) — integer
+    arithmetic, exact, never equal to ``buckets``.
+    """
+    from pyspark.sql import Window
+
+    from data_pipeline_agent_spark.functions.text_hash import word_ngrams
+
+    staged = fan_out(df).select(
+        F.col(id_col).alias("__id"),
+        word_ngrams(tokens(F.lower(F.col(text_col))), n).alias("__grams"),
+    )
+    bounds = staged.agg(
+        F.min("__id").alias("__lo"), F.max("__id").alias("__hi")
+    )
+    sliced = staged.crossJoin(F.broadcast(bounds)).select(
+        F.floor(
+            ((F.col("__id") - F.col("__lo")) * buckets)
+            / (F.col("__hi") - F.col("__lo") + 1)
+        )
+        .cast("long")
+        .alias("bucket"),
+        "__grams",
+    )
+    totals = sliced.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("__grams")).cast("long").alias("n_doc_grams"),
+    )
+    news = (
+        sliced.select(F.col("bucket"), F.explode("__grams").alias("__g"))
+        .groupBy("__g")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_grams"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        totals.join(F.broadcast(news), "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "n_doc_grams",
+            F.coalesce("new_grams", F.lit(0)).cast("long").alias("new_grams"),
+        )
+        # buckets-row frame by construction: the unpartitioned running
+        # sum is legal here (allowlisted in tests/test_plans.py)
+        .withColumn(
+            "vocab_size", F.sum("new_grams").over(w).cast("long")
+        )
     )

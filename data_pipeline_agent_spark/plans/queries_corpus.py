@@ -335,7 +335,15 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def density_penalized_topk(docs: DataFrame, emb: DataFrame, k: int = 100) -> DataFrame:
+def density_penalized_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = 100,
+    bits: int | None = None,
+    rotations: int | None = None,
+    n_hint: int | None = None,
+    dim_hint: int | None = None,
+) -> DataFrame:
     """Density-penalized priority sampling (r11, r10 verdict task 5 —
     the SSL-prototypes/D4 curation signal): weight = quality / (1 +
     kNN-density), so the exact-k weighted sampler drains redundant
@@ -347,17 +355,28 @@ def density_penalized_topk(docs: DataFrame, emb: DataFrame, k: int = 100) -> Dat
     bit-identical operands — no RNG, identical pick-set on every
     run/layout/engine). Both weight inputs are the 6-dp-rounded values
     the twins already hash-match, so the derived priority is
-    bit-identical cross-engine too."""
+    bit-identical cross-engine too.
+
+    The graph runs in the SCALE-DEFAULT adaptive mode (r11: the first
+    tier probe of this query ran it on the pinned-SIGN_BITS graph and
+    measured 38x/decade — fixed-width buckets saturate, and the bucket
+    self-join goes quadratic; adaptive bits hold expected bucket size
+    constant). Tests pin ``bits``/``rotations`` to get deterministic
+    bucket layouts on hand-built fixtures."""
     from pyspark.sql import Window
 
     from data_pipeline_agent_spark.functions.text_hash import h32
-    from data_pipeline_agent_spark.operators.similarity import (
-        SIGN_BITS,
-        knn_graph,
-    )
+    from data_pipeline_agent_spark.operators.similarity import knn_graph
     from data_pipeline_agent_spark.operators.text import quality_score
 
-    g = knn_graph(emb, k=3, bits=SIGN_BITS)
+    g = knn_graph(
+        emb,
+        k=3,
+        bits=bits,
+        rotations=rotations,
+        n_hint=n_hint,
+        dim_hint=dim_hint,
+    )
     dens = g.groupBy(F.col("query_id").alias("doc_id")).agg(
         F.round(F.sum("cos_sim"), 6).alias("density")
     )
@@ -391,18 +410,11 @@ def density_penalized_topk(docs: DataFrame, emb: DataFrame, k: int = 100) -> Dat
 def _density_penalized_oracle(k: int) -> str:
     from data_pipeline_agent_spark.plans.queries_dedup import _quality_sql
     from data_pipeline_agent_spark.plans.queries_similarity import (
-        _sql_bucket,
-        _sql_cos,
+        _SQL_ADAPTIVE_GRAPH_CTES,
     )
 
     return f"""
-        WITH b AS (SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bkt
-                   FROM embeddings),
-        scored AS (
-          SELECT a.vec_id AS query_id, e.vec_id AS neighbor_id,
-                 round({_sql_cos('a.embedding', 'e.embedding')}, 6) AS cos_sim
-          FROM b a JOIN b e ON e.bkt = a.bkt AND e.vec_id != a.vec_id
-        ),
+        WITH {_SQL_ADAPTIVE_GRAPH_CTES},
         knn AS (
           SELECT query_id, cos_sim,
                  row_number() OVER (PARTITION BY query_id
@@ -414,7 +426,7 @@ def _density_penalized_oracle(k: int) -> str:
           FROM knn GROUP BY query_id
         ),
         q AS ({_quality_sql()}),
-        p AS (
+        pw AS (
           SELECT q.qid AS doc_id, q.qs AS quality_score,
                  coalesce(d.density, 0.0) AS density,
                  greatest(q.qs, 0.0) / (1.0 + coalesce(d.density, 0.0))
@@ -425,7 +437,7 @@ def _density_penalized_oracle(k: int) -> str:
         SELECT doc_id, quality_score, density, pri,
                CAST(row_number() OVER (ORDER BY pri DESC, doc_id ASC)
                     AS BIGINT) AS rk
-        FROM p
+        FROM pw
         QUALIFY rk <= {k}
     """
 
@@ -435,16 +447,22 @@ def _density_penalized_oracle(k: int) -> str:
     oracle=_density_penalized_oracle(100),
     description="density-penalized exact-k sampling (r11): priority "
     "weight = quality / (1 + kNN-density) composed from sim_knn_density's "
-    "redundancy score and the Duffield/Lund/Thorup priority rule — dense "
-    "near-dup regions drain first, sparse novel docs survive; "
-    "deterministic md5 uniforms, bit-identical pick-set cross-engine, "
-    "exact-hash twin",
+    "redundancy score (SCALE-DEFAULT adaptive graph — the pinned-bits "
+    "variant measured 38x/decade before the r11 fix) and the "
+    "Duffield/Lund/Thorup priority rule — dense near-dup regions drain "
+    "first, sparse novel docs survive; deterministic md5 uniforms, "
+    "bit-identical pick-set cross-engine, exact-hash twin",
 )
 def sample_density_penalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_agent_spark.plans.queries_similarity import EMB_DIM
+    from data_pipeline_agent_spark.plans.registry import table_num_rows
+
     return density_penalized_topk(
         table(spark, sf_dir, "documents"),
         table(spark, sf_dir, "embeddings"),
         k=100,
+        n_hint=table_num_rows(sf_dir, "embeddings"),
+        dim_hint=EMB_DIM,
     )
 
 
@@ -500,4 +518,92 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "n_chars", "pri",
         F.row_number().over(w).cast("long").alias("rk"),
+    )
+
+
+_QUOTA_K = 10
+
+
+def _quota_oracle() -> str:
+    from data_pipeline_agent_spark.operators.text import EN_STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+        WITH f AS (
+          SELECT doc_id, source,
+                 length(text) AS n_chars,
+                 len({sql_tokens('text')}) AS n_tokens,
+                 length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct,
+                 len(list_filter({sql_tokens('text')},
+                     x -> lower(x) IN ({stops}))) AS n_stop
+          FROM documents
+        ),
+        qs AS (
+          SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 round(least(n_tokens / 100.0, 1.0)
+                       * (1.0 - abs(n_stop / greatest(n_tokens, 1) - 0.4)
+                              - punct / greatest(n_chars, 1)), 6)
+                   AS quality_score
+          FROM f
+        ),
+        t AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS src_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+          FROM qs GROUP BY 1
+        )
+        SELECT q.source,
+               CAST(row_number() OVER (
+                   PARTITION BY q.source
+                   ORDER BY q.quality_score DESC, q.doc_id
+               ) AS BIGINT) AS rk,
+               q.doc_id, q.quality_score, q.n_tokens,
+               t.src_docs, t.src_tokens
+        FROM qs q JOIN t ON q.source = t.source
+        QUALIFY rk <= {_QUOTA_K}
+    """
+
+
+@register(
+    "corpus_source_quota",
+    oracle=_quota_oracle(),
+    description=f"per-source quota curation (r11, the RefinedWeb/FineWeb "
+    f"domain-cap pass): keep the top-{_QUOTA_K} documents per source by "
+    "the composite quality score (rounded 6dp, doc_id tie-break — "
+    "deterministic cross-engine ordering), carrying each source's total "
+    "doc and token mass for the kept/dropped accounting; the "
+    "source-partitioned rank compiles to a WindowGroupLimit (map-side "
+    "top-k per partition BEFORE the shuffle — the plan gate asserts it), "
+    "so a hot domain never funnels its full n/k rows through one reducer",
+)
+def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absolute per-domain caps are how production web corpora bound any
+    single site's influence (RefinedWeb §'deduplication', FineWeb's url
+    dedup + quota pass — public). Quota rank must be deterministic: the
+    score is the 6dp-ROUNDED composite (ties broken by doc_id), so Spark
+    and DuckDB order identically — an unrounded float order could flip
+    on a ulp between engines. Totals ride a 20-row broadcast join, never
+    a count(*) window (which would have no group limit and put n/k rows
+    on a reducer)."""
+    from pyspark.sql import Window
+
+    from data_pipeline_agent_spark.operators.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    q = quality_score(docs, keep=("source",)).select(
+        "doc_id", "source", "n_tokens", "quality_score"
+    )
+    totals = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("src_docs"),
+        F.sum("n_tokens").cast("long").alias("src_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    kept = (
+        q.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _QUOTA_K)
+    )
+    return kept.join(F.broadcast(totals), "source").select(
+        "source", "rk", "doc_id", "quality_score", "n_tokens",
+        "src_docs", "src_tokens",
     )

@@ -25,6 +25,48 @@ def _sql_bucket(v: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+# The SCALE-DEFAULT graph chain, shared by sim_knn_graph_adaptive,
+# sim_knn_density, and sample_density_penalized's twins: adaptive bucket
+# bits computed from the corpus size INSIDE the SQL (the same
+# greatest(4, least(16, ceil(log2(n/500+1)))) formula as
+# operators/similarity.adaptive_bits), rotation count from bits and the
+# embedding dim, all rotations unioned with cross-rotation DISTINCT.
+# Final CTE: scored (query_id, neighbor_id, cos_sim).
+_SQL_ADAPTIVE_GRAPH_CTES = """
+        p0 AS (
+          SELECT greatest(4, least(16,
+                 CAST(ceil(log2(count(*) / 500.0 + 1)) AS INT))) AS bits,
+                 min(len(embedding)) AS dim
+          FROM embeddings
+        ),
+        p AS (
+          SELECT bits,
+                 greatest(1, least(8, CAST(dim // bits AS INT))) AS nrot
+          FROM p0
+        ),
+        rots AS (SELECT unnest(generate_series(0, nrot - 1)) AS rot FROM p),
+        b AS (
+          SELECT e.vec_id, e.embedding, rots.rot,
+                 CAST(list_sum(list_transform(generate_series(0, p.bits - 1),
+                      i -> CASE WHEN e.embedding[rots.rot * p.bits + i + 1] > 0
+                                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+                      AS BIGINT) AS bkt
+          FROM embeddings e, p, rots
+        ),
+        scored AS (
+          SELECT DISTINCT a.vec_id AS query_id, e2.vec_id AS neighbor_id,
+                 round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(e2.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                 AS cos_sim
+          FROM b a JOIN b e2
+            ON e2.rot = a.rot AND e2.bkt = a.bkt AND e2.vec_id != a.vec_id
+        )"""
+
+
 @register(
     "sim_bruteforce_topk",
     oracle=f"""
@@ -84,13 +126,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_knn_density",
     oracle=f"""
-        WITH b AS (SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bkt
-                   FROM embeddings),
-        scored AS (
-          SELECT a.vec_id AS query_id, e.vec_id AS neighbor_id,
-                 round({_sql_cos('a.embedding', 'e.embedding')}, 6) AS cos_sim
-          FROM b a JOIN b e ON e.bkt = a.bkt AND e.vec_id != a.vec_id
-        ),
+        WITH {_SQL_ADAPTIVE_GRAPH_CTES},
         knn AS (
           SELECT query_id, cos_sim,
                  row_number() OVER (PARTITION BY query_id
@@ -104,21 +140,34 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM knn GROUP BY query_id
     """,
     description="kNN-density redundancy score: summed cosine to each "
-    "vector's top-3 bucket neighbors (composed on sim_knn_graph; the "
-    "mean is sum/n_neighbors) — the per-document redundancy/novelty "
-    "signal used for density-aware curation (downweight dense near-dup "
-    "regions, keep sparse novel ones); one extra groupBy over the kNN "
-    "edge list. The hash-compared aggregate is the SUM, not the mean: "
-    "summed 6-dp values have an exact 6-dp decimal total, so an "
-    "order-of-addition ulp cannot cross a rounding boundary, where a "
-    "mean of two 6-dp values lands exactly on a 7th-digit midpoint half "
-    "the time and Spark/DuckDB resolve the tie differently (observed at "
-    "sf0.001: 0.1082715 rounded 0.108271 vs 0.108272)",
+    "vector's top-3 neighbors in the SCALE-DEFAULT adaptive graph "
+    "(adaptive bits + rotations computed inside the oracle SQL — r11: "
+    "the pinned-SIGN_BITS graph this composed on before goes "
+    "QUADRATIC as buckets saturate, measured 38x/decade at the 100x "
+    "tier; the mean is sum/n_neighbors) — the per-document "
+    "redundancy/novelty signal used for density-aware curation "
+    "(downweight dense near-dup regions, keep sparse novel ones); one "
+    "extra groupBy over the kNN edge list. The hash-compared aggregate "
+    "is the SUM, not the mean: summed 6-dp values have an exact 6-dp "
+    "decimal total, so an order-of-addition ulp cannot cross a rounding "
+    "boundary, where a mean of two 6-dp values lands exactly on a "
+    "7th-digit midpoint half the time and Spark/DuckDB resolve the tie "
+    "differently (observed at sf0.001: 0.1082715 rounded 0.108271 vs "
+    "0.108272)",
 )
 def sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    g = S.knn_graph(table(spark, sf_dir, "embeddings"), k=3, bits=SIGN_BITS)
+    from data_pipeline_agent_spark.plans.registry import table_num_rows
+
+    g = S.knn_graph(
+        table(spark, sf_dir, "embeddings"),
+        k=3,
+        bits=None,
+        rotations=None,
+        n_hint=table_num_rows(sf_dir, "embeddings"),
+        dim_hint=EMB_DIM,
+    )
     return g.groupBy(F.col("query_id").cast("long").alias("vec_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_neighbors"),
         F.round(F.sum("cos_sim"), 6).alias("sum_neighbor_cos"),
@@ -131,39 +180,8 @@ def sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_knn_graph_adaptive",
-    oracle="""
-        WITH p0 AS (
-          SELECT greatest(4, least(16,
-                 CAST(ceil(log2(count(*) / 500.0 + 1)) AS INT))) AS bits,
-                 min(len(embedding)) AS dim
-          FROM embeddings
-        ),
-        p AS (
-          SELECT bits,
-                 greatest(1, least(8, CAST(dim // bits AS INT))) AS nrot
-          FROM p0
-        ),
-        rots AS (SELECT unnest(generate_series(0, nrot - 1)) AS rot FROM p),
-        b AS (
-          SELECT e.vec_id, e.embedding, rots.rot,
-                 CAST(list_sum(list_transform(generate_series(0, p.bits - 1),
-                      i -> CASE WHEN e.embedding[rots.rot * p.bits + i + 1] > 0
-                                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
-                      AS BIGINT) AS bkt
-          FROM embeddings e, p, rots
-        ),
-        scored AS (
-          SELECT DISTINCT a.vec_id AS query_id, e2.vec_id AS neighbor_id,
-                 round(list_sum(list_transform(generate_series(1, len(a.embedding)),
-                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
-                       / (sqrt(list_sum(list_transform(a.embedding,
-                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                          * sqrt(list_sum(list_transform(e2.embedding,
-                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
-                 AS cos_sim
-          FROM b a JOIN b e2
-            ON e2.rot = a.rot AND e2.bkt = a.bkt AND e2.vec_id != a.vec_id
-        )
+    oracle=f"""
+        WITH {_SQL_ADAPTIVE_GRAPH_CTES}
         SELECT query_id, neighbor_id, cos_sim,
                CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk

@@ -8,7 +8,11 @@ from pyspark.sql import functions as F
 from data_pipeline_agent_spark.operators import text as T
 from data_pipeline_agent_spark.operators.text import BPE_REGEX, EN_STOPWORDS, LANG_MARKERS
 from data_pipeline_agent_spark.plans.registry import register, table
-from data_pipeline_agent_spark.plans.sql_text import sql_h32, sql_tokens
+from data_pipeline_agent_spark.plans.sql_text import (
+    sql_h32,
+    sql_ngrams,
+    sql_tokens,
+)
 
 
 def _in_list(items: list[str]) -> str:
@@ -276,17 +280,19 @@ def _bpe_fertility_oracle(k_merges: int) -> str:
     )
 
 
-def _bpe_encode_oracle(k_merges: int) -> str:
-    """DuckDB twin of operators/bpe.bpe_encode_unseen: re-learn the K
-    rules via the shared training chain (_bpe_cte_chain), then replay
-    the encode loop — K steps, each joining every still-unfinished word
-    to its LOWEST-RANK applicable rule and applying it via the same
-    gaps-and-islands greedy-merge formulation the training twin uses
-    (two independent implementations of the greedy scan that must agree
-    rule-for-rule for the byte-exact ``seg`` hash to match). Unseen
-    words come from part.p_name — a vocabulary disjoint from the
+def _bpe_encode_chain(k_merges: int) -> list[str]:
+    """The encode-replay CTE parts shared by _bpe_encode_oracle and the
+    r11 pack twin: given the training chain's wf/m1..m{k} CTEs already
+    in scope, replay the frozen-rule encode loop over part.p_name's
+    out-of-vocabulary words — K steps, each joining every
+    still-unfinished word to its LOWEST-RANK applicable rule and
+    applying it via the same gaps-and-islands greedy-merge formulation
+    the training twin uses (two independent implementations of the
+    greedy scan that must agree rule-for-rule for byte-exact hashes).
+    Unseen words come from part.p_name — a vocabulary disjoint from the
     documents corpus except 'small' (the anti-join against wf drops
-    it), standing in for the new text a frozen tokenizer meets daily."""
+    it), standing in for the new text a frozen tokenizer meets daily.
+    Final CTE: enc{k} (word, syms) for every unseen word."""
     from data_pipeline_agent_spark.operators.bpe import BPE_WORD_RE
 
     rules_union = " UNION ALL ".join(
@@ -345,10 +351,18 @@ def _bpe_encode_oracle(k_merges: int) -> str:
               FROM oo{k} GROUP BY word
             )""",
         ]
+    return parts
+
+
+def _bpe_encode_oracle(k_merges: int) -> str:
+    """DuckDB twin of operators/bpe.bpe_encode_unseen: re-learn the K
+    rules via the shared training chain (_bpe_cte_chain), then replay
+    the frozen-rule encode loop over part.p_name's unseen words (the
+    shared _bpe_encode_chain)."""
     return (
         _bpe_cte_chain(k_merges)
         + ",\n"
-        + ",\n".join(parts)
+        + ",\n".join(_bpe_encode_chain(k_merges))
         + f"""
         SELECT word, CAST(len(syms) AS BIGINT) AS n_subtokens,
                array_to_string(syms, ' ') AS seg
@@ -473,6 +487,170 @@ def text_bpe_encode_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_text_col="p_name",
         batch=4,  # proven sequential-equivalent; the twin replays per-merge
     )
+
+
+_BPE_PACK_BUDGET = 32
+
+
+def _bpe_pack_oracle(k_merges: int, budget: int) -> str:
+    """Twin of the r11 tokenizer-grain packing composition: the shared
+    training chain (wf/v{k}/m1..m{k}) + the shared encode replay
+    (enc{k}) produce a disjoint word -> subtoken-count cover (seen words
+    from the trained segmentation, unseen from the frozen-rule replay);
+    part.p_name records sum their word occurrences through that map,
+    then the pack_sequences_by_source cumulative-quotient rule assigns
+    each part (p_partkey order, per p_brand) to its training bin. All
+    integer arithmetic — exact hash."""
+    from data_pipeline_agent_spark.operators.bpe import BPE_WORD_RE
+
+    k = k_merges
+    pack_parts = [
+        f"""wmap AS (
+          SELECT word, len(syms) AS nsub FROM v{k}
+          UNION ALL
+          SELECT word, len(syms) AS nsub FROM enc{k}
+        )""",
+        f"""pocc AS (
+          SELECT p_partkey, p_brand, word, count(*) AS cnt FROM (
+            SELECT p_partkey, p_brand,
+                   lower(unnest(string_split(p_name, ' '))) AS word
+            FROM part
+          ) WHERE regexp_matches(word, '{BPE_WORD_RE}')
+          GROUP BY 1, 2, 3
+        )""",
+        """pr AS (
+          SELECT o.p_partkey, o.p_brand,
+                 sum(o.cnt) AS n_words,
+                 sum(o.cnt * w.nsub) AS n_bpe
+          FROM pocc o JOIN wmap w USING (word)
+          GROUP BY 1, 2
+        )""",
+        f"""pb AS (
+          SELECT p_brand, p_partkey, n_words, n_bpe,
+                 CAST(floor(coalesce(sum(n_bpe) OVER (
+                     PARTITION BY p_brand ORDER BY p_partkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) / {budget}) AS BIGINT) AS bin
+          FROM pr
+        )""",
+    ]
+    return (
+        _bpe_cte_chain(k)
+        + ",\n"
+        + ",\n".join(_bpe_encode_chain(k))
+        + ",\n"
+        + ",\n".join(pack_parts)
+        + """
+        SELECT p_brand, bin,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(n_words) AS BIGINT) AS total_words,
+               CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+               min(p_partkey) AS first_part,
+               max(p_partkey) AS last_part
+        FROM pb GROUP BY p_brand, bin
+    """
+    )
+
+
+@register(
+    "text_bpe_pack",
+    oracle=_bpe_pack_oracle(_BPE_ENCODE_MERGES, _BPE_PACK_BUDGET),
+    description="tokenizer-grain sequence packing (r11): the full daily "
+    "apply path in one query — a 16-rule BPE frozen on the documents "
+    "corpus tokenizes every part name (seen words by vocab LOOKUP, "
+    "unseen by the frozen-rule fold, both at distinct-word grain; one "
+    "broadcast word->count map back onto the records), and parts pack "
+    f"into {_BPE_PACK_BUDGET}-token training bins per mfgr by the "
+    "order-parallel cumulative-quotient rule of pack_sequences_by_source "
+    "— packing at the grain the training run actually consumes, not "
+    "whitespace counts; exact-hash twin replays train + encode + pack",
+    materializes_on_build=True,
+)
+def text_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_agent_spark.operators.bpe import bpe_tokenize_records
+    from data_pipeline_agent_spark.operators.ranking import (
+        grouped_ordered_prefix,
+    )
+    from data_pipeline_agent_spark.session import fan_out
+
+    counted = bpe_tokenize_records(
+        fan_out(table(spark, sf_dir, "documents")),
+        table(spark, sf_dir, "part"),
+        n_merges=_BPE_ENCODE_MERGES,
+        rec_text_col="p_name",
+        rec_id_cols=("p_partkey", "p_brand"),
+        batch=4,  # proven sequential-equivalent; the twin replays per-merge
+    )
+    pref = grouped_ordered_prefix(
+        counted,
+        ["p_brand"],
+        [F.asc("p_partkey")],
+        value_col="n_bpe_tokens",
+        cum_col="__cum",
+    )
+    binned = pref.withColumn(
+        "bin",
+        F.floor(
+            (F.col("__cum") - F.col("n_bpe_tokens")) / _BPE_PACK_BUDGET
+        ).cast("long"),
+    )
+    return binned.groupBy("p_brand", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        F.min("p_partkey").alias("first_part"),
+        F.max("p_partkey").alias("last_part"),
+    )
+
+
+@register(
+    "text_heaps_ngram_growth",
+    oracle=f"""
+        WITH b AS (
+          SELECT doc_id, {sql_tokens('lower(text)')} AS toks FROM documents
+        ),
+        g AS (
+          SELECT doc_id, {sql_ngrams('toks')} AS grams FROM b
+        ),
+        bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM g),
+        s AS (
+          SELECT CAST(floor(((doc_id - lo) * 10) / (hi - lo + 1)) AS BIGINT)
+                   AS bucket,
+                 grams
+          FROM g, bounds
+        ),
+        tot AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(grams)) AS BIGINT) AS n_doc_grams
+          FROM s GROUP BY 1
+        ),
+        fo AS (
+          SELECT gram, min(bucket) AS bucket
+          FROM (SELECT bucket, unnest(grams) AS gram FROM s)
+          GROUP BY gram
+        ),
+        nw AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS new_grams
+          FROM fo GROUP BY 1
+        )
+        SELECT t.bucket, t.n_docs, t.n_doc_grams,
+               CAST(coalesce(nw.new_grams, 0) AS BIGINT) AS new_grams,
+               CAST(sum(coalesce(nw.new_grams, 0)) OVER (
+                   ORDER BY t.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS vocab_size
+        FROM tot t LEFT JOIN nw ON nw.bucket = t.bucket
+    """,
+    description="Heaps'-law trigram vocabulary growth (r11): per corpus "
+    "id-range decile, document and per-doc-distinct trigram counts, "
+    "FIRST-occurrence trigram count, and the cumulative trigram "
+    "vocabulary — the growth curve that sizes n-gram LM tables, "
+    "contamination indexes, and shingle-dedup state before a 100 TB "
+    "pass; first-occurrence = min(bucket) per gram (map-side "
+    "combinable), windows only over the 10-row decile frame",
+)
+def text_heaps_ngram_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.ngram_vocab_growth(table(spark, sf_dir, "documents"))
 
 
 @register(

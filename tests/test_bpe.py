@@ -468,3 +468,73 @@ def test_bpe_approx_contract_registry(spark):
     assert [(r["merge_rank"], r["token"]) for r in sorted(out, key=lambda r: r["merge_rank"])] == [
         (r["merge_rank"], r["token"]) for r in seq
     ]
+
+
+# --- r11: tokenizer-grain record counting + packing --------------------------
+
+
+def test_bpe_tokenize_records_mixed_seen_unseen(spark):
+    """Seen words resolve by vocab lookup, unseen by the frozen-rule
+    fold — both must equal the pure-Python encode reference (for SEEN
+    words the trained segmentation equals rank-order greedy encode, the
+    classic BPE train/apply equivalence), summed per record over word
+    OCCURRENCES; records with no in-scope words are absent."""
+    import re
+
+    from data_pipeline_agent_spark.operators.bpe import bpe_tokenize_records
+
+    corpus = "abab abab abab cd cd xy"
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    recs = spark.createDataFrame(
+        [
+            (10, "abab xaba cd"),     # seen + unseen + seen
+            (11, "qq abab abab"),     # unseen + repeated seen
+            (12, "!! ??"),            # nothing in scope -> absent
+            (13, "ababab"),           # unseen, rules cascade
+        ],
+        "rid long, text string",
+    )
+    n = 4
+    rules = [
+        (r["merge_rank"], r["lhs"], r["rhs"])
+        for r in bpe_train(docs, n_merges=n).collect()
+    ]
+    got = {
+        r["rid"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_tokenize_records(
+            docs, recs, n_merges=n, rec_id_cols=("rid",)
+        ).collect()
+    }
+    want = {}
+    for rid, text in [(10, "abab xaba cd"), (11, "qq abab abab"), (13, "ababab")]:
+        words = [
+            w for w in text.lower().split() if re.fullmatch("[a-z0-9]+", w)
+        ]
+        want[rid] = (
+            len(words),
+            sum(len(_ref_encode(w, rules)) for w in words),
+        )
+    assert got == want, f"{got} != {want}"
+
+
+def test_bpe_pack_registry_nonvacuous(spark):
+    """The registered pack query must genuinely pack (some mfgr spans
+    >1 bin), exercise subword splitting (bpe tokens strictly exceed
+    words — part vocabulary is mostly out-of-vocabulary for a
+    documents-trained tokenizer), and keep bins contiguous in partkey
+    (first_part of bin b+1 > last_part of bin b)."""
+    from data_pipeline_agent_spark.plans import REGISTRY
+
+    rows = REGISTRY["text_bpe_pack"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "empty pack output"
+    by_mfgr: dict = {}
+    for r in rows:
+        by_mfgr.setdefault(r["p_brand"], []).append(r)
+    assert any(len(v) > 1 for v in by_mfgr.values()), "nothing packed"
+    assert all(r["total_bpe_tokens"] > r["total_words"] for r in rows)
+    for v in by_mfgr.values():
+        v.sort(key=lambda r: r["bin"])
+        for a, b in zip(v, v[1:]):
+            assert b["first_part"] > a["last_part"]

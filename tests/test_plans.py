@@ -310,6 +310,7 @@ _NESTED_LOOP_OK = {
     "decile_customer_acctbal",  # 1-row cutoffs frame
     "sample_stratified_deterministic",
     "text_unigram_surprisal",  # 1-row total-tokens frame
+    "text_heaps_ngram_growth",  # 1-row id-bounds frame (r11)
     "mixture_temperature_weights",  # 1-row normalizer frame
     "sim_bruteforce_topk",  # anchors joined on != (broadcast NL by design)
     "sim_quantized_topk",  # same anchor-broadcast shape
@@ -354,6 +355,8 @@ _UNPARTITIONED_WINDOW_OK = {
     # TakeOrdered limit — 100-row input by construction (r9)
     "sample_density_penalized",  # same shape: rank window above the
     # top-100 TakeOrdered limit (r11)
+    "text_heaps_ngram_growth",  # running sum over the 10-row decile
+    # frame (bounded by construction: bucket = floor(id-range * 10))
 }
 
 

@@ -151,8 +151,8 @@ def test_density_penalized_sampler_drains_dense_regions(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
 
-    pen = density_penalized_topk(docs, emb, k=10).collect()
-    base = density_penalized_topk(docs, empty, k=10).collect()
+    pen = density_penalized_topk(docs, emb, k=10, bits=8, rotations=1).collect()
+    base = density_penalized_topk(docs, empty, k=10, bits=8, rotations=1).collect()
     dens = {r["doc_id"]: r["density"] for r in pen}
     assert all(r["density"] == 0.0 for r in base)
     for d, v in dens.items():
@@ -166,7 +166,7 @@ def test_density_penalized_sampler_drains_dense_regions(spark):
     # the penalty is exactly the composition: pri_pen = pri_base/(1+density)
     base_all = {
         r["doc_id"]: r["pri"]
-        for r in density_penalized_topk(docs, empty, k=40).collect()
+        for r in density_penalized_topk(docs, empty, k=40, bits=8, rotations=1).collect()
     }
     for r in pen:
         expect = base_all[r["doc_id"]] / (1.0 + r["density"])

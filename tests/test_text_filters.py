@@ -56,3 +56,94 @@ def test_pii_redact_fixture(spark):
     )
     r2 = pii_redact(df2).collect()[0]
     assert r2["n_url"] == 1 and r2["n_email"] == 0
+
+
+def test_heaps_ngram_growth_fixture(spark):
+    """Known first-occurrence structure: doc ids 0..9 with buckets=10
+    put each doc in its own slice; trigram novelty and the cumulative
+    vocab must match hand counts, including a doc too short for any
+    trigram and a doc repeating earlier grams only."""
+    from data_pipeline_agent_spark.operators.text import ngram_vocab_growth
+
+    rows = [
+        (0, "a b c d"),    # grams: "a b c", "b c d"      -> 2 new
+        (1, "a b c"),      # repeat only                  -> 0 new
+        (2, "x y"),        # too short                    -> 0 new
+        (3, "b c d e"),    # "b c d" old, "c d e" new     -> 1 new
+        (4, "a b c d"),    # all old                      -> 0 new
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["bucket"]: r
+        for r in ngram_vocab_growth(docs, buckets=5).collect()
+    }
+    # ids 0..4, lo=0 hi=4 -> bucket = floor(id * 5 / 5) = id
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert [out[b]["new_grams"] for b in range(5)] == [2, 0, 0, 1, 0]
+    assert [out[b]["vocab_size"] for b in range(5)] == [2, 2, 2, 3, 3]
+    assert [out[b]["n_docs"] for b in range(5)] == [1] * 5
+    assert [out[b]["n_doc_grams"] for b in range(5)] == [2, 1, 0, 2, 2]
+
+
+def test_heaps_growth_sparse_ids_and_bucket_bounds(spark):
+    """Non-dense ids: bucket math must use the id RANGE (lo..hi), keep
+    every bucket in [0, buckets), and tolerate empty slices (absent
+    rows, not zero rows)."""
+    from data_pipeline_agent_spark.operators.text import ngram_vocab_growth
+
+    docs = spark.createDataFrame(
+        [(100, "a b c"), (105, "c b a"), (119, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {r["bucket"]: r for r in ngram_vocab_growth(docs, buckets=4).collect()}
+    # range 100..119 width 20: 100 -> 0, 105 -> 1, 119 -> 3
+    assert set(out) == {0, 1, 3}
+    assert out[0]["new_grams"] == 1 and out[1]["new_grams"] == 1
+    assert out[3]["new_grams"] == 0
+    assert out[3]["vocab_size"] == 2
+
+
+def test_source_quota_keeps_topk_and_totals(spark):
+    """Quota semantics on a hand corpus: top-K per source by (rounded
+    score desc, doc_id asc), with per-source doc/token totals carried on
+    every kept row."""
+    from data_pipeline_agent_spark.plans.queries_corpus import _QUOTA_K
+
+    # build a corpus where quality is driven by stopword ratio: more
+    # 'the' hits nearer the 0.4-centered optimum score higher
+    rows = []
+    for i in range(_QUOTA_K + 5):
+        # source s0: doc i has i leading stopwords out of 20 tokens
+        text = " ".join(["the"] * i + ["tok"] * (20 - i))
+        rows.append((i, text, "s0"))
+    rows.append((100, "the tok tok", "s1"))  # small source: kept whole
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    from data_pipeline_agent_spark.operators.text import quality_score
+
+    q = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_score(docs, keep=("source",)).collect()
+    }
+    want_s0 = sorted(
+        (i for i in range(_QUOTA_K + 5)), key=lambda i: (-q[i], i)
+    )[:_QUOTA_K]
+
+    # call through the registry to exercise the registered plan
+    from data_pipeline_agent_spark.plans import REGISTRY
+
+    spark_fn = REGISTRY["corpus_source_quota"].spark
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        got = spark_fn(spark, d).collect()
+    s0 = sorted(
+        (r for r in got if r["source"] == "s0"), key=lambda r: r["rk"]
+    )
+    assert [r["doc_id"] for r in s0] == want_s0
+    assert all(r["src_docs"] == _QUOTA_K + 5 for r in s0)
+    s1 = [r for r in got if r["source"] == "s1"]
+    assert len(s1) == 1 and s1[0]["rk"] == 1 and s1[0]["src_docs"] == 1
+    assert s1[0]["src_tokens"] == 3
