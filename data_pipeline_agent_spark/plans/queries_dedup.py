@@ -1225,3 +1225,73 @@ def corpus_split_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_size",
         )
     )
+
+
+def _neardup_arrivals_oracle(min_agree: int) -> str:
+    agree = " + ".join(
+        f"(CASE WHEN a.mh_{j} = c.mh_{j} THEN 1 ELSE 0 END)"
+        for j in range(MINHASH_K)
+    )
+    return f"""
+        WITH {_SHINGLES_CTE},
+        {_minhash_cte()},
+        bands AS ({_bands_sql()}),
+        bex AS (
+          SELECT band, key, min(id) AS exemplar_id
+          FROM bands GROUP BY 1, 2
+        ),
+        pr AS (
+          SELECT b.id AS doc_id, e.exemplar_id, b.band
+          FROM bands b
+          JOIN bex e ON b.band = e.band AND b.key = e.key
+                    AND b.id != e.exemplar_id
+        ),
+        ag AS (
+          SELECT p.doc_id, p.exemplar_id, p.band, ({agree}) AS agree
+          FROM pr p
+          JOIN sig a ON a.id = p.doc_id
+          JOIN sig c ON c.id = p.exemplar_id
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(exemplar_id AS BIGINT) AS exemplar_id,
+               CAST(band AS BIGINT) AS band,
+               CAST(agree AS BIGINT) AS n_sig_agree,
+               round(agree / {MINHASH_K}.0, 6) AS est_jaccard
+        FROM ag WHERE agree >= {min_agree}
+    """
+
+
+from data_pipeline_agent_spark.streaming.neardup import MIN_SIG_AGREE
+
+
+@register(
+    "dedup_neardup_arrivals",
+    oracle=_neardup_arrivals_oracle(MIN_SIG_AGREE),
+    description="streaming near-dup, batch twin (r11): per LSH (band, "
+    "key) bucket the first ARRIVAL (= min doc_id under the synthesized "
+    "arrival order) is the exemplar every later arrival is verified "
+    f"against — signature agreement >= {MIN_SIG_AGREE}/12 components "
+    "(the shared band implies 4) emits the pair with the standard "
+    "agree/k Jaccard estimate; the streaming operator "
+    "(streaming/neardup.py, applyInPandasWithState with one exemplar "
+    "per occupied bucket and event-time eviction) is pinned "
+    "row-for-row against this frame in tests",
+)
+def dedup_neardup_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the r11 STREAMING MinHash near-dup: arrival order =
+    doc_id (ts column synthesized from the id), so the per-bucket
+    first-arrival exemplar the stream keeps in state is exactly
+    min(doc_id) here; tests/test_streaming.py pins the streaming
+    operator row-for-row against this frame on a two-micro-batch
+    replay."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.session import fan_out
+    from data_pipeline_agent_spark.streaming.neardup import (
+        minhash_neardup_batch,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.timestamp_seconds(F.col("doc_id")).alias("ts")
+    )
+    return minhash_neardup_batch(fan_out(docs))

@@ -571,6 +571,15 @@ _100X_QUERIES = [
     "text_bpe_merges_approx",
     "corpus_split_budget_dual",
     "sample_density_penalized",
+    # r11 second batch: the tokenizer-grain pack (train + frozen-rule
+    # encode + broadcast map-back + prefix-sum binning — the BPE apply
+    # path at record grain), the per-source quota (WindowGroupLimit
+    # map-side top-k — the probe checks the limit actually bounds the
+    # sort at 100x), and the Heaps'-law growth curve (two corpus scans
+    # + a gram-domain min aggregate)
+    "text_bpe_pack",
+    "corpus_source_quota",
+    "text_heaps_ngram_growth",
 ]
 _100X_TABLES = {
     "customer",
