@@ -408,14 +408,37 @@ def ngram_vocab_growth(
     ship as a 1-row broadcast (the decile_customer_acctbal pattern).
     Slice = floor((doc_id - lo) * buckets / (hi - lo + 1)) — integer
     arithmetic, exact, never equal to ``buckets``.
+
+    First occurrence is tracked over the h32-HASHED gram space (the
+    dedup stack's "hash every shingle once" convention): exploding the
+    transform-built gram STRINGS into rows measured ~20x slower than
+    exploding their h32 longs at sf0.1 (the per-row string explode is
+    the pathology, not the hashing — the hash path builds the same
+    strings inside md5), and both engines hash identically so the
+    oracle stays exact. The documented price is birthday collisions
+    undercounting the vocab by ~m^2/2^33 (~850 grams = 0.03% at the
+    sf10 tile's 2.7M distinct trigrams) — the standard trade for
+    fingerprinted vocabulary estimation.
     """
     from pyspark.sql import Window
 
-    from data_pipeline_agent_spark.functions.text_hash import word_ngrams
+    from data_pipeline_agent_spark.functions.text_hash import (
+        h32_array,
+        word_ngrams,
+    )
 
-    staged = fan_out(df).select(
-        F.col(id_col).alias("__id"),
-        word_ngrams(tokens(F.lower(F.col(text_col))), n).alias("__grams"),
+    # token array staged as its own projection attribute BEFORE the
+    # n-gram transform references it 3x per gram position — passing the
+    # raw split() into word_ngrams embeds a COPY of the split subtree
+    # per element_at (the shingles() trap; measured 18 s -> ~4 s at
+    # sf0.1 for this operator)
+    staged = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            tokens(F.lower(F.col(text_col))).alias("__toks"),
+        )
+        .select("__id", word_ngrams(F.col("__toks"), n).alias("__grams"))
     )
     bounds = staged.agg(
         F.min("__id").alias("__lo"), F.max("__id").alias("__hi")
@@ -434,8 +457,11 @@ def ngram_vocab_growth(
         F.sum(F.size("__grams")).cast("long").alias("n_doc_grams"),
     )
     news = (
-        sliced.select(F.col("bucket"), F.explode("__grams").alias("__g"))
-        .groupBy("__g")
+        sliced.select(
+            F.col("bucket"),
+            F.explode(h32_array(F.col("__grams"))).alias("__gh"),
+        )
+        .groupBy("__gh")
         .agg(F.min("bucket").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("new_grams"))

@@ -625,9 +625,10 @@ def text_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM s GROUP BY 1
         ),
         fo AS (
-          SELECT gram, min(bucket) AS bucket
-          FROM (SELECT bucket, unnest(grams) AS gram FROM s)
-          GROUP BY gram
+          SELECT gh, min(bucket) AS bucket
+          FROM (SELECT bucket, {sql_h32('gram')} AS gh
+                FROM (SELECT bucket, unnest(grams) AS gram FROM s))
+          GROUP BY gh
         ),
         nw AS (
           SELECT bucket, CAST(count(*) AS BIGINT) AS new_grams
@@ -646,8 +647,11 @@ def text_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FIRST-occurrence trigram count, and the cumulative trigram "
     "vocabulary — the growth curve that sizes n-gram LM tables, "
     "contamination indexes, and shingle-dedup state before a 100 TB "
-    "pass; first-occurrence = min(bucket) per gram (map-side "
-    "combinable), windows only over the 10-row decile frame",
+    "pass; first-occurrence = min(bucket) per h32-HASHED gram (the "
+    "dedup stack's hash-every-shingle-once convention — exploding the "
+    "gram strings into rows measured ~20x slower than their h32 longs; "
+    "documented birthday-collision undercount ~0.03% at 2.7M grams; "
+    "map-side combinable), windows only over the 10-row decile frame",
 )
 def text_heaps_ngram_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.ngram_vocab_growth(table(spark, sf_dir, "documents"))
