@@ -98,6 +98,22 @@ SHOWCASE = {
     # frame's plan is a driver-local literal / checkpointed lookup — the
     # interesting shapes are the per-iteration jobs, documented in
     # operators/bpe.py and exercised by the 100x tier row.
+    # (text_bpe_pack shares that fate: its tokenizer side localCheckpoints.)
+    "corpus_source_quota": "r11 domain cap: the source-partitioned rank "
+    "compiles to a WindowGroupLimit (map-side top-k per partition BEFORE "
+    "the shuffle — the property the bounded-domain plan gate asserts); "
+    "per-source totals enter via a broadcast join of a 20-row aggregate, "
+    "never a count window",
+    "dedup_neardup_arrivals": "r11 streaming near-dup batch twin: ONE "
+    "corpus scan builds sig + band keys (single Generate over the "
+    "band-struct array — a per-band union would re-evaluate the md5 "
+    "signature per leg), exemplar election + signature agreement ride "
+    "one struct-min window over the (band, key) bucket exchange — zero "
+    "Join nodes",
+    "text_heaps_ngram_growth": "r11 vocab growth: first-occurrence as a "
+    "map-side-combinable min over h32-HASHED grams (exploding the gram "
+    "strings measured ~20x slower), id bounds as a 1-row broadcast, "
+    "windows only over the 10-row decile frame",
 }
 
 
