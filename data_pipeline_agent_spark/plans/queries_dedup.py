@@ -1041,6 +1041,9 @@ def corpus_split_budget_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def cohesion(pairs: DataFrame, name: str) -> DataFrame:
+        # LEFT joins (r11 advice): an edge endpoint with no documents
+        # row violates the vec_id ⊆ doc_id convention and must fail the
+        # contract loudly, not silently drop out of an inner join.
         spl = ranked.select("doc_id", "split")
         j = (
             pairs.join(
@@ -1048,18 +1051,21 @@ def corpus_split_budget_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
                 ),
                 "id_a",
+                "left",
             )
             .join(
                 spl.select(
                     F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
                 ),
                 "id_b",
+                "left",
             )
         )
+        covered = F.col("sa").isNotNull() & F.col("sb").isNotNull()
         return j.agg(
-            F.coalesce(F.every(F.col("sa") == F.col("sb")), F.lit(True)).alias(
-                name
-            )
+            F.coalesce(
+                F.every(covered & (F.col("sa") == F.col("sb"))), F.lit(True)
+            ).alias(name)
         )
 
     ok_lex = cohesion(lex, "lexical_cohesion_ok")

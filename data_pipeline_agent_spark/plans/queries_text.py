@@ -560,7 +560,7 @@ def _bpe_pack_oracle(k_merges: int, budget: int) -> str:
     "corpus tokenizes every part name (seen words by vocab LOOKUP, "
     "unseen by the frozen-rule fold, both at distinct-word grain; one "
     "broadcast word->count map back onto the records), and parts pack "
-    f"into {_BPE_PACK_BUDGET}-token training bins per mfgr by the "
+    f"into {_BPE_PACK_BUDGET}-token training bins per brand by the "
     "order-parallel cumulative-quotient rule of pack_sequences_by_source "
     "— packing at the grain the training run actually consumes, not "
     "whitespace counts; exact-hash twin replays train + encode + pack",

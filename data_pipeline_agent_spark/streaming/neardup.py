@@ -167,7 +167,16 @@ def minhash_neardup_stream(
     the watermark + ``delay`` horizon evicts idle buckets, bounding
     state. Output is at BAND grain (a pair agreeing in several bands
     appears once per band — dedupe downstream if pair grain is needed;
-    the batch twin mirrors this grain exactly)."""
+    the batch twin mirrors this grain exactly).
+
+    Timezone safety: applyInPandasWithState hands the worker NAIVE
+    pandas timestamps rendered in ``spark.sql.session.timeZone``, while
+    ``GroupState`` watermark/timeout milliseconds are absolute epoch —
+    so the exemplar epoch is computed by localizing with the session tz
+    captured at plan-build time, not by assuming the session is UTC."""
+    session_tz = stream_df.sparkSession.conf.get(
+        "spark.sql.session.timeZone"
+    )
     banded = band_frame(stream_df.withWatermark("ts", delay))
     k = MINHASH_K
     horizon_ms = _interval_ms(delay)
@@ -194,7 +203,8 @@ def minhash_neardup_stream(
         for r in rows.itertuples():
             sig = [int(x) for x in r.sig]  # numpy -> plain ints (state ser)
             if ex_id is None:
-                ex_id, ex_sig, ex_ts = int(r.doc_id), sig, r.ts.timestamp()
+                ts = r.ts if r.ts.tzinfo else r.ts.tz_localize(session_tz)
+                ex_id, ex_sig, ex_ts = int(r.doc_id), sig, ts.timestamp()
                 continue
             agree = sum(1 for a, b in zip(sig, ex_sig) if a == b)
             if agree >= min_sig_agree:

@@ -518,7 +518,7 @@ def test_bpe_tokenize_records_mixed_seen_unseen(spark):
 
 
 def test_bpe_pack_registry_nonvacuous(spark):
-    """The registered pack query must genuinely pack (some mfgr spans
+    """The registered pack query must genuinely pack (some brand spans
     >1 bin), exercise subword splitting (bpe tokens strictly exceed
     words — part vocabulary is mostly out-of-vocabulary for a
     documents-trained tokenizer), and keep bins contiguous in partkey
@@ -529,12 +529,12 @@ def test_bpe_pack_registry_nonvacuous(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert rows, "empty pack output"
-    by_mfgr: dict = {}
+    by_brand: dict = {}
     for r in rows:
-        by_mfgr.setdefault(r["p_brand"], []).append(r)
-    assert any(len(v) > 1 for v in by_mfgr.values()), "nothing packed"
+        by_brand.setdefault(r["p_brand"], []).append(r)
+    assert any(len(v) > 1 for v in by_brand.values()), "nothing packed"
     assert all(r["total_bpe_tokens"] > r["total_words"] for r in rows)
-    for v in by_mfgr.values():
+    for v in by_brand.values():
         v.sort(key=lambda r: r["bin"])
         for a, b in zip(v, v[1:]):
             assert b["first_part"] > a["last_part"]
