@@ -30,6 +30,33 @@ SIGN_BITS = 8  # bucket key = sign pattern of the first 8 dims -> 256 buckets
 _KMEANS_CACHE: dict = {}
 
 
+def _render_doubles(value) -> str:
+    """SQL text for a (nested) array-of-double literal — see lit_doubles."""
+    if isinstance(value, (list, tuple)):
+        return "array(" + ",".join(_render_doubles(x) for x in value) + ")"
+    x = float(value)
+    if x != x or x in (float("inf"), float("-inf")):
+        return f"CAST('{x}' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def lit_doubles(value) -> Column:
+    """Nested array-of-double literal built as ONE parsed SQL expression.
+
+    ``F.lit`` on a Python (nested) list crosses py4j once PER ELEMENT:
+    the 80 ADC tables of ``ivfpq_topk`` at the registry dials (16x16
+    doubles each, ~20k elements) measured **11.6 s of pure driver-side
+    plan construction** — 3/4 of the whole query's wall clock (guide §5:
+    the driver should do almost no data work). Rendering the same values
+    as a SQL ``array(...)`` string and parsing it JVM-side is one py4j
+    round-trip (measured 0.04 s for the same 80 tables). ``repr`` is
+    Python's shortest-roundtrip rendering and ``Double.parseDouble``
+    reconstructs the identical IEEE-754 value, so the resulting literal
+    is bit-for-bit the one ``F.lit`` would have built (verified incl.
+    subnormals and scientific notation)."""
+    return F.expr(_render_doubles(value))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right double-accumulated dot product (deterministic)."""
     return F.aggregate(
@@ -785,23 +812,24 @@ def _pq_code_expr(vec_col: str, books: list[list[list[float]]], s: int) -> Colum
     order, matching the old left-fold bit-for-bit. No UDF, no shuffle —
     and still LINEAR in kc: a when/otherwise argmin fold would embed the
     running best under every comparison (~2^k nodes — measured as a
-    driver OOM at k=16 before this form)."""
+    driver OOM at k=16 before this form).
+
+    r12: the whole expression is rendered as ONE SQL string and parsed
+    JVM-side — the python-Column form crossed py4j per lambda/node
+    (~35 ms x m calls of pure driver latency per query, guide §5); the
+    parsed tree is the same expression (SQL lambdas are the same
+    LambdaFunction nodes), so codegen and results are unchanged."""
     sub = len(books[s][0])
-    sl = F.slice(F.col(vec_col), s * sub + 1, sub)
-    cents = F.lit([[float(x) for x in c] for c in books[s]])
-    darr = F.transform(
-        cents,
-        lambda c: F.aggregate(
-            F.zip_with(
-                sl,
-                c,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
+    sl = f"slice(`{vec_col}`, {s * sub + 1}, {sub})"
+    cents = _render_doubles([[float(x) for x in c] for c in books[s]])
+    darr = (
+        f"transform({cents}, c -> aggregate(zip_with({sl}, c, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, v) -> acc + v))"
     )
-    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    return F.expr(
+        f"CAST(array_position({darr}, array_min({darr})) - 1 AS INT)"
+    )
 
 
 def pq_topk(
@@ -829,47 +857,33 @@ def pq_topk(
         F.col(id_col),
         *[_pq_code_expr(vec_col, books, s).alias(f"__c{s}") for s in range(m)],
     )
-    sub = len(books[0][0])
     a_rows = anchors.select(id_col, vec_col).collect()
     # ONE plan for all anchors: each corpus row emits (query_id, dist)
     # structs via an exploded literal-table lookup — the ADC tables are
     # per-anchor constants, so the whole scoring pass is a single scan of
     # the coded corpus followed by one per-anchor top-k window. (A
     # DataFrame-per-anchor loop costs a full plan+scan per anchor.)
-    codes = F.array(*[F.col(f"__c{s}") for s in range(m)])
+    # The whole struct array is rendered as ONE parsed SQL expression
+    # (r12): the per-anchor python-Column structs crossed py4j per node
+    # — pure driver latency (guide §5); the parsed tree, the lookup
+    # indices and the addition order are unchanged, so pq_dist2 is
+    # bit-identical.
+    codes_sql = "array(" + ",".join(f"`__c{s}`" for s in range(m)) + ")"
     structs = []
     for ar in a_rows:
-        qv = list(ar[vec_col])
-        # The anchor's full ADC table as ONE 2-D literal (m x kc): the
-        # distance is a zip_with of table rows against the row's code
-        # array + an aggregate sum — O(m) expression nodes per anchor
-        # instead of the m unrolled element_at(array(16 lits)) chains
-        # that made plan compile the dominant cost. Terms add in subspace
-        # order, matching the old left-fold bit-for-bit.
-        table2d = [
-            [
-                float(
-                    sum((qv[s * sub + j] - c[j]) ** 2 for j in range(sub))
-                )
-                for c in books[s]
-            ]
-            for s in range(m)
-        ]
-        dist = F.aggregate(
-            F.zip_with(
-                F.lit(table2d), codes, lambda t, c: F.element_at(t, c + 1)
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        qv = [float(x) for x in ar[vec_col]]
+        table2d = _adc_table(qv, books)
         structs.append(
-            F.struct(
-                F.lit(ar[id_col]).cast("long").alias("query_id"),
-                F.round(dist, 6).alias("pq_dist2"),
-            )
+            f"named_struct('query_id', CAST({int(ar[id_col])} AS BIGINT), "
+            "'pq_dist2', round(aggregate(zip_with("
+            f"{_render_doubles(table2d)}, {codes_sql}, "
+            "(t, c) -> element_at(t, c + 1)), 0.0D, (acc, v) -> acc + v), 6))"
         )
     scored = (
-        coded.select(F.col(id_col).alias("neighbor_id"), F.explode(F.array(*structs)).alias("s"))
+        coded.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.explode(F.expr("array(" + ",".join(structs) + ")")).alias("s"),
+        )
         .select(F.col("s.query_id").alias("query_id"), "neighbor_id", F.col("s.pq_dist2").alias("pq_dist2"))
         .where(F.col("neighbor_id") != F.col("query_id"))
     )
@@ -879,6 +893,31 @@ def pq_topk(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "pq_dist2", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def _adc_table(q: list[float], books: list[list[list[float]]]) -> list[list[float]]:
+    """Per-anchor ADC distance table (m x kc), vectorized over centroids.
+
+    Bit-identical to the scalar ``sum((q[j] - c[j])**2 for j ...)``: the
+    accumulator adds the squared terms in the same left-to-right subspace
+    order (numpy scalar-minus-column and elementwise add are the same
+    IEEE ops), only the loop over centroids is vectorized — the python
+    triple loop was ~0.6 s of driver time per query at the registry
+    dials (guide §5)."""
+    import numpy as np
+
+    m = len(books)
+    sub = len(books[0][0])
+    out: list[list[float]] = []
+    for s in range(m):
+        B = np.asarray(books[s], dtype=np.float64)  # kc x sub
+        qs = np.asarray(q[s * sub : (s + 1) * sub], dtype=np.float64)
+        acc = np.zeros(len(B), dtype=np.float64)
+        for j in range(sub):
+            d = qs[j] - B[:, j]
+            acc = acc + d * d
+        out.append([float(x) for x in acc])
+    return out
 
 
 def _driver_cosine(qv: list[float], cv: list[float]) -> float:
@@ -962,13 +1001,11 @@ def ivfpq_topk(
     sample = (
         assigned.orderBy(id_col).limit(10_000).collect()
     )
-    X = np.array(
-        [
-            [float(x) - cents[int(r["__cell"])][i] for i, x in enumerate(r[vec_col])]
-            for r in sample
-        ],
-        dtype=np.float64,
-    )
+    # vectorized residuals (r12): same float64 subtraction per element as
+    # the old per-element comprehension (~0.7 s of driver time, guide §5)
+    V = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
+    C = np.array([cents[int(r["__cell"])] for r in sample], dtype=np.float64)
+    X = V - C
     dim = X.shape[1]
     sub = dim // m
     books = [
@@ -978,14 +1015,28 @@ def ivfpq_topk(
         ]
         for s in range(m)
     ]
-    cent_lit = F.lit([cents[i] for i in range(n_centroids)])
+    # centroids attach via a broadcast join of the 16-row centroid frame
+    # instead of an element_at over a 16x64-double literal (r12): every
+    # DataFrame op downstream re-analyzes the accumulated plan, and each
+    # ~1k-node literal tree taxes every one of those analysis passes
+    # (guide §5 — driver work); the joined centroid column carries the
+    # exact same doubles, so __res is bit-identical
     coded = (
         fan_out(assigned)
+        .join(
+            F.broadcast(
+                cdf.select(
+                    F.col("cell").alias("__cell"),
+                    F.col("centroid").alias("__cent"),
+                )
+            ),
+            "__cell",
+        )
         .withColumn(
             "__res",
             F.zip_with(
                 F.col(vec_col),
-                F.element_at(cent_lit, F.col("__cell") + 1),
+                F.col("__cent"),
                 lambda x, y: x.cast("double") - y,
             ),
         )
@@ -996,7 +1047,20 @@ def ivfpq_topk(
         )
     )
     codes = F.array(*[F.col(f"__c{s}") for s in range(m)])
-    structs = []
+    # Probe tables keyed BY CELL and attached via a broadcast equi-join
+    # (r12, guide §1/§2/§5).  The r11 plan exploded one struct per
+    # (anchor, probe) with the ADC distance precomputed INSIDE a literal
+    # struct, which was doubly wrong: every corpus row evaluated all
+    # |anchors| * nprobe ADC sums and the cell equality then discarded
+    # (1 - nprobe/n_centroids) of that work (16x at the registry dials),
+    # and the ~20k-double literal tree taxed the driver twice — once
+    # built element-wise over py4j (~11.6 s measured) and again on EVERY
+    # downstream DataFrame op's analysis pass.  As an 80-row broadcast
+    # frame the tables never enter the expression tree at all: a row
+    # joins exactly the probes that target its cell, and the ADC sum is
+    # ONE shared expression.  Table values, lookup indices and addition
+    # order are unchanged, so pq_dist2 is bit-identical.
+    probe_rows: list[tuple[int, int, list[list[float]]]] = []
     for ar in a_rows:
         qv = [float(x) for x in ar[vec_col]]
         ranked = sorted(
@@ -1004,39 +1068,29 @@ def ivfpq_topk(
         )
         for _neg, cell in ranked[:nprobe]:
             qres = [q - c for q, c in zip(qv, cents[cell])]
-            table2d = [
-                [
-                    float(
-                        sum((qres[s * sub + j] - c[j]) ** 2 for j in range(sub))
-                    )
-                    for c in books[s]
-                ]
-                for s in range(m)
-            ]
-            dist = F.aggregate(
-                F.zip_with(
-                    F.lit(table2d), codes, lambda t, c: F.element_at(t, c + 1)
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            structs.append(
-                F.struct(
-                    F.lit(int(ar[id_col])).cast("long").alias("query_id"),
-                    F.lit(cell).alias("cell"),
-                    F.round(dist, 6).alias("pq_dist2"),
-                )
-            )
+            probe_rows.append((cell, int(ar[id_col]), _adc_table(qres, books)))
+    probe_df = emb.sparkSession.createDataFrame(
+        probe_rows,
+        "__cell int, query_id bigint, __table array<array<double>>",
+    )
     scored = (
-        coded.select("neighbor_id", "__cell", F.explode(F.array(*structs)).alias("s"))
-        .where(
-            (F.col("s.cell") == F.col("__cell"))
-            & (F.col("neighbor_id") != F.col("s.query_id"))
-        )
+        coded.join(F.broadcast(probe_df), "__cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            F.col("s.query_id").alias("query_id"),
+            "query_id",
             "neighbor_id",
-            F.col("s.pq_dist2").alias("pq_dist2"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__table"),
+                        codes,
+                        lambda t, c: F.element_at(t, c + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("pq_dist2"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1060,24 +1114,21 @@ def ivfpq_topk(
     )
     # refine: exact cosine over the shortlist only — true vectors come
     # back via one id equi-join (shortlist is R x |anchors| rows; AQE
-    # broadcasts it), anchor vectors via a bounded literal map
-    qmap = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in a_rows}
-    qlit = F.element_at(
-        F.create_map(
-            *[
-                x
-                for qid, qv in sorted(qmap.items())
-                for x in (F.lit(qid), F.lit(qv))
-            ]
-        ),
-        F.col("query_id"),
+    # broadcasts it), anchor vectors via a broadcast join on the (tiny)
+    # anchors frame (r12 — was a per-anchor literal map, the same
+    # driver-side plan-construction tax as the ADC tables; the joined
+    # column carries the identical doubles)
+    qvecs = anchors.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
     vecs = fan_out(emb).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__ev"),
         row_norm(F.col(vec_col)).alias("__en"),
     )
-    refined = shortlist.join(vecs, "neighbor_id").withColumn("__qv", qlit)
+    refined = shortlist.join(vecs, "neighbor_id").join(
+        F.broadcast(qvecs), "query_id"
+    )
     rescored = refined.select(
         "query_id",
         "neighbor_id",
