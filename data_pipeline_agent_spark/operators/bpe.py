@@ -257,23 +257,32 @@ def _train(
     zero extra jobs), so wall-clock per rule drops by the realized
     batch factor (``stats['rounds']`` reports it).
     """
-    wf = word_freq(docs, text_col).localCheckpoint(eager=True)
+    # Lazy checkpoints, materialized by the round's own argmax collect
+    # (r12, guide §1.2 — fewer driver round-trips): the old loop ran TWO
+    # jobs per round (an eager localCheckpoint of the applied vocab, then
+    # the pair-count collect over it). localCheckpoint(eager=False) keeps
+    # the lineage-truncation semantics but lets the collect that the
+    # round must run anyway be the materializing action — one job per
+    # round. A replaced frame is unpersisted only AFTER its successor
+    # has materialized (dropping a lazy checkpoint's parent earlier
+    # would strand the un-truncated lineage).
+    wf = word_freq(docs, text_col).localCheckpoint(eager=False)
     # Size the iteration frame's layout from the VOCAB row count, not the
-    # session shuffle width: the loop below runs ~2 stages per merge over
+    # session shuffle width: the loop below runs ~1 stage per merge over
     # a Heaps'-law-sized frame, and scheduling 32 near-empty tasks per
     # stage is pure overhead at test SF (measured 10.5 s -> ~3 s at
     # sf0.1) while a 50M-word web-corpus vocab still gets ~100 real
-    # partitions. The count is free — wf is already materialized.
+    # partitions. The count doubles as wf's materializing action.
     width = max(1, (wf.count() + _ROWS_PER_PARTITION - 1) // _ROWS_PER_PARTITION)
     vocab = (
         wf.select("word", "freq", F.split("word", "").alias("syms"))
         .repartition(width)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    wf.unpersist()
     merges: list[tuple[int, str, str, str, int]] = []
     minted: set[str] = set()  # every multi-char symbol the vocab can hold
     rounds = 0
+    stale: list[DataFrame] = [wf]  # parents to drop once vocab materializes
     while len(merges) < n_merges:
         remaining = n_merges - len(merges)
         take = min(batch, remaining)
@@ -285,6 +294,9 @@ def _train(
             .limit(window)
             .collect()
         ]
+        for old in stale:  # vocab is materialized now — parents can go
+            old.unpersist()
+        stale = []
         if not top:
             break
         rounds += 1
@@ -315,14 +327,21 @@ def _train(
             _apply_merges(
                 F.col("syms"), [(l, r) for l, r, _ in accepted]
             ).alias("syms"),
-        ).localCheckpoint(eager=True)
-        vocab.unpersist()
+        ).localCheckpoint(eager=False)
+        stale.append(vocab)
         vocab = nxt
         # no early exit on a consumed window: applying the batch can MINT
         # new pairs (merged tokens pairing with neighbors — e.g. (a,a)
         # over "aaaa" leaves (aa,aa) behind), so exhaustion is only
         # decided by the NEXT round's recomputed pair stats coming back
         # empty
+    if stale:
+        # loop exited with the final vocab still lazy: materialize it so
+        # its parent can be dropped and callers receive a checkpointed
+        # frame (one bounded job — replaces the old per-round eager jobs)
+        vocab.count()
+        for old in stale:
+            old.unpersist()
     if stats is not None:
         stats["rounds"] = rounds  # driver round-trips: the batching win
     return merges, vocab

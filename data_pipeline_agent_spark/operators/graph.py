@@ -57,8 +57,10 @@ def connected_components(
     # union's two branches would otherwise each re-run the (often
     # expensive) upstream candidate-pair computation — measured 2x the
     # whole LSH/semantic pair stage per CC call at sf0.1.
+    # lazy checkpoint — the width-sizing count below is the materializing
+    # action (one job instead of two, r12; same truncation semantics)
     e_in = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=True
+        eager=False
     )
     # Closure shuffle-width sizing (r7, de-globalized r8): each round
     # materializes via eager localCheckpoint, and RDD materialization
@@ -111,7 +113,7 @@ def _cc_rounds(e_in: DataFrame, max_iter: int, strict: bool, width: int) -> Data
         .repartition(width, "node")  # distinct's clustering, at width
         .distinct()
         .select("node", F.col("node").alias("comp"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by prev_sum below
     )
 
     # Convergence test: labels only ever DECREASE, so the exact sum of all
@@ -146,13 +148,17 @@ def _cc_rounds(e_in: DataFrame, max_iter: int, strict: bool, width: int) -> Data
         # shortcut depth and turns O(diameter) convergence into O(log).
         l2 = new.select(F.col("node").alias("c_node"), F.col("comp").alias("c_comp"))
         jl = new.repartition(width, "comp")  # lookup-join layout, at width
+        # lazy checkpoint (r12): the round's convergence-test aggregate is
+        # the materializing action, so each round runs ONE job instead of
+        # an eager-checkpoint job followed by the label-sum job — same
+        # lineage truncation, half the driver round-trips (guide §1.2)
         new = (
             jl.join(l2, jl.comp == l2.c_node, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("c_comp", "comp")).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = _label_sum(new)
         labels = new

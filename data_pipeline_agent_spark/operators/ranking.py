@@ -69,7 +69,12 @@ def ordered_prefix(
     part = (
         df.repartitionByRange(n_parts, *order_by)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # lazy checkpoint (r12): the stats collect right below is the
+        # materializing action — one job instead of two; the final
+        # windows still read the SAME persisted blocks (the aggregate's
+        # shuffle-map stage computes every partition, so the checkpoint
+        # finalizes complete)
+        .localCheckpoint(eager=False)
     )
     stats = (
         part.groupBy("__pid")
@@ -638,7 +643,10 @@ def grouped_ordered_prefix(
     part = (
         base.repartitionByRange(n_parts, *gcols_asc, *order_by)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # lazy checkpoint (r12): the stats collect below materializes it
+        # (its shuffle-map stage computes every partition — the limit
+        # only caps the reduced side), one job instead of two
+        .localCheckpoint(eager=False)
     )
     # Range contiguity bounds the true stats size at n_parts + k - 1 rows,
     # so limit() bounds the DRIVER collect too: a mistakenly-scaling group

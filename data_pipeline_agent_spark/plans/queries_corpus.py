@@ -215,7 +215,7 @@ def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint() in (same note as approx_percentiles_extendedprice).
     t = (
         docs.select("source", F.size(tokens(F.col("text"))).alias("n_tokens"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the agg right below (r12)
     )
     # ONE aggregate over the checkpoint serves both the bounded key list
     # and the final count/sum values (collected — the row count is the

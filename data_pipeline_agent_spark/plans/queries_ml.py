@@ -178,7 +178,7 @@ def _als_recommendations(
             F.col("l_partkey").cast("int").alias("part"),
         )
         .agg(F.sum("l_quantity").cast("float").alias("qty"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by als.fit's first pass (r12)
     )
     als = ALS(
         rank=8,

@@ -92,7 +92,7 @@ def approx_percentiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFr
     # setCheckpointDir and swap checkpoint() in.
     li = fan_out(
         table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # materialized by the first selection pass (r12)
     ep = exact_percentiles(
         li.select(F.lit(1).alias("__g"), "l_extendedprice"),
         "__g",
