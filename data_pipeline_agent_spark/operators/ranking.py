@@ -232,6 +232,8 @@ def exact_percentiles_cols(
     n_buckets: int = 4096,
     max_collect: int = 65536,
     max_iters: int = 12,
+    extra_aggs: list[Column] | None = None,
+    extra_out: dict | None = None,
 ) -> DataFrame:
     """Multi-COLUMN front-end for ``exact_percentiles``: same distributed
     selection, but pass 1 runs as ONE SCALAR aggregate over the unmelted
@@ -252,6 +254,13 @@ def exact_percentiles_cols(
     nullable double column per alias (NULL for an empty/all-NULL
     column), identical values to ``exact_percentiles`` on the stacked
     frame.
+
+    ``extra_aggs``/``extra_out`` (r12, guide §1.2 "remove passes"): a
+    caller that needs its OWN scalar aggregates over the same frame
+    (e.g. the GK-instrument sketch of approx_percentiles_extendedprice)
+    can piggyback them onto pass 1 instead of paying a separate scan +
+    driver job — pass aliased Columns in ``extra_aggs`` and read their
+    values back from ``extra_out["row"]`` (the pass-1 Row as a dict).
     """
     spark = df.sparkSession
     accuracy = 1000  # keep in lockstep with exact_percentiles (see note there)
@@ -277,7 +286,11 @@ def exact_percentiles_cols(
                 cd, F.array(*[F.lit(p) for p in ps]), F.lit(accuracy)
             ).alias(f"__gk_{c}"),
         ]
+    if extra_aggs:
+        aggs += list(extra_aggs)
     row = df.agg(*aggs).first()
+    if extra_out is not None:
+        extra_out["row"] = row.asDict()
     info = {
         c: (
             int(row[f"__n_{c}"]),
@@ -723,6 +736,9 @@ def grouped_exact_percentiles(
     keys: list | None = None,
     max_keys: int = 65536,
     keys_per_pass: int = 256,
+    n_buckets: int = 4096,
+    max_collect: int = 65536,
+    max_iters: int = 12,
 ) -> DataFrame:
     """Per-key EXACT percentiles for a BOUNDED key domain over a scaling
     table — the shared front-end for ``exact_percentiles`` that the
@@ -755,15 +771,63 @@ def grouped_exact_percentiles(
             f"{len(aliases)} aliases — one alias per prob required"
         )
     spark = df.sparkSession
+    # lockstep with exact_percentiles (see the accuracy note there)
+    accuracy = 1000
+    margin = 3.0 / accuracy
+
+    def _clamp(p: float) -> float:
+        return min(1.0, max(0.0, p))
+
+    info: dict | None = None
     if keys is None:
-        rows = df.select(key_col).distinct().limit(max_keys + 1).collect()
+        # fused key-discovery + pass 1 (r12, guide §1.2 "remove passes"):
+        # the bounded-domain contract means ONE grouped aggregate can
+        # return the key list AND each key's (count, min, max, GK band)
+        # — the separate distinct scan is gone and the per-chunk
+        # exact_percentiles call below skips its own pass 1. The limit
+        # caps the DRIVER collect exactly like the old distinct guard
+        # (the aggregate itself is map-side-partial bounded work at any
+        # key cardinality). Only the keys=None path fuses: an explicit
+        # ``keys`` list may be a small subset of a SCALING domain, where
+        # the isin-filtered per-chunk pass 1 is the bounded plan.
+        all_probs = sorted(
+            {_clamp(q) for p in probs for q in (p - margin, p + margin)}
+        )
+        vd = F.col(value_col).cast("double")
+        rows = (
+            df.where(F.col(key_col).isNotNull())
+            .groupBy(F.col(key_col).alias("__k"))
+            .agg(
+                F.count(vd).alias("n"),
+                F.min(vd).alias("mn"),
+                F.max(vd).alias("mx"),
+                F.percentile_approx(
+                    vd, F.array(*[F.lit(p) for p in all_probs]), F.lit(accuracy)
+                ).alias("gk"),
+            )
+            .limit(max_keys + 1)
+            .collect()
+        )
         if len(rows) > max_keys:
             raise ValueError(
                 f"grouped_exact_percentiles: > {max_keys} distinct keys; "
                 "a scaling key domain cannot be spec-listed — use "
                 "percentile_approx or exact_percentiles per key shard"
             )
-        keys = [r[0] for r in rows if r[0] is not None]
+        keys = [r["__k"] for r in rows]
+        # keys with zero non-NULL values stay in ``keys`` (their output
+        # row is NULLs, as before) but get no info entry — matching what
+        # the value-filtered melted pass 1 would have produced
+        info = {
+            r["__k"]: (
+                int(r["n"]),
+                float(r["mn"]),
+                float(r["mx"]),
+                dict(zip(all_probs, r["gk"])),
+            )
+            for r in rows
+            if r["n"] > 0
+        }
     keys = sorted(keys)
     key_type = df.schema[key_col].dataType.simpleString()
     schema = f"`{key_col}` {key_type}, " + ", ".join(
@@ -779,7 +843,25 @@ def grouped_exact_percentiles(
             for i, k in enumerate(chunk)
             for j, p in enumerate(probs)
         ]
-        row = exact_percentiles(df, key_col, value_col, specs).first()
+        if info is not None:
+            # pass 1 already ran fused above — go straight to the probe
+            # passes with the precomputed per-key stats (same base frame
+            # exact_percentiles would build, key-pruned per chunk)
+            base = (
+                df.select(
+                    F.col(key_col).alias("__k"),
+                    F.col(value_col).cast("double").alias("__v"),
+                )
+                .where(F.col("__k").isin(chunk))
+                .where(F.col("__v").isNotNull())
+            )
+            row = _exact_percentiles_passes(
+                spark, base, specs, n_buckets, max_collect, max_iters,
+                accuracy, margin,
+                info={k: info[k] for k in chunk if k in info},
+            ).first()
+        else:
+            row = exact_percentiles(df, key_col, value_col, specs).first()
         for i, k in enumerate(chunk):
             vals = [row[f"v_{i}_{j}"] for j in range(len(probs))]
             # NULL-safe: empty/all-NULL keys produce None, not a float() crash

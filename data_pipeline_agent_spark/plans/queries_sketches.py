@@ -79,7 +79,7 @@ def approx_percentiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFr
     from one conditional-aggregate pass against the 1-row broadcast of
     the sketch output. Every pass is a single-column scan with map-side
     partials."""
-    from data_pipeline_agent_spark.operators.ranking import exact_percentiles
+    from data_pipeline_agent_spark.operators.ranking import exact_percentiles_cols
 
     # project to the one needed column before widening; the checkpoint
     # lets the selection passes and the rank pass re-read 8 bytes/row.
@@ -93,34 +93,51 @@ def approx_percentiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFr
     li = fan_out(
         table(spark, sf_dir, "lineitem").select("l_extendedprice")
     ).localCheckpoint(eager=False)  # materialized by the first selection pass (r12)
-    ep = exact_percentiles(
-        li.select(F.lit(1).alias("__g"), "l_extendedprice"),
-        "__g",
-        "l_extendedprice",
-        [(1, 0.5, "p50"), (1, 0.99, "p99")],
+    # r12 pass fusion (guide §1.2): the GK instrument sketch (accuracy
+    # 10^4) and the row count ride the exact-selection pass 1 as
+    # extra_aggs, and the exact side uses the unmelted cols front-end —
+    # 4 scans / 3 driver jobs collapse to 3 scans / 2 driver jobs, and
+    # the approx values come back as Python floats so the rank pass
+    # compares against plain literals instead of a broadcast crossJoin.
+    extra: dict = {}
+    ep = exact_percentiles_cols(
+        li,
+        {"l_extendedprice": [(0.5, "p50"), (0.99, "p99")]},
+        extra_aggs=[
+            F.expr(
+                "percentile_approx(l_extendedprice, array(0.5, 0.99), 10000)"
+            ).alias("__approx"),
+            F.count(F.lit(1)).alias("__n"),
+        ],
+        extra_out=extra,
     ).first()
+    a = extra["row"]["__approx"]  # [a50, a99]; None on an empty column
+    n = int(extra["row"]["__n"])
 
     def _lit(v):
         return F.lit(float(v)) if v is not None else F.lit(None).cast("double")
 
-    approx = F.expr("percentile_approx(l_extendedprice, array(0.5, 0.99), 10000)")
-    scal = li.agg(approx.alias("a"), F.count(F.lit(1)).alias("n"))
+    a50 = _lit(a[0] if a is not None else None)
+    a99 = _lit(a[1] if a is not None else None)
     x = F.col("l_extendedprice")
-    ranked = li.crossJoin(F.broadcast(scal)).agg(
-        F.first("n").alias("n"),
+    ranked = li.agg(
         # lower/upper rank of each approx value (ties straddle the two)
-        F.sum((x < F.col("a").getItem(0)).cast("long")).alias("lt50"),
-        F.sum((x <= F.col("a").getItem(0)).cast("long")).alias("le50"),
-        F.sum((x < F.col("a").getItem(1)).cast("long")).alias("lt99"),
-        F.sum((x <= F.col("a").getItem(1)).cast("long")).alias("le99"),
+        F.sum((x < a50).cast("long")).alias("lt50"),
+        F.sum((x <= a50).cast("long")).alias("le50"),
+        F.sum((x < a99).cast("long")).alias("lt99"),
+        F.sum((x <= a99).cast("long")).alias("le99"),
     )
 
     def _rank_ok(q: float, lt: str, le: str):
         # GK bound: some rank in [lt, le] lies within eps*N of q*N
-        # (eps = 1/accuracy); +1 absorbs floor/ceil edge rounding
-        tol = F.col("n") / 10000 + 1
-        target = q * F.col("n")
-        return (F.col(le) >= target - tol) & (F.col(lt) <= target + tol)
+        # (eps = 1/accuracy); +1 absorbs floor/ceil edge rounding.
+        # n is a driver-side int now — same IEEE double arithmetic as
+        # the previous in-plan long/double expressions.
+        tol = n / 10000 + 1
+        target = q * n
+        return (F.col(le) >= F.lit(target - tol)) & (
+            F.col(lt) <= F.lit(target + tol)
+        )
 
     return ranked.select(
         F.round(_lit(ep["p50"]), 6).alias("p50_exact"),
