@@ -274,6 +274,17 @@ def _train(
     # sf0.1) while a 50M-word web-corpus vocab still gets ~100 real
     # partitions. The count doubles as wf's materializing action.
     width = max(1, (wf.count() + _ROWS_PER_PARTITION - 1) // _ROWS_PER_PARTITION)
+    # Route the merge rounds through the AQE-off child session (r12):
+    # the corpus-sized word_freq aggregate above ran (and materialized
+    # its checkpoint) under the caller's AQE session; the O(n_merges)
+    # vocab-sized round plans below pay AQE one extra job wave + driver
+    # re-plan per round for a width this loop already sized explicitly.
+    # The final vocab is rerooted back before returning so callers keep
+    # composing under their own session. See session.plain_loop_session.
+    from data_pipeline_agent_spark.session import plain_loop_session, reroot
+
+    main = docs.sparkSession
+    wf = reroot(wf, plain_loop_session(main))
     vocab = (
         wf.select("word", "freq", F.split("word", "").alias("syms"))
         .repartition(width)
@@ -344,7 +355,10 @@ def _train(
             old.unpersist()
     if stats is not None:
         stats["rounds"] = rounds  # driver round-trips: the batching win
-    return merges, vocab
+    # hand the (materialized, vocab-sized) result back to the caller's
+    # session: downstream joins against corpus frames must compile with
+    # the caller's AQE, not the loop's plain conf
+    return merges, reroot(vocab, main)
 
 
 def bpe_train(

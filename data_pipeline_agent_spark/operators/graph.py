@@ -101,6 +101,16 @@ def connected_components(
 
 
 def _cc_rounds(e_in: DataFrame, max_iter: int, strict: bool, width: int) -> DataFrame:
+    # NOT routed through session.plain_loop_session (r12, measured): the
+    # BPE trainer's AQE-off child session was tried here and LOST
+    # 0.2-0.5 s per query at sf0.1 (corpus_split_assign_leakfree
+    # 2.69 -> 2.97, dedup_minhash_groups 2.21 -> 2.76, min-of-3 in one
+    # quiet canary-bracketed window): unlike the trainer's pure
+    # aggregate rounds, each closure round runs two JOINS against the
+    # label table, and AQE's runtime size check converts them to
+    # broadcast joins at test scale (and correctly keeps them shuffled
+    # when the label table is node-scale) — a decision a static plan
+    # cannot make. AQE stays on for this loop.
     e = (
         e_in.union(e_in.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition(width, "u", "v")  # distinct's clustering, at width
