@@ -151,19 +151,32 @@ def minhash_signatures(df: DataFrame, sh: DataFrame | None = None) -> DataFrame:
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Banded LSH: docs sharing any band of the signature. One explode +
-    one equi-join on the band key; shuffle volume = corpus * bands."""
-    bands = []
-    for b in range(LSH_BANDS):
-        key = F.concat_ws(
-            "_", *[F.col(f"mh_{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]
-        )
-        bands.append(sig.select("id", F.lit(b).alias("band"), key.alias("key")))
-    bt = bands[0]
-    for x in bands[1:]:
-        bt = bt.unionAll(x)
+    one equi-join on the band key; shuffle volume = corpus * bands.
+
+    The band table is built by ONE posexplode over an array of the
+    per-band keys (r12, guide §1.2): the previous per-band
+    unionAll re-ran the whole shingle + signature lineage once per band
+    when the cache below first materialized (union branches share no
+    work — column pruning trims each branch to its own 4 minhashes but
+    every branch recomputes tokenization, shingling and the h32 array;
+    measured 1.32 s -> ~0.8 s for the sf0.1 candidate stage). Band id ==
+    explode position, same keys, identical pair set."""
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh_{b * LSH_ROWS + r}").cast("string")
+                    for r in range(LSH_ROWS)
+                ],
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bt = sig.select("id", F.posexplode(keys).alias("band", "key"))
     # persist: the self-join below would otherwise recompute the signature
-    # lineage once per band per side (2 x LSH_BANDS times). (id, band, key)
-    # is tiny relative to the corpus — safe to cache even at scale.
+    # lineage once per side. (id, band, key) is tiny relative to the
+    # corpus — safe to cache even at scale.
     bt = bt.persist()
     a = bt.select(F.col("id").alias("id_a"), "band", "key")
     b2 = bt.select(F.col("id").alias("id_b"), "band", "key")
