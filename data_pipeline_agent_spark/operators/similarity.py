@@ -444,8 +444,17 @@ def knn_graph(
     if rotations > 1:
         # a pair can collide in several rotations; dedupe on the narrow
         # (ids, score) grain — the vectors never enter this shuffle, and
-        # cos_sim is deterministic per pair so distinct cannot split one
-        scored = scored.distinct()
+        # cos_sim is deterministic per pair so distinct cannot split one.
+        # Keying the dedup's exchange on query_id alone (r12): hash
+        # partitioning by query_id satisfies BOTH the distinct's
+        # clustered-distribution requirement (query_id is a subset of the
+        # triple, so equal triples co-locate) and the top-k window's, so
+        # the pair set crosses the network ONCE instead of twice —
+        # plan-verified: Exchange(triple) + Exchange(query_id) collapse
+        # to one Exchange(query_id) under the dedup aggregates, the
+        # WindowGroupLimit and the Window (measured 1.70 -> 1.19 s at
+        # sf0.1, interleaved min-of-3; pair set bit-identical).
+        scored = scored.repartition("query_id").distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
