@@ -263,7 +263,20 @@ def pagerank(
     )
     ranks = nodes.select(
         F.col(node_col).alias("__n"), F.lit(base).cast("long").alias("__r")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    # The loop needs NO driver scalar between rounds (fixed iteration
+    # count, no convergence test), so the per-round checkpoints are LAZY
+    # and only the final frame materializes eagerly: ONE Spark job
+    # computes all ``iters`` rounds — each lazy checkpoint still caches
+    # and truncates lineage as the job passes through it — instead of
+    # one eager-checkpoint job per round (r12, guide §1.2; measured on
+    # sim_pagerank_centrality: driver jobs down by iters-1, the
+    # replaced-frame unpersists deferred exactly like the BPE trainer's
+    # ``stale`` list). The final EAGER checkpoint matters beyond
+    # truncation: the caller consumes the rank table from multiple
+    # subtrees (degree joins + the mass-contract aggregate), and an
+    # unmaterialized plan would recompute every round per consumer.
+    stale = [ranks]
     try:
         for _ in range(iters):
             contrib = (
@@ -284,12 +297,15 @@ def pagerank(
                         )
                     ).cast("long").alias("__r"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            ranks.unpersist()
+            stale.append(nxt)
             ranks = nxt
+        ranks = ranks.localCheckpoint(eager=True)
     finally:
         e.unpersist()
+        for old in stale:  # materialized above — parents can go
+            old.unpersist()
     return ranks.select(
         F.col("__n").alias(node_col), F.col("__r").alias("pr_u")
     )

@@ -928,8 +928,8 @@ def dual_grain_split_assign(
     clustering -> (doc_id, n_tokens, anchor_id, quality_score, rk,
     split) with rk=1 the per-cluster quality survivor and split the
     anchor-keyed md5 split. Returns (ranked, lex_pairs, sem_pairs);
-    the pair frames are eagerly checkpointed (post-threshold grains)
-    because they feed both the closure and the cohesion contracts."""
+    the pair frames are checkpointed (post-threshold grains) because
+    they feed both the closure and the cohesion contracts."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -938,15 +938,22 @@ def dual_grain_split_assign(
     from data_pipeline_agent_spark.operators.similarity import semantic_dup_pairs
     from data_pipeline_agent_spark.operators.text import quality_score
 
+    # LAZY checkpoints (r12, guide §1.2): connected_components' own
+    # width-sizing count() over the union is the materializing action —
+    # it computes straight through both lazy checkpoints, caching them
+    # for the cohesion contracts, so the two dedicated eager-checkpoint
+    # jobs the old code ran are pure savings (truncation semantics
+    # identical; nothing unpersists the pair frames before the contracts
+    # consume them).
     lex = (
         D.minhash_near_dup_pairs(docs, threshold=0.8)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sem = (
         semantic_dup_pairs(emb, n_clusters=n_clusters, threshold=0.4)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cc = connected_components(lex.unionByName(sem), src="id_a", dst="id_b")
     q = quality_score(docs).select("doc_id", "quality_score")
