@@ -671,7 +671,9 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_agent_spark.session import fan_out
 
     return bpe_fertility(
-        fan_out(table(spark, sf_dir, "documents")), n_merges=_BPE_MERGES
+        fan_out(table(spark, sf_dir, "documents")),
+        n_merges=_BPE_MERGES,
+        batch=4,  # proven sequential-equivalent; the twin replays per-merge
     )
 
 
