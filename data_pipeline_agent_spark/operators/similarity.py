@@ -29,6 +29,16 @@ SIGN_BITS = 8  # bucket key = sign pattern of the first 8 dims -> 256 buckets
 # each entry is a handful of centroid vectors — negligible driver memory
 _KMEANS_CACHE: dict = {}
 
+# fitted PQ codebooks, keyed (applicationId, plan hash, dials) — the same
+# fit-once-serve-many convention as _KMEANS_CACHE (r12, VERDICT r11 task 2):
+# a production PQ index trains its codebooks once and every probe reuses
+# them; refitting per query re-ran the bounded sample collect plus m
+# driver-side Lloyd fits on every invocation. The fit sample is ORDER BY id
+# (deterministic), so the cached books are exactly what a refit would
+# produce — results are unchanged, only the repeated fit cost goes.
+# Each entry is m*kc*(dim/m) floats — a few KB.
+_PQ_BOOKS_CACHE: dict = {}
+
 
 def _render_doubles(value) -> str:
     """SQL text for a (nested) array-of-double literal — see lit_doubles."""
@@ -792,20 +802,38 @@ def pq_fit(
     so codebooks (and every downstream code) would silently change when
     the corpus is rewritten. TakeOrdered on a bounded k: a few MB on the
     driver at any corpus scale; production PQ always trains codebooks on
-    a sample. Returns codebooks[s][c] = centroid (dim/m floats)."""
+    a sample. Returns codebooks[s][c] = centroid (dim/m floats).
+
+    Memoized per (session, input plan, dials) — see _PQ_BOOKS_CACHE."""
     import numpy as np
 
+    key = (
+        emb.sparkSession.sparkContext.applicationId,
+        emb.semanticHash(),
+        "raw",
+        m,
+        k,
+        seed,
+        sample_rows,
+        id_col,
+        vec_col,
+    )
+    books = _PQ_BOOKS_CACHE.get(key)
+    if books is not None:
+        return books
     rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
     X = np.array([list(r[1]) for r in rows], dtype=np.float64)
     dim = X.shape[1]
     sub = dim // m
-    return [
+    books = [
         [
             [float(x) for x in c]
             for c in _np_kmeans(X[:, s * sub : (s + 1) * sub], k, seed + s)
         ]
         for s in range(m)
     ]
+    _PQ_BOOKS_CACHE[key] = books
+    return books
 
 
 def _pq_code_expr(vec_col: str, books: list[list[list[float]]], s: int) -> Column:
@@ -1004,26 +1032,46 @@ def ivfpq_topk(
     assigned, cdf = ivf_assign(emb, n_centroids, seed, id_col, vec_col)
     cents = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in cdf.collect()}
     # residual codebooks on a bounded deterministic sample (pq_fit's
-    # ORDER BY id convention — a bare limit is layout-dependent)
+    # ORDER BY id convention — a bare limit is layout-dependent).
+    # Memoized like the coarse quantizer (r12, _PQ_BOOKS_CACHE): the
+    # residual distribution is a pure function of (input plan, quantizer
+    # dials), both already in the key, so a cached fit is bit-identical
+    # to a refit and the sample collect + m Lloyd fits run once per
+    # session instead of once per query.
     import numpy as np
 
-    sample = (
-        assigned.orderBy(id_col).limit(10_000).collect()
+    bkey = (
+        emb.sparkSession.sparkContext.applicationId,
+        emb.semanticHash(),
+        "residual",
+        n_centroids,
+        m,
+        kc,
+        seed,
+        id_col,
+        vec_col,
     )
-    # vectorized residuals (r12): same float64 subtraction per element as
-    # the old per-element comprehension (~0.7 s of driver time, guide §5)
-    V = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
-    C = np.array([cents[int(r["__cell"])] for r in sample], dtype=np.float64)
-    X = V - C
-    dim = X.shape[1]
-    sub = dim // m
-    books = [
-        [
-            [float(x) for x in c]
-            for c in _np_kmeans(X[:, s * sub : (s + 1) * sub], kc, seed + s)
+    books = _PQ_BOOKS_CACHE.get(bkey)
+    if books is None:
+        sample = (
+            assigned.orderBy(id_col).limit(10_000).collect()
+        )
+        # vectorized residuals (r12): same float64 subtraction per element
+        # as the old per-element comprehension (~0.7 s of driver time,
+        # guide §5)
+        V = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
+        C = np.array([cents[int(r["__cell"])] for r in sample], dtype=np.float64)
+        X = V - C
+        dim = X.shape[1]
+        sub = dim // m
+        books = [
+            [
+                [float(x) for x in c]
+                for c in _np_kmeans(X[:, s * sub : (s + 1) * sub], kc, seed + s)
+            ]
+            for s in range(m)
         ]
-        for s in range(m)
-    ]
+        _PQ_BOOKS_CACHE[bkey] = books
     # centroids attach via a broadcast join of the 16-row centroid frame
     # instead of an element_at over a 16x64-double literal (r12): every
     # DataFrame op downstream re-analyzes the accumulated plan, and each

@@ -538,3 +538,29 @@ def test_bpe_pack_registry_nonvacuous(spark):
         v.sort(key=lambda r: r["bin"])
         for a, b in zip(v, v[1:]):
             assert b["first_part"] > a["last_part"]
+
+
+def test_frozen_tokenizer_cache_identical_to_retrain(spark):
+    """r12: the apply-path operators reuse a memoized frozen tokenizer
+    (_FROZEN_CACHE). A cache hit must hand back the SAME rules/vocab a
+    live retrain produces, and the applied output (fertility rows) must
+    be identical either way."""
+    from data_pipeline_agent_spark.operators.bpe import (
+        _FROZEN_CACHE,
+        bpe_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "abc abc xy"), (3, "ab xy xy")],
+        "doc_id long, text string",
+    )
+    _FROZEN_CACHE.clear()
+    cold = sorted(map(tuple, bpe_fertility(docs, n_merges=3).collect()))
+    assert len(_FROZEN_CACHE) == 1
+    warm = sorted(map(tuple, bpe_fertility(docs, n_merges=3).collect()))
+    assert len(_FROZEN_CACHE) == 1  # second call hit the cache
+    assert warm == cold
+    _FROZEN_CACHE.clear()
+    refit = sorted(map(tuple, bpe_fertility(docs, n_merges=3).collect()))
+    assert refit == cold  # memoization changes nothing
+    _FROZEN_CACHE.clear()

@@ -506,3 +506,29 @@ def test_sim_knn_graph_multiprobe_recall_contract_rows(spark):
         (r.query_id, r.neighbor_id, r.rk, r.cos_sim) for r in exact
     )
     assert all(r.recall_ok for r in out)
+
+
+def test_pq_books_memoized_and_identical_to_refit(spark):
+    """r12: pq_fit memoizes codebooks per (session, plan, dials) — the
+    cached fit must be the SAME books a cold refit produces (the sample
+    is ORDER BY id, deterministic), and a repeat call must hit the cache
+    (no new entry, identical object)."""
+    from data_pipeline_agent_spark.operators.similarity import (
+        _PQ_BOOKS_CACHE,
+        pq_fit,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _PQ_BOOKS_CACHE.clear()
+    cold = pq_fit(emb, m=4, k=8, seed=7)
+    assert len(_PQ_BOOKS_CACHE) == 1
+    warm = pq_fit(emb, m=4, k=8, seed=7)
+    assert warm is cold  # cache hit, zero Spark jobs
+    _PQ_BOOKS_CACHE.clear()
+    refit = pq_fit(emb, m=4, k=8, seed=7)
+    assert refit == cold  # bit-identical books: memoization changes nothing
+    # a different dial is a different key, not a stale hit
+    other = pq_fit(emb, m=4, k=8, seed=8)
+    assert other != cold
+    _PQ_BOOKS_CACHE.clear()
