@@ -42,17 +42,56 @@ def test_edge_direction_irrelevant(spark):
 
 def test_convergence_bound_strict_raises(spark):
     # pointer jumping reaches ~2^r hops after r rounds, so a 100-hop path
-    # is provably unreachable in 2 rounds
+    # is provably unreachable in 2 rounds. driver_edges=0 forces the
+    # distributed loop (r12: small graphs otherwise take the driver
+    # union-find path, which has no iteration bound to pin).
     with pytest.raises(RuntimeError, match="did not converge"):
-        _cc(spark, [(i, i + 1) for i in range(100)], max_iter=2, strict=True)
+        _cc(
+            spark,
+            [(i, i + 1) for i in range(100)],
+            max_iter=2,
+            strict=True,
+            driver_edges=0,
+        )
 
 
 def test_long_path_converges_logarithmically(spark):
     """A 512-hop path graph — the adversarial diameter case that breaks
     pure min-label propagation (O(diameter) rounds) — must converge well
-    inside the default bound thanks to pointer jumping (O(log D))."""
-    got = _cc(spark, [(i, i + 1) for i in range(512)], max_iter=15)
+    inside the default bound thanks to pointer jumping (O(log D)).
+    driver_edges=0 pins the DISTRIBUTED loop (r12)."""
+    got = _cc(spark, [(i, i + 1) for i in range(512)], max_iter=15, driver_edges=0)
     assert set(got.values()) == {0} and len(got) == 513
+
+
+def test_cc_driver_path_matches_loop(spark):
+    """r12: graphs under the driver_edges gate run union-find on the
+    driver. The label table must be IDENTICAL (node -> min reachable id)
+    to the distributed loop's fixpoint, on shapes that exercise chains,
+    merges of chains, disjoint clusters, self-loops and reversed edges."""
+    pairs = (
+        [(i, i + 1) for i in range(0, 40)]  # long chain
+        + [(100 + i, 100 + (i * 7) % 23) for i in range(23)]  # tangled
+        + [(500, 501), (503, 502), (504, 504)]  # reversed + self-loop
+        + [(900, 800), (800, 850), (850, 950)]  # min in the middle
+    )
+    driver = _cc(spark, pairs)  # 89 edges <= default gate -> driver path
+    loop = _cc(spark, pairs, driver_edges=0)  # forced distributed loop
+    assert driver == loop
+    # and the gate itself: the driver path runs only the width-sizing
+    # count + the bounded collect (2 jobs), no closure rounds — the
+    # forced loop schedules strictly more
+    from data_pipeline_agent_spark.operators.graph import connected_components
+
+    st = spark.sparkContext.statusTracker()
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    j0 = len(st.getJobIdsForGroup(None) or [])
+    connected_components(edges)
+    j_driver = len(st.getJobIdsForGroup(None) or []) - j0
+    j0 = len(st.getJobIdsForGroup(None) or [])
+    connected_components(edges, driver_edges=0).collect()
+    j_loop = len(st.getJobIdsForGroup(None) or []) - j0
+    assert j_driver <= 3 < j_loop
 
 
 def test_duplicate_groups_survivor_semantics(spark):
