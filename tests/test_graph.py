@@ -85,12 +85,19 @@ def test_cc_driver_path_matches_loop(spark):
 
     st = spark.sparkContext.statusTracker()
     edges = spark.createDataFrame(pairs, "id_a long, id_b long")
-    j0 = len(st.getJobIdsForGroup(None) or [])
+
+    def _max_jid() -> int:
+        # max job id, NOT len(): job ids are monotonic per application,
+        # while the tracker EVICTS old jobs past spark.ui.retainedJobs —
+        # len() deltas go negative deep into a long test session
+        return max(st.getJobIdsForGroup(None) or [-1])
+
+    j0 = _max_jid()
     connected_components(edges)
-    j_driver = len(st.getJobIdsForGroup(None) or []) - j0
-    j0 = len(st.getJobIdsForGroup(None) or [])
+    j_driver = _max_jid() - j0
+    j0 = _max_jid()
     connected_components(edges, driver_edges=0).collect()
-    j_loop = len(st.getJobIdsForGroup(None) or []) - j0
+    j_loop = _max_jid() - j0
     assert j_driver <= 3 < j_loop
 
 
