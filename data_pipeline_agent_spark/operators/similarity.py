@@ -130,13 +130,17 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors for each anchor row. anchors must be small
     (broadcast); corpus stays distributed."""
+    # vectors pre-cast to array<double> once per row (r12 v2): the
+    # scoring fold's per-element float->double casts were paid per PAIR;
+    # the widening cast is exact, so every cosine is bit-identical
+    vd = F.col(vec_col).cast("array<double>")
     a = anchors.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        row_norm(F.col(vec_col)).alias("__qn"),
+        vd.alias("__qv"),
+        row_norm(vd).alias("__qn"),
     )
     corpus = fan_out(emb).select(
-        F.col(id_col), F.col(vec_col), row_norm(F.col(vec_col)).alias("__en")
+        F.col(id_col), vd.alias(vec_col), row_norm(vd).alias("__en")
     )
     pairs = corpus.join(F.broadcast(a), F.col(id_col) != F.col("query_id"))
     scored = pairs.select(
@@ -167,17 +171,19 @@ def lsh_bucketed_topk(
     """Approximate top-k: candidates limited to the anchor's sign bucket.
     Same output shape as brute_force_topk; recall depends on bucket
     granularity (documented scale path)."""
+    # per-row pre-cast — see brute_force_topk (bit-identical, r12 v2)
+    vd = F.col(vec_col).cast("array<double>")
     bucketed = fan_out(emb).select(
         F.col(id_col),
-        F.col(vec_col),
-        row_norm(F.col(vec_col)).alias("__en"),
-        sign_bucket(F.col(vec_col)).alias("__bkt"),
+        vd.alias(vec_col),
+        row_norm(vd).alias("__en"),
+        sign_bucket(vd).alias("__bkt"),
     )
     a = anchors.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        row_norm(F.col(vec_col)).alias("__qn"),
-        sign_bucket(F.col(vec_col)).alias("__bkt"),
+        vd.alias("__qv"),
+        row_norm(vd).alias("__qn"),
+        sign_bucket(vd).alias("__bkt"),
     )
     pairs = bucketed.join(F.broadcast(a), "__bkt").where(F.col(id_col) != F.col("query_id"))
     scored = pairs.select(
@@ -294,9 +300,11 @@ def knn_graph(
             "knn_graph: probe_t is a multiprobe dial — pass "
             "multiprobe=True (got probe_t set with multiprobe=False)"
         )
+    n_known = n_hint
     if bits is None:
-        n = n_hint if n_hint is not None else emb.count()
-        bits = adaptive_bits(n, target_bucket)
+        if n_known is None:
+            n_known = emb.count()
+        bits = adaptive_bits(n_known, target_bucket)
     if rotations is None:
         dim = (
             dim_hint
@@ -319,14 +327,23 @@ def knn_graph(
         ).cast("double"),
         F.lit(0.0),
     )
+    # Pre-cast the vector to array<double> ONCE PER ROW (r12 v2, guide
+    # §1.2 "per-task work"): the scoring fold's per-element
+    # ``x.cast("double")`` is evaluated per PAIR, and a row participates
+    # in ~bucket_size pairs — 128 interpreted cast calls per candidate
+    # that one projection-time transform replaces. float->double is
+    # exact (widening), so every cosine is bit-identical; the fold's
+    # inner casts become no-ops on the double input and SimplifyCasts
+    # drops them from the plan.
+    vd = F.col(vec_col).cast("array<double>")
     b = fan_out(emb).select(
         F.col(id_col),
-        F.col(vec_col),
-        (row_norm(F.col(vec_col)) + guard).alias("__nrm"),
+        vd.alias(vec_col),
+        (row_norm(vd) + guard).alias("__nrm"),
         F.posexplode(
             F.array(
                 *[
-                    sign_bucket(F.col(vec_col), bits, r * bits)
+                    sign_bucket(vd, bits, r * bits)
                     for r in range(rotations)
                 ]
             )
@@ -437,6 +454,32 @@ def knn_graph(
     # (or a size-based broadcast at small SF) — never a cross join. Norms
     # ride the projection (row_norm), so the pair stage is ONE dot per
     # candidate instead of three.
+    #
+    # Pair-volume-sized join width (r12 v2, guide §2.5/§5): AQE sizes the
+    # self-join's exchanges from its INPUT bytes and cannot see the
+    # output explosion (sum of squared bucket sizes) — at the sf10 tier
+    # it coalesced the join to a handful of partitions, so each task
+    # scored AND locally sorted tens of millions of pairs (sort spill:
+    # the second decade's super-linear term). The operator KNOWS the
+    # expected pair count (n, bits, rotations, probes — the bucket-probe
+    # histogram confirms the uniform estimate within ~1%), so when that
+    # estimate wants MORE tasks than the session default the join keys
+    # are pre-partitioned at the derived width (the CC width-sizing
+    # convention, r7/r8) and the join runs co-partitioned with no extra
+    # exchange; below the threshold the plan is untouched — small-SF
+    # plans keep AQE's coalescing, so local bench behavior is unchanged.
+    # Partitioning never changes results (deterministic ordering with
+    # the neighbor_id tie-break; the dedup is exact).
+    if n_known is not None:
+        probes = 1
+        if multiprobe:
+            probes = (probe_t + 1) if probe_t is not None else (bits + 1)
+        est_pairs = n_known * rotations * probes * max(1, n_known >> bits)
+        default_par = emb.sparkSession.sparkContext.defaultParallelism
+        width = int(min(est_pairs // 2_000_000, 16384))
+        if width > default_par:
+            a = a.repartition(width, "__rot", "__bkt")
+            e = e.repartition(width, "__rot", "__bkt")
     scored = (
         a.join(e, ["__rot", "__bkt"])
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -451,21 +494,45 @@ def knn_graph(
             ).alias("cos_sim"),
         )
     )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     if rotations > 1:
         # a pair can collide in several rotations; dedupe on the narrow
         # (ids, score) grain — the vectors never enter this shuffle, and
         # cos_sim is deterministic per pair so distinct cannot split one.
-        # Keying the dedup's exchange on query_id alone (r12): hash
-        # partitioning by query_id satisfies BOTH the distinct's
-        # clustered-distribution requirement (query_id is a subset of the
-        # triple, so equal triples co-locate) and the top-k window's, so
-        # the pair set crosses the network ONCE instead of twice —
-        # plan-verified: Exchange(triple) + Exchange(query_id) collapse
-        # to one Exchange(query_id) under the dedup aggregates, the
-        # WindowGroupLimit and the Window (measured 1.70 -> 1.19 s at
-        # sf0.1, interleaved min-of-3; pair set bit-identical).
-        scored = scored.repartition("query_id").distinct()
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        #
+        # Prune BEFORE the exchange with a dense_rank group-limit (r12 v2,
+        # guide §2.3 "aggregate before you shuffle"): a pair's dense_rank
+        # over (cos_sim DESC, neighbor_id ASC) counts the DISTINCT pairs
+        # strictly ahead of it — duplicates share an order tuple, so
+        # dense_rank(p) is exactly p's rank among distinct pairs and
+        # ``dense_rank <= k`` keeps precisely the distinct top-k (every
+        # copy of them); distinct + row_number over the survivors is
+        # therefore bit-identical to the old distinct-then-rank. What it
+        # buys: Spark's InsertWindowGroupLimit puts a PARTIAL
+        # WindowGroupLimit below the window's exchange, so each map task
+        # of the scored self-join emits only its local distinct-top-k per
+        # query instead of every scored pair — the pair set (the graph's
+        # widest intermediate, ~rotations x bucket_size per query) never
+        # crosses the network at all. The r12-v1 single-exchange form
+        # (repartition(query_id) + distinct) still shipped the FULL pair
+        # set through its one exchange and hash-aggregated ~pairs/width
+        # rows per reduce task, which is what turned the second decade
+        # super-linear (tier re-measure: sf10 flat at ~350 s while sf1
+        # dropped — flagged at 19.43x/decade vs a 10.94x candidate-volume
+        # ratio from bucket_probe.json). Measured at the sf1 tile
+        # (interleaved, same window): pruned tail ~1.6x faster than the
+        # single-exchange tail; exchange rows collapse from O(pairs) to
+        # O(k x rotations x queries). Downstream consumers (dedup/window,
+        # kNN density, the density sampler) still see hash(query_id)
+        # partitioning: the distinct and the row_number window both ride
+        # the dense_rank window's exchange, so the plan keeps exactly ONE
+        # wide exchange.
+        scored = (
+            scored.withColumn("__dr", F.dense_rank().over(w))
+            .where(F.col("__dr") <= k)
+            .drop("__dr")
+            .distinct()
+        )
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
@@ -506,12 +573,17 @@ def quantized_topk(
     corpus and re-ranks the top candidates against the full-precision
     vectors (re-rank step omitted here — the quantized scores ARE the
     output so the quantization error is observable and oracle-checked)."""
+    # codes pre-cast to array<double> once per row (r12 v2): the fold's
+    # per-element long->double casts were paid per pair; |code| <= 127 is
+    # exact in double, so every score is bit-identical
+    cd = F.col("__q").cast("array<double>")
+    ad = F.col("__qa").cast("array<double>")
     q = fan_out(emb).select(
         F.col(id_col), int8_quantize(F.col(vec_col)).alias("__q")
-    ).select(F.col(id_col), "__q", row_norm(F.col("__q")).alias("__en"))
+    ).select(F.col(id_col), cd.alias("__q"), row_norm(cd).alias("__en"))
     a = anchors.select(
         F.col(id_col).alias("query_id"), int8_quantize(F.col(vec_col)).alias("__qa")
-    ).select("query_id", "__qa", row_norm(F.col("__qa")).alias("__qn"))
+    ).select("query_id", ad.alias("__qa"), row_norm(ad).alias("__qn"))
     pairs = q.join(F.broadcast(a), F.col(id_col) != F.col("query_id"))
     scored = pairs.select(
         "query_id",
@@ -534,11 +606,13 @@ def quantized_topk(
 def embedding_near_dup_pairs(emb: DataFrame, topk: int = 10) -> DataFrame:
     """Embedding-cosine near-dup candidates: within-sign-bucket pairs,
     ranked by cosine. The dedup-by-embedding member of the dedup family."""
+    # per-row pre-cast — see brute_force_topk (bit-identical, r12 v2)
+    vd = F.col("embedding").cast("array<double>")
     b = fan_out(emb).select(
         "vec_id",
-        "embedding",
-        row_norm(F.col("embedding")).alias("__nrm"),
-        sign_bucket(F.col("embedding")).alias("__bkt"),
+        vd.alias("embedding"),
+        row_norm(vd).alias("__nrm"),
+        sign_bucket(vd).alias("__bkt"),
     )
     l = b.select(
         F.col("vec_id").alias("id_a"),
@@ -655,12 +729,15 @@ def ivf_topk(
         .select("query_id", "__qv", F.col("cell").alias("__cell"))
     )
     # per-pair work = one dot: corpus norms carried from the assignment
-    # projection, anchor norms carried on the (tiny) probe frame
+    # projection, anchor norms carried on the (tiny) probe frame;
+    # vectors pre-cast per row — see brute_force_topk (bit-identical)
+    qd = F.col("__qv").cast("array<double>")
+    vd = F.col(vec_col).cast("array<double>")
     a_norm = probes.select(
-        "query_id", "__qv", "__cell", row_norm(F.col("__qv")).alias("__qn")
+        "query_id", qd.alias("__qv"), "__cell", row_norm(qd).alias("__qn")
     )
     e_norm = assigned.select(
-        id_col, vec_col, "__cell", row_norm(F.col(vec_col)).alias("__en")
+        id_col, vd.alias(vec_col), "__cell", row_norm(vd).alias("__en")
     )
     pairs = e_norm.join(F.broadcast(a_norm), "__cell").where(
         F.col(id_col) != F.col("query_id")
@@ -701,8 +778,10 @@ def semantic_dup_pairs(
     straddle a cluster boundary (the documented SemDeDup trade-off); raise
     n_clusters for speed or lower it for recall."""
     assigned, _ = ivf_assign(emb, n_clusters, seed, id_col, vec_col)
+    # per-row pre-cast — see brute_force_topk (bit-identical, r12 v2)
+    vd = F.col(vec_col).cast("array<double>")
     withn = assigned.select(
-        id_col, vec_col, "__cell", row_norm(F.col(vec_col)).alias("__nrm")
+        id_col, vd.alias(vec_col), "__cell", row_norm(vd).alias("__nrm")
     )
     a = withn.select(
         F.col(id_col).alias("id_a"),

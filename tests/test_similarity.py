@@ -449,6 +449,111 @@ def test_adaptive_rotations_formula():
         assert adaptive_rotations(bits, 64) * bits <= 64
 
 
+def test_knn_graph_dense_rank_prune_identical_and_map_side(spark):
+    """r12 v2 tail: the multi-rotation dedup runs as a dense_rank
+    group-limit BEFORE the window exchange (map-side prune) instead of
+    shipping the full scored pair set through repartition+distinct.
+
+    (a) Bit-identical output: dense_rank over (cos DESC, neighbor ASC)
+    counts DISTINCT pairs (cross-rotation duplicates share an order
+    tuple and cannot consume top-k slots), so prune -> distinct ->
+    row_number must equal the old distinct-then-row_number tail exactly
+    — asserted row-for-row against a reconstruction of the old tail
+    over the same scored pair stage, on a tier where duplicates are
+    guaranteed (rotations=4 over the 4-bit floor collides heavily).
+    (b) Plan shape: a partial WindowGroupLimit sits below the single
+    wide exchange, so each scored-join map task emits only its local
+    distinct top-k per query."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_agent_spark.operators.similarity import (
+        cosine_pre,
+        dot,
+        knn_graph,
+        row_norm,
+        sign_bucket,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    k, bits, rotations = 3, 4, 4
+    got_df = knn_graph(emb, k=k, bits=bits, rotations=rotations)
+    got = sorted(map(tuple, got_df.collect()))
+
+    # old tail, reconstructed over the identical scored pair stage
+    b = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        row_norm(F.col("embedding")).alias("__nrm"),
+        F.posexplode(
+            F.array(
+                *[
+                    sign_bucket(F.col("embedding"), bits, r * bits)
+                    for r in range(rotations)
+                ]
+            )
+        ).alias("__rot", "__bkt"),
+    )
+    a = b.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("__nrm").alias("__qn"),
+        "__rot",
+        "__bkt",
+    )
+    e = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__ev"),
+        F.col("__nrm").alias("__en"),
+        "__rot",
+        "__bkt",
+    )
+    scored = (
+        a.join(e, ["__rot", "__bkt"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_pre(
+                    dot(F.col("__qv"), F.col("__ev")), F.col("__qn"), F.col("__en")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    # duplicates must actually exist for (a) to bite
+    n_pairs = scored.count()
+    n_distinct = scored.distinct().count()
+    assert n_pairs > n_distinct, "no cross-rotation collisions on this tier"
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    ref = sorted(
+        map(
+            tuple,
+            scored.repartition("query_id")
+            .distinct()
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "cos_sim",
+                F.col("rk").cast("long").alias("rk"),
+            )
+            .collect(),
+        )
+    )
+    assert got == ref
+
+    exec_txt = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in exec_txt, exec_txt[:2000]
+    # the partial group-limit must sit BELOW the exchange: Spark prints
+    # the partial mode's node above the final's, both present
+    assert exec_txt.count("WindowGroupLimit") >= 2, exec_txt[:2000]
+
+
 def test_knn_graph_multiprobe_beats_plain_and_clears_floor(spark):
     """r9 high-recall dial: flip-one-bit multi-probe at rotations=4 must
     clear the 0.85 contract floor and strictly beat the plain R=4 graph
