@@ -133,13 +133,25 @@ def run_canary(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def build_payloads(headline, names, samples, resweeps, sf, canary=None):
+def build_payloads(headline, names, samples, resweeps, sf, canary=None,
+                   canary_rs=None):
     """Split results into the small driver-facing line and the side file.
 
     Returns ``(payload, side)``: ``payload`` is the dict printed as the ONE
     JSON line the driver parses (headline timings + scalars only, resweep
     names capped so pathological dilation rounds can't regrow the line);
     ``side`` carries the full per-query sweep samples for human/judge use.
+
+    r13 (VERDICT r12 finding 1, additions-only): the payload now also
+    carries ``hsamples`` — every sweep sample for the HEADLINE queries
+    (the set PERF compares round-over-round) — and ``canary_rs``, host
+    probes taken during the resweep phase. Together they let PERF
+    adjudicate dilation PER QUERY (two quiet sweeps + one dilated one is
+    visible as a [q, q, 10q] triple; a real regression is [s, s] with a
+    quiet canary) instead of per run. Existing keys are unchanged, so
+    cross-round comparison with r12 stays valid; budget enforced by
+    tests/test_bench_payload.py (headline is 27 names x <= 3 samples —
+    bounded, unlike the full-registry dict that overflowed r1/r6).
     """
     timings = {n: min(s) for n, s in samples.items()}
     payload = {
@@ -152,17 +164,21 @@ def build_payloads(headline, names, samples, resweeps, sf, canary=None):
         "full_total": round(sum(timings.values()), 3),
         "n_queries": len(names),
         "sf": float(sf) if str(sf).replace(".", "").isdigit() else sf,
+        "hsamples": {n: samples[n] for n in headline},
     }
     if canary:
         # host-speed calibration samples (start/mid/end) + their min:
         # cross-round comparisons deflate by the canary ratio (r9)
         payload["canary"] = list(canary)
         payload["canary_min"] = min(canary)
+    if canary_rs:
+        payload["canary_rs"] = list(canary_rs)
     side = {
         "sweeps": {n: samples[n] for n in names},
         "resweeps": resweeps,
         "timings": timings,
         "canary": list(canary or []),
+        "canary_rs": list(canary_rs or []),
     }
     return payload, side
 
@@ -218,10 +234,18 @@ def main() -> None:
     resweeps = [
         n for n in names if max(samples[n]) > 1.3 * min(samples[n])
     ]
-    for n in resweeps:
+    # r13: probe host speed DURING the resweep phase (every 20 resweeps)
+    # so a dilation episode that hits only the tail of the run is visible
+    # in the artifact next to the samples it inflated
+    canary_rs = []
+    for i, n in enumerate(resweeps):
         samples[n].append(_time_one(n))
+        if (i + 1) % 20 == 0:
+            canary_rs.append(run_canary(spark))
 
-    payload, side = build_payloads(headline, names, samples, resweeps, sf, canary)
+    payload, side = build_payloads(
+        headline, names, samples, resweeps, sf, canary, canary_rs
+    )
     # Sweep samples go to a side file the driver never reads: the r6
     # ``sweeps`` dict in the main line overflowed the driver's capture
     # buffer (BENCH_r06 parsed: null).  The driver-facing line stays small.

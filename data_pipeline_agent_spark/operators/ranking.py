@@ -332,6 +332,13 @@ def _exact_percentiles_passes(
     def _clamp(p: float) -> float:
         return min(1.0, max(0.0, p))
 
+    # NULL-key support (r13): a NULL group key cannot be addressed by an
+    # equality probe (kc == lit(None) is never true) — callers that fuse
+    # the NULL group into pass 1 (grouped_exact_percentiles'
+    # include_null_key) get an IS NULL predicate instead.
+    def _kpred(key: object) -> Column:
+        return kc.isNull() if key is None else (kc == F.lit(key))
+
     # info may be precomputed by a front-end (exact_percentiles_cols runs
     # pass 1 as a scalar aggregate over the UNMELTED frame); the in-house
     # pass groups the melted frame. Either way info maps
@@ -373,7 +380,7 @@ def _exact_percentiles_passes(
         lo_i, hi_i = int(math.floor(rank)) + 1, int(math.ceil(rank)) + 1
         for g in (lo_i, hi_i):
             if (key, g) not in targets:
-                targets[(key, g)] = _OrderStat(key, g, prob, kc == F.lit(key), mn, mx, n)
+                targets[(key, g)] = _OrderStat(key, g, prob, _kpred(key), mn, mx, n)
         brackets.append(
             (alias, targets[(key, lo_i)], targets[(key, hi_i)], rank - math.floor(rank))
         )
@@ -448,7 +455,7 @@ def _exact_percentiles_passes(
         for key, ts in banded.items():
             bounds = sorted({x for t in ts for x in (t.lo, t.hi)})
             key_bounds[key] = bounds
-            cond = kc == F.lit(key)
+            cond = _kpred(key)
             idx_e: Column = F.lit(0)
             for bd in bounds:
                 idx_e = idx_e + (vc >= F.lit(bd)).cast("int")
@@ -739,6 +746,9 @@ def grouped_exact_percentiles(
     n_buckets: int = 4096,
     max_collect: int = 65536,
     max_iters: int = 12,
+    include_null_key: bool = False,
+    extra_aggs: list[Column] | None = None,
+    extra_schema: str = "",
 ) -> DataFrame:
     """Per-key EXACT percentiles for a BOUNDED key domain over a scaling
     table — the shared front-end for ``exact_percentiles`` that the
@@ -764,11 +774,32 @@ def grouped_exact_percentiles(
     into passes of at most ``keys_per_pass`` keys: each pass compiles a
     bounded expression tree, at the cost of one extra (key-pruned) scan
     per chunk. Bounded key domains (the intended use) fit in one pass.
+
+    ``include_null_key`` / ``extra_aggs`` / ``extra_schema`` (r13, guide
+    §1.2 — the source_token_stats NULL-key fusion): only valid on the
+    fused ``keys=None`` path. ``include_null_key=True`` keeps the NULL
+    group in pass 1 (SQL GROUP BY semantics) and resolves its
+    percentiles through IS NULL probe predicates instead of the equality
+    probes a non-NULL key uses — no separate NULL-slice pass.
+    ``extra_aggs`` piggybacks caller aggregates (counts, sums) onto the
+    same pass-1 job; their values come back as trailing output columns
+    typed by ``extra_schema`` — the callers that previously ran a
+    dedicated base aggregate + collect fold it into pass 1.
     """
     if len(probs) != len(aliases):
         raise ValueError(
             f"grouped_exact_percentiles: {len(probs)} probs vs "
             f"{len(aliases)} aliases — one alias per prob required"
+        )
+    if keys is not None and (include_null_key or extra_aggs):
+        raise ValueError(
+            "grouped_exact_percentiles: include_null_key/extra_aggs fuse "
+            "into the keys=None pass-1 aggregate — pass keys=None"
+        )
+    if bool(extra_aggs) != bool(extra_schema):
+        raise ValueError(
+            "grouped_exact_percentiles: extra_aggs and extra_schema must "
+            "be passed together (one schema column per extra aggregate)"
         )
     spark = df.sparkSession
     # lockstep with exact_percentiles (see the accuracy note there)
@@ -794,16 +825,18 @@ def grouped_exact_percentiles(
             {_clamp(q) for p in probs for q in (p - margin, p + margin)}
         )
         vd = F.col(value_col).cast("double")
+        grouped = (
+            df if include_null_key else df.where(F.col(key_col).isNotNull())
+        ).groupBy(F.col(key_col).alias("__k"))
         rows = (
-            df.where(F.col(key_col).isNotNull())
-            .groupBy(F.col(key_col).alias("__k"))
-            .agg(
+            grouped.agg(
                 F.count(vd).alias("n"),
                 F.min(vd).alias("mn"),
                 F.max(vd).alias("mx"),
                 F.percentile_approx(
                     vd, F.array(*[F.lit(p) for p in all_probs]), F.lit(accuracy)
                 ).alias("gk"),
+                *(extra_aggs or []),
             )
             .limit(max_keys + 1)
             .collect()
@@ -828,11 +861,18 @@ def grouped_exact_percentiles(
             for r in rows
             if r["n"] > 0
         }
-    keys = sorted(keys)
+        if extra_aggs:
+            n_extra = len(extra_aggs)
+            extras = {r["__k"]: tuple(r)[-n_extra:] for r in rows}
+    # NULL (if fused in) sorts after the real keys; tuple compare stops at
+    # the flag so the key value itself is never compared against None
+    keys = sorted(keys, key=lambda k: (k is None, k))
     key_type = df.schema[key_col].dataType.simpleString()
     schema = f"`{key_col}` {key_type}, " + ", ".join(
         f"`{a}` double" for a in aliases
     )
+    if extra_schema:
+        schema += ", " + extra_schema
     if not keys:
         return spark.createDataFrame([], schema)
     out_rows = []
@@ -847,12 +887,16 @@ def grouped_exact_percentiles(
             # pass 1 already ran fused above — go straight to the probe
             # passes with the precomputed per-key stats (same base frame
             # exact_percentiles would build, key-pruned per chunk)
+            nn_keys = [k for k in chunk if k is not None]
+            kpred = F.col("__k").isin(nn_keys) if nn_keys else F.lit(False)
+            if any(k is None for k in chunk):
+                kpred = kpred | F.col("__k").isNull()
             base = (
                 df.select(
                     F.col(key_col).alias("__k"),
                     F.col(value_col).cast("double").alias("__v"),
                 )
-                .where(F.col("__k").isin(chunk))
+                .where(kpred)
                 .where(F.col("__v").isNotNull())
             )
             row = _exact_percentiles_passes(
@@ -867,5 +911,6 @@ def grouped_exact_percentiles(
             # NULL-safe: empty/all-NULL keys produce None, not a float() crash
             out_rows.append(
                 (k, *[float(v) if v is not None else None for v in vals])
+                + (extras[k] if extra_aggs else ())
             )
     return spark.createDataFrame(out_rows, schema)

@@ -198,12 +198,15 @@ def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint.
 
     A NULL source forms its own group (SQL GROUP BY semantics, matching
-    the oracle): ``exact_percentiles``' equality probes cannot address a
-    NULL key, so its percentiles come from a separate pass over the
-    ``source IS NULL`` slice under a constant key, unioned back in and
-    joined null-safely."""
+    the oracle): since r13 the NULL key rides the SAME fused pass-1
+    aggregate and probe passes as every other source —
+    ``grouped_exact_percentiles(include_null_key=True)`` resolves it with
+    IS NULL probe predicates — and the count/sum base aggregate
+    piggybacks on pass 1 via ``extra_aggs`` (guide §1.2: the old shape
+    ran a dedicated base aggregate + collect, a separate NULL-slice
+    percentile pass, and a driver-side join; this is the r12 "NULL-key
+    side path" deferral, closed as VERDICT r12 task 2)."""
     from data_pipeline_agent_spark.operators.ranking import (
-        exact_percentiles,
         grouped_exact_percentiles,
     )
 
@@ -215,43 +218,23 @@ def source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint() in (same note as approx_percentiles_extendedprice).
     t = (
         docs.select("source", F.size(tokens(F.col("text"))).alias("n_tokens"))
-        .localCheckpoint(eager=False)  # materialized by the agg right below (r12)
+        .localCheckpoint(eager=False)  # materialized by fused pass 1 (r12)
     )
-    # ONE aggregate over the checkpoint serves both the bounded key list
-    # and the final count/sum values (collected — the row count is the
-    # source domain); the percentile passes are the only other scans
-    base_rows = (
-        t.groupBy("source")
-        .agg(
+    pct = grouped_exact_percentiles(
+        t,
+        "source",
+        "n_tokens",
+        [0.5, 0.9],
+        ["p50", "p90"],
+        include_null_key=True,
+        extra_aggs=[
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("total_tokens"),
-        )
-        .collect()
+        ],
+        extra_schema="n_docs bigint, total_tokens bigint",
     )
-    sources = [r["source"] for r in base_rows if r["source"] is not None]
-    pct = grouped_exact_percentiles(
-        t, "source", "n_tokens", [0.5, 0.9], ["p50", "p90"], keys=sources
-    )
-    if any(r["source"] is None for r in base_rows):
-        nrow = exact_percentiles(
-            t.where(F.col("source").isNull()).select(
-                F.lit(1).alias("__g"), "n_tokens"
-            ),
-            "__g",
-            "n_tokens",
-            [(1, 0.5, "p50"), (1, 0.9, "p90")],
-        ).first()
-        pct = pct.unionByName(
-            spark.createDataFrame([(None, nrow["p50"], nrow["p90"])], pct.schema)
-        )
-    base = spark.createDataFrame(
-        [(r["source"], r["n_docs"], r["total_tokens"]) for r in base_rows],
-        "source string, n_docs bigint, total_tokens bigint",
-    )
-    return base.join(
-        F.broadcast(pct), base["source"].eqNullSafe(pct["source"]), "left"
-    ).select(
-        base["source"],
+    return pct.select(
+        "source",
         "n_docs",
         "total_tokens",
         F.round("p50", 6).alias("p50_tokens"),

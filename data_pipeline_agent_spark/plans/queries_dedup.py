@@ -872,26 +872,25 @@ def corpus_split_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from data_pipeline_agent_spark.functions.text_hash import tokens
     from data_pipeline_agent_spark.operators.graph import connected_components
     from data_pipeline_agent_spark.operators.text import quality_score
 
     docs = table(spark, sf_dir, "documents")
     pairs = D.minhash_near_dup_pairs(docs, threshold=0.8).select("id_a", "id_b")
     cc = connected_components(pairs, src="id_a", dst="id_b")
-    q = quality_score(docs).select("doc_id", "quality_score")
-    assign = (
-        docs.select(
-            "doc_id",
-            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-        )
-        .join(cc.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("comp", F.col("doc_id")).cast("long").alias("anchor_id"),
-        )
-        .join(q, "doc_id")
+    # ONE corpus scan for n_tokens AND quality (r13, guide §1.2) — same
+    # fusion as dual_grain_split_assign: quality_score already emits the
+    # identical n_tokens column, so the separate docs projection and the
+    # doc_id-keyed join back to the quality frame were a second full scan
+    # plus a corpus-grain shuffle join for row-local columns.
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality_score")
+    assign = q.join(
+        cc.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("comp", F.col("doc_id")).cast("long").alias("anchor_id"),
+        "quality_score",
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("quality_score"), F.asc("doc_id")
@@ -933,7 +932,6 @@ def dual_grain_split_assign(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from data_pipeline_agent_spark.functions.text_hash import tokens
     from data_pipeline_agent_spark.operators.graph import connected_components
     from data_pipeline_agent_spark.operators.similarity import semantic_dup_pairs
     from data_pipeline_agent_spark.operators.text import quality_score
@@ -956,19 +954,22 @@ def dual_grain_split_assign(
         .localCheckpoint(eager=False)
     )
     cc = connected_components(lex.unionByName(sem), src="id_a", dst="id_b")
-    q = quality_score(docs).select("doc_id", "quality_score")
-    assign = (
-        docs.select(
-            "doc_id",
-            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-        )
-        .join(cc.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("comp", F.col("doc_id")).cast("long").alias("anchor_id"),
-        )
-        .join(q, "doc_id")
+    # ONE corpus scan for n_tokens AND quality (r13, guide §1.2):
+    # quality_score already emits the identical n_tokens column
+    # (F.size(tokens(text)).cast("long")), so the old separate
+    # docs-projection + doc_id-keyed join back to the quality frame was a
+    # second full scan of documents plus a corpus-grain shuffle join for
+    # columns one row-local projection produces together. The cc join is
+    # unchanged (label table is post-closure small — broadcasts at any
+    # corpus scale).
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality_score")
+    assign = q.join(
+        cc.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("comp", F.col("doc_id")).cast("long").alias("anchor_id"),
+        "quality_score",
     )
     bucket = F.substring(F.md5(F.col("anchor_id").cast("string")), 1, 2)
     split = (

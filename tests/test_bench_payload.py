@@ -33,7 +33,10 @@ def test_driver_line_under_budget():
         n_registry=200, n_resweeps=200
     )
     payload, side = bench.build_payloads(
-        headline, names, samples, resweeps, "0.1", canary=[123.456, 234.567, 345.678]
+        headline, names, samples, resweeps, "0.1",
+        canary=[123.456, 234.567, 345.678],
+        # worst case: a resweep-phase canary probe every 20 of 200+ resweeps
+        canary_rs=[123.456] * 12,
     )
     line = json.dumps(payload)
     assert len(line) < bench.LINE_BUDGET, (
@@ -48,10 +51,12 @@ def test_driver_line_under_budget():
 def test_payload_fields_present():
     headline, names, samples, resweeps = _fake_inputs(n_registry=5, n_resweeps=2)
     payload, side = bench.build_payloads(
-        headline, names, samples, resweeps, "0.1", canary=[0.41, 0.35, 0.52]
+        headline, names, samples, resweeps, "0.1", canary=[0.41, 0.35, 0.52],
+        canary_rs=[0.44],
     )
     for key in ("metric", "value", "unit", "queries", "n_resweeps",
-                "full_total", "n_queries", "sf", "canary", "canary_min"):
+                "full_total", "n_queries", "sf", "canary", "canary_min",
+                "hsamples", "canary_rs"):
         assert key in payload
     assert payload["sf"] == 0.1
     assert payload["n_queries"] == len(names)
@@ -62,6 +67,12 @@ def test_payload_fields_present():
     assert payload["canary"] == [0.41, 0.35, 0.52]
     assert payload["canary_min"] == 0.35
     assert side["canary"] == [0.41, 0.35, 0.52]
+    # r13 per-query dilation adjudication: every headline sweep sample is
+    # in the main line, and the resweep-phase canaries ride along
+    assert set(payload["hsamples"]) == set(headline)
+    assert payload["hsamples"][headline[0]] == [123.456, 234.567, 345.678]
+    assert payload["canary_rs"] == [0.44]
+    assert side["canary_rs"] == [0.44]
 
 
 def test_payload_without_canary_still_builds():

@@ -78,6 +78,62 @@ def test_grouped_exact_percentiles_chunking_invariant(spark):
     assert sorted(map(tuple, one_pass)) == sorted(map(tuple, chunked))
 
 
+def test_grouped_exact_percentiles_null_key_and_extras(spark):
+    """r13 fusion (VERDICT r12 task 2): the NULL group key rides the same
+    fused pass-1 aggregate and probe passes as real keys (IS NULL
+    predicates), and caller aggregates piggyback on pass 1 via
+    extra_aggs — values must match hand-computed linear-interpolation
+    quantiles and exact count/sum, per key, including the NULL key, and
+    must be chunking-invariant (the chunked base predicate must keep the
+    NULL slice)."""
+    import pytest
+
+    from data_pipeline_agent_spark.operators.ranking import (
+        grouped_exact_percentiles,
+    )
+
+    data = (
+        [("a", float(i)) for i in range(1, 101)]
+        + [(None, float(3 * i)) for i in range(1, 51)]
+        + [("b", 7.0)]
+    )
+    df = spark.createDataFrame(data, "k string, v double")
+    kwargs = dict(
+        include_null_key=True,
+        extra_aggs=[
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").alias("s"),
+        ],
+        extra_schema="n bigint, s double",
+    )
+    rows = {
+        r["k"]: r
+        for r in grouped_exact_percentiles(
+            df, "k", "v", [0.5, 0.9], ["p50", "p90"], **kwargs
+        ).collect()
+    }
+    assert set(rows) == {"a", "b", None}
+    # a: 1..100 -> rank p*(n-1); p50 = 50.5, p90 = 90.1
+    assert rows["a"]["p50"] == pytest.approx(50.5, abs=1e-9)
+    assert rows["a"]["p90"] == pytest.approx(90.1, abs=1e-9)
+    assert rows["a"]["n"] == 100 and rows["a"]["s"] == pytest.approx(5050.0)
+    # NULL key: 3,6,...,150 -> p50 = 76.5, p90 = 135.3
+    assert rows[None]["p50"] == pytest.approx(76.5, abs=1e-9)
+    assert rows[None]["p90"] == pytest.approx(135.3, abs=1e-9)
+    assert rows[None]["n"] == 50 and rows[None]["s"] == pytest.approx(3825.0)
+    # b: singleton
+    assert rows["b"]["p50"] == 7.0 and rows["b"]["p90"] == 7.0
+    assert rows["b"]["n"] == 1 and rows["b"]["s"] == 7.0
+    chunked = {
+        r["k"]: r
+        for r in grouped_exact_percentiles(
+            df, "k", "v", [0.5, 0.9], ["p50", "p90"], keys_per_pass=1, **kwargs
+        ).collect()
+    }
+    for k, r in rows.items():
+        assert tuple(r) == tuple(chunked[k]), (k, r, chunked[k])
+
+
 def test_fuzzy_variant_explode_is_respread(spark):
     """The exploded variant frame's plan must carry a round-robin exchange
     between the dedupe aggregate and the generate — without it AQE's
