@@ -1041,7 +1041,6 @@ def corpus_split_budget_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     n_clusters = max(16, table_num_rows(sf_dir, "embeddings") // 750)
     ranked, lex, sem = dual_grain_split_assign(docs, emb, n_clusters)
-    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     ok_unique = ranked.agg(
         (F.count(F.lit(1)) == F.count_distinct("doc_id")).alias(
             "assignment_unique_ok"
@@ -1098,8 +1097,16 @@ def corpus_split_budget_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__ktok"
         ),
     )
-    tot = docs.select(
-        F.count(F.lit(1)).alias("__n"),
+    # ONE corpus scan serves both the output n_docs and the conservation
+    # totals (r13, guide §1.2): the old shape ran a count-only docs scan
+    # for n_docs AND a count+sum-of-tokens scan for the budget check —
+    # the same source aggregate, split across two jobs, one of them
+    # re-tokenizing the corpus. The totals stay genuinely computed from
+    # the SOURCE table (never from ranked — deriving them from the frame
+    # being checked would make conservation tautological); n_docs rides
+    # the same 1-row frame through the budget check's cross join.
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(tokens(F.col("text")))).alias("__t"),
     )
     ok_budget = (
@@ -1117,19 +1124,19 @@ def corpus_split_budget_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(tot))
         .select(
+            "n_docs",
             (
-                (F.col("__sd") == F.col("__n"))
+                (F.col("__sd") == F.col("n_docs"))
                 & (F.col("__st") == F.col("__t"))
                 & F.col("__rows_ok")
-            ).alias("budget_conserved_ok")
+            ).alias("budget_conserved_ok"),
         )
     )
     return (
-        n_docs.crossJoin(F.broadcast(ok_unique))
+        ok_budget.crossJoin(F.broadcast(ok_unique))
         .crossJoin(F.broadcast(ok_lex))
         .crossJoin(F.broadcast(ok_sem))
         .crossJoin(F.broadcast(ok_surv))
-        .crossJoin(F.broadcast(ok_budget))
         .select(
             "n_docs",
             "assignment_unique_ok",

@@ -533,28 +533,46 @@ def status_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "step of association-rule mining)",
 )
 def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pair generation fans out only WITHIN a basket (the self-join key
-    is the orderkey, so cost is sum of basket_size^2 — bounded by the
-    ~7-line TPC-H order, never corpus^2). The distinct (order, brand)
-    projection runs first so multi-line same-brand orders count once.
-    The staged distinct table is persisted for its two join sides; at
-    100 TB the alternative layout is bucketing by orderkey so the
-    self-join is exchange-free."""
+    """Pair generation fans out only WITHIN a basket (bounded by the
+    ~7-line TPC-H order, never corpus^2), emitted MAP-SIDE from each
+    order's sorted distinct brand set (r13, guide §2.4): one exchange on
+    the orderkey builds the per-order ``collect_set`` (which also does
+    the multi-line same-brand dedup the old separate ``distinct`` step
+    paid its own exchange for), then every i<j pair streams out of the
+    sorted array with no join at all. The previous persisted self-join
+    shape cost FOUR wide exchanges of the basket table — distinct on
+    (orderkey, brand) plus one per self-join side (the cached plan's
+    AdaptiveSparkPlan hides its partitioning from EnsureRequirements, so
+    both sides re-shuffled) plus the final aggregate — against two here
+    (plan-verified, plans/r13/basket_brand_pairs_{before,after}.txt).
+    Pair emission is the fuzzy_pairs_by_deletion two-stage explode, so
+    peak per-row memory stays O(basket), and the collect_set state is
+    bounded by the basket's distinct-brand width. Identical pair
+    algebra: i<j over the sorted distinct set == brand_a < brand_b over
+    the distinct (order, brand) self-join. At 100 TB the one exchange is
+    the minimum any per-order grouping needs (or zero with lineitem
+    bucketed by orderkey)."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
-    b = (
+    g = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
-        .distinct()
-        .persist()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("__bs"))
+        .where(F.size("__bs") >= 2)
     )
-    a = b.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
-    c = b.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b"))
-    return (
-        a.join(c, "k")
-        .where(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    ei = g.select(
+        "__bs",
+        F.explode(F.sequence(F.lit(1), F.size("__bs") - 1)).alias("__i"),
+    )
+    cand = ei.select(
+        F.element_at(F.col("__bs"), F.col("__i")).alias("brand_a"),
+        F.explode(
+            F.slice(F.col("__bs"), F.col("__i") + 1, F.size("__bs"))
+        ).alias("brand_b"),
+    )
+    return cand.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
     )
 
 
