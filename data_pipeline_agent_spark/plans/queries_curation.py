@@ -419,12 +419,22 @@ def doc_chunks_fixed_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     "across supposedly-independent corpus sources",
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source-level overlap as a gram-keyed self-join: explode (map-side),
-    distinct on (source, gram) — ONE shuffle — then the self-join fans
-    out only within a gram's source set (bounded by n_sources per gram,
-    never corpus-sized). The output is n_sources^2/2 rows regardless of
-    corpus size. The staged distinct table is persisted because both join
-    sides consume it."""
+    """Source-level overlap emitted MAP-SIDE from each gram's sorted
+    distinct source set (r13, guide §2.4 — the basket_brand_pairs move):
+    one exchange on the gram builds the per-gram ``collect_set`` of
+    sources (which also does the (source, gram) dedup the old separate
+    ``distinct`` step paid its own exchange for), then every i<j source
+    pair streams out of the sorted array with no join at all. The old
+    persisted distinct + gram-keyed self-join shape cost four wide
+    exchanges of the corpus-scale gram table (distinct, one per
+    self-join side — the cached plan's AdaptiveSparkPlan hides its
+    partitioning, so EnsureRequirements re-shuffled both — plus the
+    final aggregate); now two, and nothing is cached. The per-gram set
+    is bounded by n_sources at ANY corpus size, so collect_set state and
+    the C(set, 2) fan-out stay tiny; output is n_sources^2/2 rows as
+    before. Identical pair algebra: i<j over the sorted distinct source
+    set == source_a < source_b over the distinct (source, gram)
+    self-join (plans/r13/source_overlap_matrix_{before,after}.txt)."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     g = (
         docs.select(
@@ -433,16 +443,22 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 word_ngrams(tokens(F.lower(F.col("text"))), _BOILER_N)
             ).alias("gram"),
         )
-        .distinct()
-        .persist()
+        .groupBy("gram")
+        .agg(F.array_sort(F.collect_set("source")).alias("__ss"))
+        .where(F.size("__ss") >= 2)
     )
-    a = g.select(F.col("source").alias("source_a"), "gram")
-    b = g.select(F.col("source").alias("source_b"), "gram")
-    return (
-        a.join(b, "gram")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    ei = g.select(
+        "__ss",
+        F.explode(F.sequence(F.lit(1), F.size("__ss") - 1)).alias("__i"),
+    )
+    cand = ei.select(
+        F.element_at(F.col("__ss"), F.col("__i")).alias("source_a"),
+        F.explode(
+            F.slice(F.col("__ss"), F.col("__i") + 1, F.size("__ss"))
+        ).alias("source_b"),
+    )
+    return cand.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_grams")
     )
 
 
