@@ -274,70 +274,112 @@ def repetition_stats(
 ) -> DataFrame:
     """Gopher repetition signals: duplicate-line fraction (by count and by
     characters) and the character coverage of the most frequent word
-    2-gram. Two grouped aggregations keyed on (doc, line) / (doc, gram) —
-    shuffle volume is O(corpus tokens), never all-pairs.
+    2-gram.
+
+    Every output is DOC-LOCAL (line duplication within one document, the
+    modal 2-gram of one document), so nothing here needs a shuffle: the
+    whole computation is row-local array math — one corpus scan, zero
+    Exchange nodes (r13; previously explode -> two grouped aggregations
+    at token grain -> window -> doc-grain join, i.e. two full exchanges
+    of O(corpus tokens) rows to compute per-row facts).
 
     dup_line_frac      = (lines - distinct lines) / lines
     dup_line_char_frac = chars in repeat occurrences / line chars
+                       = (line chars - distinct-line chars) / line chars
     top_2gram_char_frac = count(top 2-gram) * len(top 2-gram) / doc chars
-    (tie-break: higher count, then lexicographically smallest gram)
-    """
-    from pyspark.sql import Window
+    (tie-break: higher count, then lexicographically smallest gram —
+    realized by a run-length scan over the SORTED gram array keeping
+    strictly-longer runs, so ties keep the first = smallest gram)
 
+    Docs with zero non-empty lines emit no row (the old per-line
+    aggregate's grain); docs with < 2 words emit NULL gram columns (the
+    old left join's NULLs).
+    """
     t = F.col(text_col)
-    base = fan_out(df).select(
-        F.col(id_col).alias("id"),
-        F.length(t).alias("n_chars"),
-        F.filter(
-            F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
-            lambda l: F.length(l) > 0,
-        ).alias("__l"),
-        F.filter(tokens(t), lambda x: F.length(x) > 0).alias("__w"),
-    )
-    # --- line duplication ---------------------------------------------------
-    ln = base.select("id", F.explode("__l").alias("line"))
-    per_line = ln.groupBy("id", "line").agg(F.count(F.lit(1)).alias("cnt"))
-    line_stats = per_line.groupBy("id").agg(
-        F.sum("cnt").alias("n_lines"),
-        F.count(F.lit(1)).alias("n_distinct_lines"),
-        F.sum((F.col("cnt") - 1) * F.length("line")).alias("rep_chars"),
-        F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
-    )
-    # --- top word-2gram coverage -------------------------------------------
+    zero = F.lit(0).cast("long")
+
+    def char_sum(arr):
+        return F.aggregate(arr, zero, lambda acc, x: acc + F.length(x))
+
     grams2 = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size("__w") - 1, F.lit(0))),
         lambda i: F.concat_ws(" ", F.element_at("__w", i), F.element_at("__w", i + 1)),
     )
-    g = base.where(F.size("__w") >= 2).select("id", "n_chars", F.explode(grams2).alias("gram"))
-    per_gram = g.groupBy("id", "n_chars", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    wtop = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("gram"))
-    top_gram = (
-        per_gram.withColumn("__rk", F.row_number().over(wtop))
-        .where(F.col("__rk") == 1)
+    # run-length scan over the sorted gram array: (prev, run) is the
+    # current run, (bg, bc) the best closed run; strict > keeps the
+    # lexicographically-first gram on count ties
+    top = F.aggregate(
+        F.array_sort(grams2),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            F.lit(None).cast("string").alias("bg"),
+            zero.alias("bc"),
+        ),
+        lambda acc, x: F.when(
+            acc["prev"].eqNullSafe(x),
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + F.lit(1).cast("long")).alias("run"),
+                acc["bg"].alias("bg"),
+                acc["bc"].alias("bc"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                F.when(acc["run"] > acc["bc"], acc["prev"]).otherwise(acc["bg"]).alias("bg"),
+                F.when(acc["run"] > acc["bc"], acc["run"]).otherwise(acc["bc"]).alias("bc"),
+            )
+        ),
+        lambda acc: F.struct(
+            F.when(acc["run"] > acc["bc"], acc["prev"]).otherwise(acc["bg"]).alias("g"),
+            F.when(acc["run"] > acc["bc"], acc["run"]).otherwise(acc["bc"]).alias("c"),
+        ),
+    )
+
+    base = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.length(t).alias("n_chars"),
+            F.filter(
+                F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+                lambda l: F.length(l) > 0,
+            ).alias("__l"),
+            F.filter(tokens(t), lambda x: F.length(x) > 0).alias("__w"),
+        )
+        .where(F.size("__l") > 0)
         .select(
             "id",
-            F.col("gram").alias("top_2gram"),
-            F.col("cnt").cast("long").alias("top_2gram_count"),
-            F.round(
-                F.col("cnt") * F.length("gram") / F.greatest("n_chars", F.lit(1)), 6
-            ).alias("top_2gram_char_frac"),
+            "n_chars",
+            F.size("__l").cast("long").alias("n_lines"),
+            F.size(F.array_distinct("__l")).cast("long").alias("n_distinct_lines"),
+            char_sum(F.col("__l")).alias("line_chars"),
+            char_sum(F.array_distinct("__l")).alias("distinct_line_chars"),
+            F.when(F.size("__w") >= 2, top).alias("__top"),
         )
     )
-    return (
-        line_stats.join(top_gram, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.col("n_lines").cast("long").alias("n_lines"),
-            F.round((F.col("n_lines") - F.col("n_distinct_lines")) / F.col("n_lines"), 6).alias(
-                "dup_line_frac"
-            ),
-            F.round(F.col("rep_chars") / F.greatest("line_chars", F.lit(1)), 6).alias(
-                "dup_line_char_frac"
-            ),
-            "top_2gram",
-            "top_2gram_count",
-            "top_2gram_char_frac",
-        )
+    # rep_chars = sum((cnt-1)*len) over distinct lines
+    #           = sum(cnt*len) - sum(len over distinct) = line - distinct chars
+    return base.select(
+        F.col("id").alias(id_col),
+        F.col("n_lines"),
+        F.round(
+            (F.col("n_lines") - F.col("n_distinct_lines")) / F.col("n_lines"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            (F.col("line_chars") - F.col("distinct_line_chars"))
+            / F.greatest("line_chars", F.lit(1)),
+            6,
+        ).alias("dup_line_char_frac"),
+        F.col("__top")["g"].alias("top_2gram"),
+        F.col("__top")["c"].cast("long").alias("top_2gram_count"),
+        F.round(
+            F.col("__top")["c"] * F.length(F.col("__top")["g"])
+            / F.greatest("n_chars", F.lit(1)),
+            6,
+        ).alias("top_2gram_char_frac"),
     )
 
 

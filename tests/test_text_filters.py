@@ -39,6 +39,36 @@ def test_repetition_stats_fixture(spark):
     assert r["top_2gram_count"] == 3
 
 
+def test_repetition_stats_rowlocal_edges(spark):
+    """Pins the r13 row-local rewrite (sorted-run scan, no shuffle)
+    against the old explode+groupBy+window semantics on the cases the
+    corpus may not exercise: count ties (lexicographically smallest gram
+    wins), a doc with < 2 words (NULL gram columns, row kept), and a doc
+    with no non-empty lines (no row at all — the old per-line aggregate's
+    grain)."""
+    rows = [
+        # grams: "b a"x1, "a b"x1, "b b"x1 ... construct a tie:
+        # "z q z q z" -> grams z q, q z, z q, q z -> tie 2-2; "q z" < "z q"
+        (1, "z q z q z"),
+        (2, "oneword"),          # < 2 words: NULL gram cols
+        (3, " \n  \n"),          # no non-empty lines: dropped
+        (4, "a b\na b\nc"),      # baseline: dup lines + clear top gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["top_2gram"] == "q z" and out[1]["top_2gram_count"] == 2
+    assert out[2]["top_2gram"] is None
+    assert out[2]["top_2gram_count"] is None
+    assert out[2]["top_2gram_char_frac"] is None
+    assert out[2]["n_lines"] == 1 and out[2]["dup_line_frac"] == 0.0
+    assert out[4]["n_lines"] == 3
+    assert out[4]["dup_line_frac"] == round(1 / 3, 6)
+    # rep chars: one repeat of "a b" (3 chars) / line chars (3+3+1)
+    assert out[4]["dup_line_char_frac"] == round(3 / 7, 6)
+    assert out[4]["top_2gram"] == "a b" and out[4]["top_2gram_count"] == 2
+
+
 def test_pii_redact_fixture(spark):
     text = (
         "mail a@b.com or visit https://x.io/a?b=1 from 10.0.0.1 "
