@@ -69,6 +69,57 @@ def test_repetition_stats_rowlocal_edges(spark):
     assert out[4]["top_2gram"] == "a b" and out[4]["top_2gram_count"] == 2
 
 
+def test_repetition_stats_matches_naive_reference(spark):
+    """Randomized (seeded) equivalence of the r13 row-local rewrite
+    against a naive Counter-based reference of the ORIGINAL definition
+    (per-line counts, per-gram counts, desc-count/asc-gram top pick).
+    A 3-word vocabulary over 200 docs manufactures dense gram-count
+    ties and duplicate lines far beyond what the synthetic corpus
+    exercises."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(20260818)
+    vocab = ["aa", "b", "ccc"]
+    rows = []
+    for i in range(200):
+        n_lines = rng.randint(0, 5)
+        lines = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6)))
+            for _ in range(n_lines)
+        ]
+        rows.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+
+    expected_ids = set()
+    for i, text in rows:
+        lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+        if not lines:
+            assert i not in got
+            continue
+        expected_ids.add(i)
+        lc = Counter(lines)
+        n = len(lines)
+        rep_chars = sum((c - 1) * len(ln) for ln, c in lc.items())
+        line_chars = sum(c * len(ln) for ln, c in lc.items())
+        r = got[i]
+        assert r["n_lines"] == n
+        assert r["dup_line_frac"] == round((n - len(lc)) / n, 6)
+        assert r["dup_line_char_frac"] == round(rep_chars / max(line_chars, 1), 6)
+        words = [w for w in text.split() if w]
+        if len(words) < 2:
+            assert r["top_2gram"] is None and r["top_2gram_count"] is None
+            continue
+        gc = Counter(" ".join(p) for p in zip(words, words[1:]))
+        top = min(gc.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (r["top_2gram"], r["top_2gram_count"]) == top, (i, text)
+        assert r["top_2gram_char_frac"] == round(
+            top[1] * len(top[0]) / max(len(text), 1), 6
+        )
+    assert set(got) == expected_ids
+
+
 def test_pii_redact_fixture(spark):
     text = (
         "mail a@b.com or visit https://x.io/a?b=1 from 10.0.0.1 "
